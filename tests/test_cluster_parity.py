@@ -1,0 +1,44 @@
+"""Byte-parity of the clustering stage against the golden reference build.
+
+Runs the reference ``clustermatepairs`` (compiled with ordered-container
+shims — see ref_build/) and our implementation on the bundled discordant
+SAM fixture and asserts identical output bytes.
+"""
+
+import pathlib
+
+import pytest
+
+from defuse_tpu.cluster.discordant import cluster_alignments
+from defuse_tpu.cluster.matepair_em import EMParams
+from defuse_tpu.io.sam import iter_compact, load_alignments
+
+from helpers import TEST_SAM, run_ref_clustermatepairs, sam_to_compact
+
+PARAMS = dict(mean=250.0, stddev=30.0, precision=0.95, min_cluster_size=3)
+
+
+@pytest.fixture(scope="module")
+def compact_fixture(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cluster_parity")
+    compact = tmp / "discordant.compact"
+    sam_to_compact(TEST_SAM, compact)
+    return compact
+
+
+def test_clustermatepairs_byte_parity(ref_binaries, compact_fixture,
+                                      tmp_path):
+    golden = tmp_path / "clusters.golden"
+    run_ref_clustermatepairs(ref_binaries, compact_fixture, golden, **PARAMS)
+
+    table = load_alignments(iter_compact(compact_fixture))
+    params = EMParams(fragment_mean=PARAMS["mean"],
+                      fragment_stddev=PARAMS["stddev"],
+                      precision=PARAMS["precision"],
+                      min_cluster_size=PARAMS["min_cluster_size"])
+    rows = cluster_alignments(table, params)
+    ours = "".join(r.format() + "\n" for r in rows)
+
+    golden_text = golden.read_text()
+    assert golden_text, "golden clusters file is empty"
+    assert ours == golden_text
