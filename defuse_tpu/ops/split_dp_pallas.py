@@ -1,0 +1,136 @@
+"""Pallas TPU kernel for the batched split-read DP.
+
+Same recurrence as ``ops/split_dp_batch.py`` (integer scores — bit-exact
+vs the host oracle), hand-scheduled for TPU v5e:
+
+* grid over batch tiles; each program keeps its whole working set (ref
+  tile, previous DP column, output row maxima) in VMEM for the entire
+  read-position loop — no HBM traffic between rows;
+* the horizontal gap recurrence ``col[i] = max(vert[i], col[i-1]+gap)``
+  is a prefix max with linear decay, computed with a lane-wise
+  log-step shift-max cascade (exact for ints);
+* the i==0 DP boundary column (``m[0][j] = j*gap``) emerges from the
+  recurrence itself: lane 0 only ever receives ``prev[0] + gap``.
+
+Layout: lane axis = reference positions (column 0 is the DP boundary),
+sublane axis = batch.  ``R_pad + 1`` is rounded to a lane multiple.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..align.split_dp import GAP, MATCH, MIN_SPLIT_SCORE, MISMATCH
+
+NEG = np.int32(-(1 << 30))
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
+               width: int):
+    """One batch tile; refs_ref (TB, W) holds the boundary column at lane 0
+    and ref char c_i at lane i (i>=1).
+
+    Mosaic cannot index the lane axis at dynamic offsets, so the per-row
+    read character is extracted with a one-hot masked reduction and the
+    per-row maxima are accumulated into the output block with a one-hot
+    select — both cheap VPU ops.
+    """
+    refs = refs_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, refs.shape, 1)
+    decay = GAP * lane
+    valid = lane <= lens_ref[:]  # (TB, W); lens: (TB, 1) ref lengths
+
+    reads = reads_ref[:]
+    read_lane = jax.lax.broadcasted_iota(jnp.int32, reads.shape, 1)
+
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+
+    shifts = []
+    s = 1
+    while s < width:
+        shifts.append(s)
+        s *= 2
+
+    def body(j, carry):
+        prev, out_acc = carry
+        # read char j-1 via one-hot reduction along lanes
+        ch = jnp.sum(jnp.where(read_lane == j - 1, reads, 0), axis=1,
+                     keepdims=True)  # (TB, 1)
+        sub = jnp.where(refs == ch, MATCH, MISMATCH)
+        # prev shifted right one lane, NEG-filled
+        prev_s = pltpu.roll(prev, 1, 1)
+        prev_s = jnp.where(lane >= 1, prev_s, NEG)
+        vert = jnp.maximum(prev_s + sub, prev + GAP)
+        # prefix max of (vert - decay) along lanes
+        x = vert - decay
+        for sh in shifts:
+            xs = pltpu.roll(x, sh, 1)
+            xs = jnp.where(lane >= sh, xs, NEG)
+            x = jnp.maximum(x, xs)
+        col = x + decay
+        rowmax = jnp.max(jnp.where(valid, col, NEG), axis=1, keepdims=True)
+        out_acc = jnp.where(out_lane == j, rowmax, out_acc)
+        return col, out_acc
+
+    init = (jnp.zeros(refs.shape, dtype=jnp.int32),
+            jnp.zeros(out_ref.shape, dtype=jnp.int32))
+    _, out_acc = jax.lax.fori_loop(1, n_rows + 1, body, init)
+    out_ref[:] = out_acc
+
+
+@functools.partial(jax.jit, static_argnames=("batch_tile",))
+def dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256):
+    """Pallas equivalent of ``split_dp_batch.dp_row_maxima``.
+
+    refs: (B, R) int32 char codes (0 = pad), ref_lens (B,), reads (B, L)
+    int32, read_lens (B,).  Returns rowmax (B, L+1) int32, anchor-clamped
+    and row-masked exactly like the XLA path.
+    """
+    B, R = refs.shape
+    L = reads.shape[1]
+    W = _round_up(R + 1, LANES)
+    Lp = _round_up(L + 1, LANES)
+    TB = min(batch_tile, _round_up(B, 8))
+    Bp = _round_up(B, TB)
+
+    # boundary column at lane 0: shift ref chars right by one
+    refs_sh = jnp.zeros((Bp, W), dtype=jnp.int32)
+    refs_sh = refs_sh.at[:B, 1:R + 1].set(refs.astype(jnp.int32))
+    reads_p = jnp.zeros((Bp, _round_up(L, LANES)), dtype=jnp.int32)
+    reads_p = reads_p.at[:B, :L].set(reads.astype(jnp.int32))
+    lens_p = jnp.zeros((Bp, 1), dtype=jnp.int32)
+    lens_p = lens_p.at[:B, 0].set(ref_lens.astype(jnp.int32))
+
+    grid = (Bp // TB,)
+    out = pl.pallas_call(
+        functools.partial(_dp_kernel, n_rows=L, width=W),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, reads_p.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, Lp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Lp), jnp.int32),
+    )(refs_sh, reads_p, lens_p)
+
+    rowmax = out[:B, :L + 1]
+    row_valid = jnp.arange(L + 1, dtype=jnp.int32)[None, :] \
+        <= read_lens[:, None]
+    rowmax = jnp.where(rowmax >= MIN_SPLIT_SCORE, rowmax, 0)
+    return jnp.where(row_valid, rowmax, 0)
