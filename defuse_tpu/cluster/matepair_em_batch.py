@@ -1,0 +1,454 @@
+"""Batched mate-pair EM — JAX device path.
+
+Vectorizes the reference's per-bin-pair mixture EM (see
+``cluster/matepair_em.py`` for the exact host oracle and the
+``tools/MatePairEM.cpp`` citations) across many bin-pair instances and all
+candidate component counts K at once:
+
+* every (instance, K) pair becomes one batch element; K-masked components
+  keep zero responsibilities and are excluded from the likelihood;
+* seeding (KKZ + AS 136 k-means) runs on the host — it is inherently
+  point-sequential and tiny — producing one-hot responsibilities that are
+  shipped to the device once;
+* the exact piecewise-linear M-step is vectorized by enumerating the
+  merged breakpoint events of the two responsibility cumsums with a
+  lexicographic sort instead of the reference's sequential two-pointer
+  merge (``MatePairEM.cpp:192-325``); the chosen breakpoint is the first
+  event with positive derivative, exactly as in the reference;
+* BIC selection over K is an argmin per instance (first minimum wins,
+  matching the strict ``<`` in ``MatePairEM.cpp:601``).
+
+The device path is *decision-equivalent* to the oracle (same memberships);
+bit-level float trajectories differ because reductions are parallel.
+Golden-parity tests use the oracle; ``tests/test_em_batch.py`` checks
+decision agreement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kmeans import kmns
+from .matepair_em import K_MAX, LAMBDA, TOLERANCE, EMParams
+
+MAX_ITERS = 300
+BIG = np.float64(1e30)
+
+
+# ---------------------------------------------------------------------------
+# Host-side preparation
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class EMBatch:
+    """Padded batch of (instance, K) EM problems."""
+    x: np.ndarray          # (B, N)
+    y: np.ndarray          # (B, N)
+    u: np.ndarray          # (B, N)
+    n: np.ndarray          # (B,) valid points
+    k: np.ndarray          # (B,) active components
+    r0: np.ndarray         # (B, KMAX, N) initial responsibilities
+    xo_idx: np.ndarray     # (B, N) descending-x sort order (stable)
+    yo_idx: np.ndarray     # (B, N)
+    x_runend: np.ndarray   # (B, N) bool: last position of a value run
+    y_runend: np.ndarray   # (B, N)
+    instance: np.ndarray   # (B,) original instance id
+
+
+def prepare_batch(instances, params: EMParams, k_max: int = K_MAX,
+                  pad_n: int | None = None) -> EMBatch | None:
+    """Build an EMBatch from [(x, y, u)] float64 arrays.
+
+    Expands each instance into one element per candidate K (1..min(kmax,n))
+    with host-computed seeds.
+    """
+    rows = []
+    for inst_id, (x, y, u) in enumerate(instances):
+        n = len(x)
+        for k in range(1, min(k_max, n) + 1):
+            rows.append((inst_id, k, x, y, u))
+    if not rows:
+        return None
+
+    max_n = pad_n or max(len(r[2]) for r in rows)
+    B = len(rows)
+    X = np.zeros((B, max_n))
+    Y = np.zeros((B, max_n))
+    U = np.zeros((B, max_n))
+    N = np.zeros(B, dtype=np.int32)
+    K = np.zeros(B, dtype=np.int32)
+    R0 = np.zeros((B, k_max, max_n))
+    XOI = np.zeros((B, max_n), dtype=np.int32)
+    YOI = np.zeros((B, max_n), dtype=np.int32)
+    XRE = np.zeros((B, max_n), dtype=bool)
+    YRE = np.zeros((B, max_n), dtype=bool)
+    INST = np.zeros(B, dtype=np.int32)
+
+    for b, (inst_id, k, x, y, u) in enumerate(rows):
+        n = len(x)
+        X[b, :n] = x
+        Y[b, :n] = y
+        U[b, :n] = u
+        N[b] = n
+        K[b] = k
+        INST[b] = inst_id
+        xo = np.argsort(-np.asarray(x), kind="stable")
+        yo = np.argsort(-np.asarray(y), kind="stable")
+        XOI[b, :n] = xo
+        XOI[b, n:] = n - 1 if n else 0
+        YOI[b, :n] = yo
+        YOI[b, n:] = n - 1 if n else 0
+        xs = np.asarray(x)[xo]
+        ys = np.asarray(y)[yo]
+        XRE[b, :n] = np.r_[xs[:-1] != xs[1:], True]
+        YRE[b, :n] = np.r_[ys[:-1] != ys[1:], True]
+        R0[b, :k, :n] = _seed(np.asarray(x), np.asarray(y), k)
+
+    return EMBatch(X, Y, U, N, K, R0, XOI, YOI, XRE, YRE, INST)
+
+
+def _seed(x: np.ndarray, y: np.ndarray, k: int) -> np.ndarray:
+    """Initial responsibilities: uniform for K in {1, N}, else KKZ +
+    AS136 k-means one-hot (``MatePairEM.cpp:405-453``)."""
+    n = len(x)
+    if k == 1 or k == n:
+        return np.full((k, n), 1.0 / k)
+    px, py = _select_kkz(x, y, k)
+    if px is None:
+        # degenerate geometry: fall back to uniform (the reference
+        # reports EM failure for this K; BIC will rarely choose it)
+        return np.full((k, n), 1.0 / k)
+    a_mat = np.stack([y, x], axis=1)
+    c_mat = np.stack([py, px], axis=1)
+    ic1, _, _, ifault = kmns(a_mat, c_mat)
+    if ic1 is None:
+        return np.full((k, n), 1.0 / k)
+    onehot = np.zeros((k, n))
+    onehot[ic1, np.arange(n)] = 1.0
+    return onehot
+
+
+def _select_kkz(x, y, k):
+    l2 = x * y
+    i_max = int(np.argmax(l2))  # first max (ties) — matches strict >
+    ax = [x[i_max]]
+    ay = [y[i_max]]
+    dist = (x - ax[0]) ** 2 + (y - ay[0]) ** 2
+    while len(ax) < k:
+        i_far = int(np.argmax(dist))
+        if dist[i_far] == 0.0:
+            return None, None
+        ax.append(x[i_far])
+        ay.append(y[i_far])
+        dist = np.minimum(dist, (x - ax[-1]) ** 2 + (y - ay[-1]) ** 2)
+    return np.asarray(ax), np.asarray(ay)
+
+
+# ---------------------------------------------------------------------------
+# Device EM
+# ---------------------------------------------------------------------------
+
+def _exponents(a, b, x, y, u, sigma, lam):
+    # a,b: (B,K); x,y,u: (B,N) -> (B,K,N)
+    diff = (a[..., None] + b[..., None]
+            - x[:, None, :] - y[:, None, :] - u[:, None, :]) / sigma
+    return (-0.5 * diff * diff
+            - lam * jnp.maximum(0.0, x[:, None, :] - a[..., None])
+            - lam * jnp.maximum(0.0, y[:, None, :] - b[..., None]))
+
+
+def _m_step(r, batch_static, sigma, lam):
+    """Exact piecewise-linear M-step, vectorized over (B, K).
+
+    r: (B, K, N) responsibilities.  Returns a, b: (B, K) and ok mask.
+    """
+    x, y, u, point_valid, xo_idx, yo_idx, x_runend, y_runend = batch_static
+    B, K, N = r.shape
+
+    rm = jnp.where(point_valid[:, None, :], r, 0.0)
+    nk = jnp.sum(rm, axis=2)                      # (B, K)
+    rxyu = jnp.sum(rm * (x + y + u)[:, None, :], axis=2)
+
+    xo = jnp.take_along_axis(x, xo_idx, axis=1)   # (B, N) sorted desc
+    yo = jnp.take_along_axis(y, yo_idx, axis=1)
+    rxo = jnp.take_along_axis(rm, xo_idx[:, None, :].repeat(K, 1), axis=2)
+    ryo = jnp.take_along_axis(rm, yo_idx[:, None, :].repeat(K, 1), axis=2)
+    sx = jnp.cumsum(rxo, axis=2)                  # (B, K, N)
+    sy = jnp.cumsum(ryo, axis=2)
+
+    # --- event construction at value-run granularity --------------------
+    # The reference's two-pointer merge walks *runs* of equal coordinate
+    # values (``MatePairEM.cpp:210-222`` skips duplicate coordinates).  At
+    # each merge step it emits the current (x_run, y_run) pair at
+    # threshold t = min(SX, SY), plus an "advanced" pair: the next x-run
+    # when SX < SY, the next y-run when SY < SX, and BOTH advanced when
+    # SX == SY (the == branch).  We enumerate the same entries per run
+    # end, resolving the active other-side run (and tie advancement) with
+    # vectorized searchsorted over the other side's run-end cumsums.
+    n_valid = jnp.sum(point_valid, axis=1)[:, None]  # (B, 1)
+    inf = jnp.asarray(BIG, rm.dtype)
+
+    def run_structure(runend, cum):
+        # positions of run ends in ascending order (padded with N-1)
+        order = jnp.argsort(~runend, axis=1, stable=True)  # (B, N)
+        count = jnp.sum(runend, axis=1)  # (B,)
+        mvalid = jnp.arange(N)[None, :] < count[:, None]
+        rpos = jnp.where(mvalid, order, N - 1)
+        rcum = jnp.take_along_axis(cum, rpos[:, None, :].repeat(K, 1),
+                                   axis=2)
+        rcum = jnp.where(mvalid[:, None, :], rcum, inf)
+        return rpos, rcum, mvalid
+
+    x_rpos, x_rcum, x_mvalid = run_structure(x_runend, sx)
+    y_rpos, y_rcum, y_mvalid = run_structure(y_runend, sy)
+
+    def entries_for(source_is_x):
+        if source_is_x:
+            rpos, rcum, mvalid = x_rpos, x_rcum, x_mvalid
+            self_vals = xo
+            o_rpos, o_rcum, o_mvalid, o_vals = y_rpos, y_rcum, y_mvalid, yo
+        else:
+            rpos, rcum, mvalid = y_rpos, y_rcum, y_mvalid
+            self_vals = yo
+            o_rpos, o_rcum, o_mvalid, o_vals = x_rpos, x_rcum, x_mvalid, xo
+        t = rcum  # (B, K, N) event thresholds (inf where invalid)
+
+        # rank of this run among equal-cum self runs
+        n_self_lt = jnp.sum(rcum[:, :, :, None] < t[:, :, None, :], axis=2)
+        rank = jnp.arange(N)[None, None, :] - n_self_lt
+
+        # other-side structure at t: the two-pointer merge pairs equal-cum
+        # runs by rank (== branch advances both), then parks on the first
+        # other run beyond t (< branch)
+        n_o_lt = jnp.sum(o_rcum[:, :, :, None] < t[:, :, None, :], axis=2)
+        n_o_le = jnp.sum(o_rcum[:, :, :, None] <= t[:, :, None, :], axis=2)
+        n_o_ties = n_o_le - n_o_lt
+        n_o_runs = jnp.sum(o_mvalid, axis=1)[:, None, None]
+
+        tie = rank < n_o_ties
+        o_idx = n_o_lt + jnp.minimum(rank, n_o_ties)
+        event_exists = tie | (n_o_lt + n_o_ties < n_o_runs)
+        o_idx = jnp.clip(o_idx, 0, N - 1)
+
+        def val_at(vals2d, pos3d):
+            return jnp.take_along_axis(
+                jnp.broadcast_to(vals2d[:, None, :], (B, K, N)), pos3d,
+                axis=2)
+
+        o_end = jnp.take_along_axis(
+            jnp.broadcast_to(o_rpos[:, None, :], (B, K, N)), o_idx, axis=2)
+        self_end = jnp.broadcast_to(rpos[:, None, :], (B, K, N))
+        self_primary = val_at(self_vals, self_end)
+        other_primary = val_at(o_vals, o_end)
+
+        self_adv = val_at(self_vals, jnp.clip(self_end + 1, 0, N - 1))
+        other_adv = jnp.where(tie,
+                              val_at(o_vals, jnp.clip(o_end + 1, 0, N - 1)),
+                              other_primary)
+
+        self_has_next = (self_end + 1) < n_valid[:, :, None]   # (B,K,N)
+        other_has_next = (o_end + 1) < n_valid[:, :, None]
+        adv_valid = self_has_next & jnp.where(tie, other_has_next, True)
+        valid = mvalid[:, None, :] & (t < inf) & event_exists
+
+        if source_is_x:
+            return (t, self_primary, other_primary,
+                    self_adv, other_adv, valid, valid & adv_valid)
+        return (t, other_primary, self_primary,
+                other_adv, self_adv, valid, valid & adv_valid)
+
+    tx, xcx1, xcy1, xcx2, xcy2, xv1, xv2 = entries_for(True)
+    ty, ycx1, ycy1, ycx2, ycy2, yv1, yv2 = entries_for(False)
+
+    ent_t = [jnp.zeros((B, K, 1), rm.dtype), tx, tx, ty, ty]
+    ent_cx = [jnp.broadcast_to(xo[:, None, :1], (B, K, 1)),
+              xcx1, xcx2, ycx1, ycx2]
+    ent_cy = [jnp.broadcast_to(yo[:, None, :1], (B, K, 1)),
+              xcy1, xcy2, ycy1, ycy2]
+    ent_valid = [jnp.ones((B, K, 1), bool), xv1, xv2, yv1, yv2]
+
+    T = jnp.concatenate(ent_t, axis=2)
+    CX = jnp.concatenate(ent_cx, axis=2)
+    CY = jnp.concatenate(ent_cy, axis=2)
+    VALID = jnp.concatenate(ent_valid, axis=2)
+
+    T_sortkey = jnp.where(VALID, T, inf)
+    # stable sort by t: at equal t the concatenation keeps primary entries
+    # before advanced ones (the reference emits primary then advanced per
+    # merge step)
+    sort_idx = jnp.argsort(T_sortkey, axis=2, stable=True)
+    Ts = jnp.take_along_axis(T, sort_idx, axis=2)
+    CXs = jnp.take_along_axis(CX, sort_idx, axis=2)
+    CYs = jnp.take_along_axis(CY, sort_idx, axis=2)
+    Vs = jnp.take_along_axis(VALID, sort_idx, axis=2)
+
+    sigma2 = sigma * sigma
+    partial = (rxyu[..., None] - nk[..., None] * (CXs + CYs)) / sigma2 \
+        + lam * Ts
+    cand = (partial > 0) & Vs
+    any_pos = jnp.any(cand, axis=2)
+    minindex = jnp.where(any_pos, jnp.argmax(cand, axis=2),
+                         jnp.sum(Vs, axis=2) - 1)
+
+    def gather(a, idx):
+        return jnp.take_along_axis(a, idx[..., None], axis=2)[..., 0]
+
+    cs_mi = gather(Ts, minindex)
+    cx_mi = gather(CXs, minindex)
+    cy_mi = gather(CYs, minindex)
+    prev_idx = jnp.maximum(minindex - 1, 0)
+    cs_pv = gather(Ts, prev_idx)
+    cx_pv = gather(CXs, prev_idx)
+    cy_pv = gather(CYs, prev_idx)
+
+    ok = nk > 0.0
+    nk_safe = jnp.where(ok, nk, 1.0)
+    aplusb = (rxyu + sigma2 * lam * cs_mi) / nk_safe
+
+    # three cases (MatePairEM.cpp:304-322)
+    a0 = 0.5 * (cx_mi + (aplusb - cy_mi))
+    case_break = cs_mi != cs_pv
+    a_break = cx_mi
+    b_break = cy_mi
+    min_a = jnp.maximum(cx_mi, aplusb - cy_pv)
+    max_a = jnp.minimum(cx_pv, aplusb - cy_mi)
+    a_mid = 0.5 * (min_a + max_a)
+
+    first = minindex == 0
+    a = jnp.where(first, a0, jnp.where(case_break, a_break, a_mid))
+    b = jnp.where(first, aplusb - a0,
+                  jnp.where(case_break, b_break, aplusb - a_mid))
+    return a, b, ok
+
+
+def make_em_step(sigma: float, lam: float = LAMBDA,
+                 tol: float = TOLERANCE):
+    """Build the jitted batched EM iteration + driver."""
+
+    def em_run(x, y, u, n, k, r0):
+        B, KM, N = r0.shape
+        point_valid = jnp.arange(N)[None, :] < n[:, None]
+        comp_active = jnp.arange(KM)[None, :] < k[:, None]
+
+        # static structures recomputed on device (cheap, avoids host state)
+        xo_idx = jnp.argsort(jnp.where(point_valid, -x, BIG), axis=1,
+                             stable=True).astype(jnp.int32)
+        yo_idx = jnp.argsort(jnp.where(point_valid, -y, BIG), axis=1,
+                             stable=True).astype(jnp.int32)
+        xo = jnp.take_along_axis(x, xo_idx, axis=1)
+        yo = jnp.take_along_axis(y, yo_idx, axis=1)
+        pv_sorted = jnp.take_along_axis(point_valid, xo_idx, axis=1)
+
+        def runends(sorted_vals, valid):
+            nxt = jnp.concatenate(
+                [sorted_vals[:, 1:], sorted_vals[:, -1:]], axis=1)
+            nxt_valid = jnp.concatenate(
+                [valid[:, 1:], jnp.zeros_like(valid[:, :1])], axis=1)
+            return valid & ((sorted_vals != nxt) | ~nxt_valid)
+
+        x_runend = runends(xo, pv_sorted)
+        y_runend = runends(yo, jnp.take_along_axis(point_valid, yo_idx,
+                                                   axis=1))
+
+        static = (x, y, u, point_valid, xo_idx, yo_idx, x_runend, y_runend)
+
+        def ll_and_norm(a, b, w):
+            exps = _exponents(a, b, x, y, u, sigma, lam)
+            exps = jnp.where(comp_active[..., None], exps, -BIG)
+            maxexp = jnp.max(exps, axis=1, keepdims=True)
+            weighted = w[..., None] * jnp.exp(exps - maxexp)
+            s = jnp.sum(weighted, axis=1)  # (B, N)
+            tiny = jnp.finfo(s.dtype).tiny
+            logp = jnp.log(jnp.maximum(s, tiny)) + maxexp[:, 0, :]
+            ll = jnp.sum(jnp.where(point_valid, logp, 0.0), axis=1)
+            failed = jnp.any((s == 0.0) & point_valid, axis=1)
+            resp = weighted / jnp.maximum(s[:, None, :], 1e-300)
+            return ll, failed, resp
+
+        def body(state):
+            r, a, b, w, last_ll, done, failed, it = state
+            a_new, b_new, ok = _m_step(r, static, sigma, lam)
+            a_upd = jnp.where(ok & comp_active, a_new, a)
+            b_upd = jnp.where(ok & comp_active, b_new, b)
+            nk = jnp.sum(jnp.where(point_valid[:, None, :], r, 0.0), axis=2)
+            w_upd = nk / jnp.maximum(n[:, None], 1)
+            ll, ll_failed, resp = ll_and_norm(a_upd, b_upd, w_upd)
+            newly_done = jnp.abs(ll - last_ll) < tol
+            live = ~done & ~failed
+            r_next = jnp.where((live & ~newly_done)[:, None, None],
+                               resp, r)
+            a = jnp.where(live[:, None], a_upd, a)
+            b = jnp.where(live[:, None], b_upd, b)
+            w = jnp.where(live[:, None], w_upd, w)
+            last_ll = jnp.where(live, ll, last_ll)
+            failed = failed | (live & ll_failed)
+            done = done | (live & newly_done)
+            return r_next, a, b, w, last_ll, done, failed, it + 1
+
+        def cond(state):
+            *_, done, failed, it = state
+            return (it < MAX_ITERS) & ~jnp.all(done | failed)
+
+        r = jnp.where(comp_active[..., None], r0, 0.0)
+        state0 = (r, jnp.zeros((B, KM), x.dtype), jnp.zeros((B, KM), x.dtype),
+                  jnp.zeros((B, KM), x.dtype),
+                  jnp.full((B,), -BIG, x.dtype),
+                  jnp.zeros((B,), bool), jnp.zeros((B,), bool),
+                  jnp.zeros((), jnp.int32))
+        r, a, b, w, ll, done, failed, iters = jax.lax.while_loop(
+            cond, body, state0)
+        return a, b, w, ll, done & ~failed, iters
+
+    return jax.jit(em_run)
+
+
+def run_batch(batch: EMBatch, params: EMParams, dtype=jnp.float64):
+    """Run the batched EM and select K by BIC.  Returns per-instance
+    memberships: {instance_id: list of member index lists}."""
+    em = make_em_step(params.fragment_stddev)
+    x = jnp.asarray(batch.x, dtype)
+    y = jnp.asarray(batch.y, dtype)
+    u = jnp.asarray(batch.u, dtype)
+    a, b, w, ll, ok, _ = em(x, y, u, jnp.asarray(batch.n),
+                            jnp.asarray(batch.k), jnp.asarray(batch.r0,
+                                                              dtype))
+    a = np.asarray(a)
+    b = np.asarray(b)
+    ll = np.asarray(ll)
+    ok = np.asarray(ok)
+
+    # BIC per (instance, k) element; argmin per instance
+    bic = -2.0 * ll + batch.k * 2.0 * np.log(np.maximum(batch.n, 1))
+    bic = np.where(ok, bic, np.inf)
+
+    best: dict[int, int] = {}
+    for bi in range(len(batch.n)):
+        inst = int(batch.instance[bi])
+        if inst not in best or bic[bi] < bic[best[inst]]:
+            best[inst] = bi
+
+    from .matepair_em import MatePairEM
+    em_host = MatePairEM(params)
+    result: dict[int, list[list[int]]] = {}
+    for inst, bi in sorted(best.items()):
+        if not np.isfinite(bic[bi]):
+            result[inst] = []
+            continue
+        n = int(batch.n[bi])
+        k = int(batch.k[bi])
+        xs = batch.x[bi, :n]
+        ys = batch.y[bi, :n]
+        us = batch.u[bi, :n]
+        clusters = []
+        for j in range(k):
+            prob = em_host.pair_probability(xs, ys, us, a[bi, j], b[bi, j])
+            members = np.nonzero(prob > em_host.min_probability)[0]
+            if len(members) >= params.min_cluster_size:
+                clusters.append(members.tolist())
+        result[inst] = clusters
+    return result

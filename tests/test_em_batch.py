@@ -1,0 +1,97 @@
+"""Batched device EM vs the exact host oracle — decision equivalence.
+
+The device path uses parallel float reductions, so float trajectories are
+not bit-identical to the oracle; the contract is identical *memberships*
+(which integer outputs downstream consume).  Random mixture instances and
+degenerate shapes are checked.
+"""
+
+import numpy as np
+import pytest
+
+from defuse_tpu.cluster.matepair_em import EMParams, MatePairEM
+from defuse_tpu.cluster.matepair_em_batch import prepare_batch, run_batch
+
+PARAMS = EMParams(fragment_mean=200.0, fragment_stddev=20.0,
+                  precision=0.95, min_cluster_size=3)
+
+
+def _instance(rng, n_clusters, n_points):
+    """Simulated bin-pair: clusters of mate pairs around breakpoints."""
+    xs, ys, us = [], [], []
+    for _ in range(n_clusters):
+        ax = rng.integers(1000, 200000)
+        by = rng.integers(1000, 200000)
+        for _ in range(n_points // n_clusters):
+            flen = int(rng.normal(200, 20))
+            left = rng.integers(20, flen - 70)
+            xs.append(ax - left)
+            ys.append(by - (flen - left - 100))
+            us.append(200.0 - 100.0)
+    return (np.array(xs, float), np.array(ys, float), np.array(us, float))
+
+
+def test_membership_agreement():
+    rng = np.random.default_rng(0)
+    instances = []
+    for _ in range(12):
+        instances.append(_instance(rng, rng.integers(1, 4), 24))
+    # degenerate: minimal sizes
+    instances.append((np.array([100.0, 101.0, 102.0]),
+                      np.array([500.0, 501.0, 499.0]),
+                      np.array([100.0, 100.0, 100.0])))
+
+    oracle = MatePairEM(PARAMS)
+    expected = [oracle.do_clustering(*inst) for inst in instances]
+
+    batch = prepare_batch(instances, PARAMS)
+    got = run_batch(batch, PARAMS)
+
+    n_match = 0
+    for i, exp in enumerate(expected):
+        exp_sets = [sorted(c) for c in exp]
+        got_sets = [sorted(c) for c in got.get(i, [])]
+        if exp_sets == got_sets:
+            n_match += 1
+        else:
+            print(f"instance {i}: oracle {exp_sets} vs device {got_sets}")
+    # allow at most one boundary-case disagreement across the suite
+    assert n_match >= len(instances) - 1, \
+        f"only {n_match}/{len(instances)} instances agree"
+
+
+def test_fixture_instances_agree(ref_binaries, tmp_path):
+    """Memberships agree on every bin-pair instance arising from the
+    bundled discordant SAM."""
+    from helpers import TEST_SAM, sam_to_compact
+    from defuse_tpu.io.sam import iter_compact, load_alignments
+    from defuse_tpu.cluster import discordant
+
+    compact = tmp_path / "disc.compact"
+    sam_to_compact(TEST_SAM, compact)
+    table = load_alignments(iter_compact(compact))
+
+    # capture EM instances by monkeypatching the EM entry point
+    captured = []
+    orig = MatePairEM.do_clustering
+
+    def capture(self, x, y, u):
+        captured.append((np.array(x), np.array(y), np.array(u)))
+        return orig(self, x, y, u)
+
+    MatePairEM.do_clustering = capture
+    try:
+        discordant.cluster_alignments(table, PARAMS)
+    finally:
+        MatePairEM.do_clustering = orig
+
+    assert captured, "no EM instances captured"
+    oracle = MatePairEM(PARAMS)
+    expected = [oracle.do_clustering(*inst) for inst in captured]
+    batch = prepare_batch(captured, PARAMS)
+    got = run_batch(batch, PARAMS)
+    mismatches = 0
+    for i, exp in enumerate(expected):
+        if [sorted(c) for c in exp] != [sorted(c) for c in got.get(i, [])]:
+            mismatches += 1
+    assert mismatches == 0, f"{mismatches}/{len(expected)} instances differ"
