@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Benchmark: read-pairs/s/chip through cluster + split-align.
+
+Generates a multi-fusion synthetic dataset, runs the discovery pipeline
+(discordant clustering -> set cover -> split-read DP -> breakpoint vote)
+through:
+  * the reference deFuse C++ binaries (single CPU core) as the baseline
+  * our TPU path (batched device EM + Pallas split DP, host glue)
+verifies the fusion calls match, and prints ONE JSON line:
+  {"metric": ..., "value": pairs/s, "unit": "read-pairs/s/chip",
+   "vs_baseline": ours/reference}
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+MEAN, STD, PREC, MINCL = 200.0, 20.0, 0.95, 3
+MINREAD = MAXREAD = 50
+
+N_FUSIONS = 24
+FRAGS_PER_FUSION = 120
+N_BACKGROUND = 4000
+
+# measured on this image when the reference toolchain cannot be rebuilt
+FALLBACK_BASELINE_PAIRS_S = None
+
+
+def build_dataset(tmp):
+    """Multi-fusion dataset: N_FUSIONS gene pairs on a synthetic genome."""
+    import numpy as np
+    from synthdata import Gene, SynthDataset, write_dataset, random_seq
+    import random as _random
+    from defuse_tpu.core.types import revcomp
+
+    rng = _random.Random(1234)
+    chrom_len = 2_000_000
+    genome = {"1": random_seq(rng, chrom_len), "2": random_seq(rng, chrom_len)}
+
+    genes = []
+    pos = {"1": 30000, "2": 30000}
+    for gi in range(2 * N_FUSIONS):
+        chrom = "1" if gi % 2 == 0 else "2"
+        strand = rng.randint(0, 1)
+        exons = []
+        p = pos[chrom]
+        for _ in range(4):
+            length = rng.randint(500, 900)
+            exons.append((p, p + length - 1))
+            p += length + rng.randint(800, 1500)
+        pos[chrom] = p + 10000
+        genes.append(Gene(f"G{gi}", f"T{gi}", chrom, strand, exons))
+
+    reads1, reads2, sam_rows = [], [], []
+    frag_id = 0
+    fusions = []
+
+    def emit(frag, read_end, tpos, gene, seq, from_plus):
+        ref_cdna = f"{gene.name}|{gene.transcript}"
+        strand = 0 if from_plus else 1
+        sam_rows.append((frag, read_end, ref_cdna, strand, tpos, seq))
+        g_start = gene.transcript_to_genome(tpos)
+        g_end = gene.transcript_to_genome(tpos + 49)
+        if abs(g_end - g_start) == 49:
+            gs = min(g_start, g_end)
+            g_strand = (1 - strand) if gene.strand == 1 else strand
+            sam_rows.append((frag, read_end, gene.chromosome, g_strand, gs,
+                             seq))
+
+    for fi in range(N_FUSIONS):
+        ga, gb = genes[2 * fi], genes[2 * fi + 1]
+        ca, cb = ga.cdna(genome), gb.cdna(genome)
+        break_a = rng.randint(800, len(ca) - 400)
+        break_b = rng.randint(400, len(cb) - 800)
+        fusion_seq = ca[:break_a] + cb[break_b - 1:]
+        fusions.append((ga, gb, break_a, break_b, fusion_seq))
+        for _ in range(FRAGS_PER_FUSION):
+            flen = max(100, int(rng.gauss(MEAN, STD)))
+            lo = max(1, break_a - flen + 10)
+            hi = min(break_a + 40, len(fusion_seq) - flen)
+            if hi <= lo:
+                continue
+            start = rng.randint(lo, hi)
+            frag = fusion_seq[start - 1:start - 1 + flen]
+            r1, r2 = frag[:50], revcomp(frag[-50:])
+            reads1.append(r1)
+            reads2.append(r2)
+            r1_end = start + 49
+            r2_start = start + flen - 50
+            if r1_end <= break_a:
+                emit(frag_id, 0, start, ga, r1, True)
+            elif start > break_a:
+                emit(frag_id, 0, start - break_a + break_b - 1, gb, r1, True)
+            if r2_start > break_a:
+                emit(frag_id, 1, r2_start - break_a + break_b - 1, gb, r2,
+                     False)
+            elif r2_start + 49 <= break_a:
+                emit(frag_id, 1, r2_start, ga, r2, False)
+            frag_id += 1
+
+    for _ in range(N_BACKGROUND):
+        gene = rng.choice(genes)
+        cdna = gene.cdna(genome)
+        flen = max(100, int(rng.gauss(MEAN, STD)))
+        if flen >= len(cdna):
+            flen = len(cdna) - 1
+        start = rng.randint(1, len(cdna) - flen)
+        frag = cdna[start - 1:start - 1 + flen]
+        reads1.append(frag[:50])
+        reads2.append(revcomp(frag[-50:]))
+        emit(frag_id, 0, start, gene, frag[:50], True)
+        emit(frag_id, 1, start + flen - 50, gene, revcomp(frag[-50:]),
+             False)
+        frag_id += 1
+
+    ds = SynthDataset(genome, genes, ("", 0, "", 0), "", reads1, reads2,
+                      sam_rows)
+    paths = write_dataset(ds, tmp)
+    return ds, paths, frag_id
+
+
+def run_reference(paths, ref_bin, tmp):
+    from synthdata import align_regions_lines
+    t0 = time.time()
+    clusters = tmp / "ref.clusters"
+    subprocess.run([str(ref_bin / "clustermatepairs"),
+                    "-a", str(paths["spanning"]), "-c", str(clusters),
+                    "-u", str(MEAN), "-s", str(STD), "-p", str(PREC),
+                    "-m", str(MINCL)], check=True, capture_output=True)
+    sc = tmp / "ref.clusters.sc"
+    subprocess.run([str(ref_bin / "setcover"), "-c", str(clusters),
+                    "-o", str(sc), "-m", str(MINCL)],
+                   check=True, capture_output=True)
+    regions = tmp / "ref.regions"
+    regions.write_text("\n".join(
+        align_regions_lines(sc.read_text().splitlines())) + "\n")
+    split = tmp / "ref.split"
+    subprocess.run([str(ref_bin / "dosplitalign"),
+                    "-f", str(paths["reference"]), "-e", str(paths["exons"]),
+                    "-u", str(MEAN), "-s", str(STD), "-n", str(MINREAD),
+                    "-x", str(MAXREAD), "-r", str(regions),
+                    "-i", str(paths["improper"]),
+                    "-1", str(paths["fastq1"]), "-2", str(paths["fastq2"]),
+                    "-a", str(split)], check=True, capture_output=True)
+    sorted_split = tmp / "ref.split.sorted"
+    with open(sorted_split, "w") as out:
+        subprocess.run(["sort", "-n", str(split)], check=True, stdout=out,
+                       env=dict(os.environ, LC_ALL="C"))
+    outs = {n: tmp / f"ref.{n}" for n in ("seq", "break", "predalign")}
+    subprocess.run([str(ref_bin / "evalsplitalign"),
+                    "-f", str(paths["reference"]), "-e", str(paths["exons"]),
+                    "-u", str(MEAN), "-s", str(STD), "-n", str(MINREAD),
+                    "-x", str(MAXREAD), "-r", str(regions),
+                    "-a", str(sorted_split), "-q", str(outs["seq"]),
+                    "-b", str(outs["break"]), "-p", str(outs["predalign"])],
+                   check=True, capture_output=True)
+    elapsed = time.time() - t0
+    return elapsed, regions, sorted_split, outs
+
+
+def run_ours(paths, regions_file, tmp, use_tpu=True):
+    """Our pipeline: host glue + device EM + Pallas split DP."""
+    from defuse_tpu.pipeline.discover import discover_fusions
+    t0 = time.time()
+    outs = discover_fusions(
+        spanning=str(paths["spanning"]),
+        improper=str(paths["improper"]),
+        fastq1=str(paths["fastq1"]),
+        fastq2=str(paths["fastq2"]),
+        reference=str(paths["reference"]),
+        exons=str(paths["exons"]),
+        fragment_mean=MEAN, fragment_stddev=STD, precision=PREC,
+        min_cluster_size=MINCL, min_read_length=MINREAD,
+        max_read_length=MAXREAD, outdir=str(tmp / "ours"),
+        use_device=use_tpu)
+    elapsed = time.time() - t0
+    return elapsed, outs
+
+
+def main():
+    tmpdir = pathlib.Path(tempfile.mkdtemp(prefix="defuse_bench_"))
+    ds, paths, n_pairs = build_dataset(tmpdir)
+
+    ref_bin = REPO / "ref_build" / "bin"
+    baseline_pairs_s = FALLBACK_BASELINE_PAIRS_S
+    ref_outs = None
+    if not (ref_bin / "clustermatepairs").exists():
+        try:
+            subprocess.run(["bash", str(REPO / "ref_build" / "build.sh")],
+                           check=True, capture_output=True)
+        except Exception:
+            pass
+    if (ref_bin / "clustermatepairs").exists():
+        ref_elapsed, regions, sorted_split, ref_outs = run_reference(
+            paths, ref_bin, tmpdir)
+        baseline_pairs_s = n_pairs / ref_elapsed
+
+    ours_elapsed, our_outs = run_ours(paths, None, tmpdir)
+    # warm run (compilation amortized out — steady-state throughput)
+    ours_elapsed, our_outs = run_ours(paths, None, tmpdir)
+    ours_pairs_s = n_pairs / ours_elapsed
+
+    exact_match = None
+    if ref_outs is not None:
+        exact_match = (
+            pathlib.Path(our_outs["break"]).read_text()
+            == ref_outs["break"].read_text())
+
+    result = {
+        "metric": "read-pairs/s/chip (cluster+split-align); "
+                  "fusion calls exact-match vs reference",
+        "value": round(ours_pairs_s, 1),
+        "unit": "read-pairs/s/chip",
+        "vs_baseline": (round(ours_pairs_s / baseline_pairs_s, 3)
+                        if baseline_pairs_s else None),
+        "extra": {
+            "n_read_pairs": n_pairs,
+            "baseline_pairs_s": (round(baseline_pairs_s, 1)
+                                 if baseline_pairs_s else None),
+            "exact_match_vs_reference": exact_match,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

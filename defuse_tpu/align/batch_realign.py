@@ -1,0 +1,210 @@
+"""Batched split-read realignment: device screening + host enumeration.
+
+The sequential realigner (``align/tasks.py``) aligns each nominated
+candidate read with the host DP.  This module produces byte-identical
+rows with a three-stage batched flow:
+
+1. **Collect** candidates by streaming the improper SAM against the
+   binned mate regions (host, same nomination order as the reference).
+2. **Screen** all candidates on the TPU: the Pallas row-maxima kernel +
+   split-score combine yield each candidate's max split score (int32,
+   bit-exact) — rejected candidates (the common case on real data) cost
+   nothing further.
+3. **Enumerate** accepted candidates' tie columns with a numpy-batched
+   row replay (only the rows of winning split offsets are kept).
+
+Rows are emitted in the sequential order (improper-record order, then
+candidate order, then k/i1/i2 ascending).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .split_dp import (GAP, MATCH, MIN_SPLIT_SCORE, MISMATCH,
+                       accept_threshold)
+from .tasks import SplitRow, _signed32
+
+
+@dataclasses.dataclass
+class Candidate:
+    order: int
+    cluster_id: int
+    fragment: int
+    read_end: int
+    rev_comp: int
+    read_seq: str
+
+
+def collect_candidates(realigner, mate_alignments) -> list[Candidate]:
+    """Stage 1: nominate candidates in reference order
+    (``SplitAlignment.cpp:266-303``)."""
+    from ..core.types import revcomp as _rc
+
+    out: list[Candidate] = []
+    candidate_unique: dict[int, set] = {}
+    order = 0
+    for aln in mate_alignments:
+        ids = realigner.binned.overlapping(aln.reference, aln.strand,
+                                           aln.start, aln.end)
+        for cid in sorted(ids, key=_signed32):
+            cluster_id = cid & 0x7FFFFFFF
+            cluster_end = (cid >> 31) & 1
+            fragment = int(aln.fragment)
+            read_end = 0 if aln.read_end == 1 else 1
+            rev_comp = 1 if cluster_end == 0 else 0
+            read_id = fragment | (read_end << 31)
+            seen = candidate_unique.setdefault(cluster_id, set())
+            if (read_id, rev_comp) in seen:
+                continue
+            seen.add((read_id, rev_comp))
+            read_seq = realigner.reads.get(read_id, "")
+            if rev_comp:
+                read_seq = _rc(read_seq)
+            out.append(Candidate(order, cluster_id, fragment, read_end,
+                                 rev_comp, read_seq))
+            order += 1
+    return out
+
+
+def _np_rows(refs, reads, wanted_rows, R):
+    """numpy-batched DP replay keeping only requested rows.
+
+    refs: (B,) strings; reads: (B,) strings; wanted_rows: list of sets.
+    Returns dict (b, j) -> row array (int32, len(ref)+1).
+    """
+    B = len(refs)
+    L = max((len(r) for r in reads), default=0)
+    enc_ref = np.zeros((B, R), dtype=np.uint8)
+    ref_lens = np.zeros(B, dtype=np.int64)
+    for i, s in enumerate(refs):
+        b = s.encode()
+        enc_ref[i, :len(b)] = np.frombuffer(b, np.uint8)
+        ref_lens[i] = len(b)
+    enc_read = np.zeros((B, L), dtype=np.uint8)
+    read_lens = np.zeros(B, dtype=np.int64)
+    for i, s in enumerate(reads):
+        b = s.encode()
+        enc_read[i, :len(b)] = np.frombuffer(b, np.uint8)
+        read_lens[i] = len(b)
+
+    iota = np.arange(R + 1, dtype=np.int32)
+    decay = GAP * iota
+    prev = np.zeros((B, R + 1), dtype=np.int32)
+    out: dict[tuple[int, int], np.ndarray] = {}
+    for b in range(B):
+        if 0 in wanted_rows[b]:
+            out[(b, 0)] = np.zeros(int(ref_lens[b]) + 1, dtype=np.int32)
+    for j in range(1, L + 1):
+        ch = enc_read[:, j - 1][:, None]
+        sub = np.where(enc_ref == ch, MATCH, MISMATCH).astype(np.int32)
+        vert = np.empty((B, R + 1), dtype=np.int32)
+        vert[:, 0] = GAP * j
+        vert[:, 1:] = np.maximum(prev[:, :-1] + sub, prev[:, 1:] + GAP)
+        col = np.maximum.accumulate(vert - decay, axis=1) + decay
+        # read rows beyond a read's length are garbage; callers never ask
+        for b in range(B):
+            if j in wanted_rows[b]:
+                out[(b, j)] = col[b, :int(ref_lens[b]) + 1].copy()
+        prev = col
+    return out
+
+
+def realign_candidates(realigner, candidates: list[Candidate],
+                       rowmax_fn) -> list[SplitRow]:
+    """Stages 2+3.  ``rowmax_fn(refs_p, ref_lens, reads_p, read_lens)``
+    computes DP row maxima (device or XLA fallback)."""
+    if not candidates:
+        return []
+
+    tasks = realigner.tasks
+    ref1s = [tasks[c.cluster_id].split_align_seq[0] for c in candidates]
+    ref2s = [tasks[c.cluster_id].split_align_seq[1] for c in candidates]
+    reads = [c.read_seq for c in candidates]
+
+    from ..ops.split_dp_batch import pad_batch
+    R = _pad_len(max((max(len(a), len(b)) for a, b in zip(ref1s, ref2s)),
+                     default=1))
+    L = _pad_len(max((len(r) for r in reads), default=1), 64)
+
+    r1p, r1l = pad_batch(ref1s, R)
+    r2p, r2l = pad_batch([s[::-1] for s in ref2s], R)
+    rp, rl = pad_batch(reads, L)
+    rrp, _ = pad_batch([s[::-1] for s in reads], L)
+
+    rm1 = np.asarray(rowmax_fn(r1p, r1l, rp, rl))
+    rm2 = np.asarray(rowmax_fn(r2p, r2l, rrp, rl))
+
+    # host combine (exact ints): totals per k, winners, tie k list
+    n = len(candidates)
+    winners = []
+    wanted1 = []
+    wanted2 = []
+    for b in range(n):
+        ln = int(rl[b])
+        min_score = accept_threshold(ln)
+        # totals[k] = rm1[k] + rm2[ln - k]
+        totals = rm1[b, :ln + 1] + rm2[b, :ln + 1][::-1]
+        max_score = 0
+        ks = []
+        for k in range(ln + 1):
+            t = int(totals[k])
+            if t >= min_score and t > max_score:
+                max_score = t
+                ks = [k]
+            elif t >= min_score and t == max_score:
+                ks.append(k)
+        if max_score > 0:
+            winners.append((b, max_score, ks))
+            wanted1.append(set(ks))
+            wanted2.append({ln - k for k in ks})
+        else:
+            wanted1.append(set())
+            wanted2.append(set())
+
+    if not winners:
+        return []
+
+    rows1 = _np_rows(ref1s, reads, wanted1, R)
+    rows2 = _np_rows([s[::-1] for s in ref2s], [r[::-1] for r in reads],
+                     wanted2, R)
+
+    out_rows: list[SplitRow] = []
+    for (b, max_score, ks) in winners:
+        c = candidates[b]
+        ln = int(rl[b])
+        seen_splits = set()
+        for k in ks:
+            row1 = rows1[(b, k)]
+            row2 = rows2[(b, ln - k)]
+            s1 = int(rm1[b, k])
+            s2 = int(rm2[b, ln - k])
+            # a side with anchored max 0 collects no columns -> no rows
+            # from this k (FindMaxRowEntry semantics)
+            cols1, cols2 = _columns(row1, s1), _columns(row2, s2)
+            for i1 in cols1:
+                for i2 in cols2:
+                    ref_split = (int(i1), len(ref2s[b]) - int(i2) - 1)
+                    if ref_split in seen_splits:
+                        continue
+                    seen_splits.add(ref_split)
+                    out_rows.append(SplitRow(
+                        c.cluster_id, c.fragment, c.read_end, c.rev_comp,
+                        ref_split, (k, ln - k), min(s1, s2)))
+    return out_rows
+
+
+def _columns(row, target):
+    """Columns achieving the (anchored) row max — mirrors
+    ``FindMaxRowEntry`` with column collection
+    (``SplitReadAligner.cpp:104-122``): entries must be >= MIN_SPLIT_SCORE
+    and equal the max; a max of 0 collects nothing."""
+    if target < MIN_SPLIT_SCORE:
+        return []
+    return np.nonzero(row == target)[0].tolist()
+
+
+def _pad_len(x: int, mult: int = 128) -> int:
+    return (x + mult - 1) // mult * mult

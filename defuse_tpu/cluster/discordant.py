@@ -159,14 +159,32 @@ class BinPairResult:
     rows: list  # list of list[ClusterRow-args tuples] per cluster
 
 
-def cluster_alignments(table: AlignmentTable, params: EMParams):
-    """Full clustering pass over an alignment table grouped by fragment.
+@dataclasses.dataclass
+class BinPairTask:
+    """One bin pair ready for EM: pair coordinates + output bookkeeping."""
+    key: tuple[int, int]
+    x: np.ndarray          # remapped end coordinates (pair axis)
+    y: np.ndarray
+    u: np.ndarray
+    pair_a1: np.ndarray    # alignment indices per pair
+    pair_a2: np.ndarray
+    pair_frag: list
+    ref1: int
+    strand1: int
+    rend1: np.ndarray
+    start1: np.ndarray
+    end1: np.ndarray
+    ref2: int
+    strand2: int
+    rend2: np.ndarray
+    start2: np.ndarray
+    end2: np.ndarray
 
-    The table must be grouped by fragment (stream order), as produced by
-    the aligner stage.  Returns a list of ClusterRow.
-    """
+
+def collect_bin_pair_tasks(table: AlignmentTable, params: EMParams):
+    """Phase 1 of clustering: concordance screen + binning + per-bin-pair
+    filtering; returns BinPairTask list in canonical key order."""
     min_fusion_range = int(params.fragment_mean + 10 * params.fragment_stddev)
-    em = MatePairEM(params)
 
     # --- group rows by fragment in stream order -------------------------
     bin_pairs: dict = {}
@@ -185,9 +203,8 @@ def cluster_alignments(table: AlignmentTable, params: EMParams):
             add_bin_pairs(rows, min_fusion_range, bin_pairs)
         i = j
 
-    # --- per bin pair: filter + EM --------------------------------------
-    out_rows: list[ClusterRow] = []
-    cluster_id = 0
+    # --- per bin pair: filter -------------------------------------------
+    tasks: list[BinPairTask] = []
     for key in sorted(bin_pairs):
         first, second = bin_pairs[key]
         if (len(first) < params.min_cluster_size
@@ -244,32 +261,69 @@ def cluster_alignments(table: AlignmentTable, params: EMParams):
              - (x_end - x_start + 1).astype(np.float64)
              - (y_end - y_start + 1).astype(np.float64))
 
-        clusters = em.do_clustering(x_end.astype(np.float64),
-                                    y_end.astype(np.float64), u)
+        tasks.append(BinPairTask(
+            key=key, x=x_end.astype(np.float64), y=y_end.astype(np.float64),
+            u=u, pair_a1=pair_a1, pair_a2=pair_a2, pair_frag=pair_frag,
+            ref1=ref1, strand1=strand1, rend1=rend1, start1=start1,
+            end1=end1, ref2=ref2, strand2=strand2, rend2=rend2,
+            start2=start2, end2=end2))
 
+    return tasks
+
+
+def emit_cluster_rows(tasks, memberships, table: AlignmentTable,
+                      params: EMParams):
+    """Phase 3: global cluster numbering + row emission
+    (``clustermatepairs.cpp:549-583``).  ``memberships[t]`` is the list of
+    member-index lists for task t."""
+    out_rows: list[ClusterRow] = []
+    cluster_id = 0
+    for task, clusters in zip(tasks, memberships):
         for members in clusters:
             if len(members) < params.min_cluster_size:
                 continue
             seen_frags = set()
             emitted = False
             for m in members:
-                f = pair_frag[m]
+                f = task.pair_frag[m]
                 if f in seen_frags:
                     continue
                 seen_frags.add(f)
-                a1 = int(pair_a1[m])
-                a2 = int(pair_a2[m])
+                a1 = int(task.pair_a1[m])
+                a2 = int(task.pair_a2[m])
                 out_rows.append(ClusterRow(
-                    cluster_id, 0, f, int(rend1[a1]), table.ref_names[ref1],
-                    strand1, int(start1[a1]), int(end1[a1])))
+                    cluster_id, 0, f, int(task.rend1[a1]),
+                    table.ref_names[task.ref1], task.strand1,
+                    int(task.start1[a1]), int(task.end1[a1])))
                 out_rows.append(ClusterRow(
-                    cluster_id, 1, f, int(rend2[a2]), table.ref_names[ref2],
-                    strand2, int(start2[a2]), int(end2[a2])))
+                    cluster_id, 1, f, int(task.rend2[a2]),
+                    table.ref_names[task.ref2], task.strand2,
+                    int(task.start2[a2]), int(task.end2[a2])))
                 emitted = True
             if emitted:
                 cluster_id += 1
-
     return out_rows
+
+
+def cluster_alignments(table: AlignmentTable, params: EMParams,
+                       use_device: bool = False):
+    """Full clustering pass over an alignment table grouped by fragment.
+
+    The table must be grouped by fragment (stream order), as produced by
+    the aligner stage.  Returns a list of ClusterRow.  ``use_device``
+    routes the EM through the batched JAX path (decision-equivalent);
+    default is the exact host oracle.
+    """
+    tasks = collect_bin_pair_tasks(table, params)
+    if use_device and tasks:
+        from .matepair_em_batch import prepare_batch, run_batch
+        batch = prepare_batch([(t.x, t.y, t.u) for t in tasks], params)
+        result = run_batch(batch, params)
+        memberships = [result.get(i, []) for i in range(len(tasks))]
+    else:
+        em = MatePairEM(params)
+        memberships = [em.do_clustering(t.x, t.y, t.u) for t in tasks]
+    return emit_cluster_rows(tasks, memberships, table, params)
 
 
 def strand_remap_vec(start, end, strand):

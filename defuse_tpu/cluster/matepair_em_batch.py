@@ -70,6 +70,8 @@ def prepare_batch(instances, params: EMParams, k_max: int = K_MAX,
     rows = []
     for inst_id, (x, y, u) in enumerate(instances):
         n = len(x)
+        if n < params.min_cluster_size:
+            continue  # MatePairEM.cpp:542-545
         for k in range(1, min(k_max, n) + 1):
             rows.append((inst_id, k, x, y, u))
     if not rows:
@@ -271,40 +273,62 @@ def _m_step(r, batch_static, sigma, lam):
     ent_cy = [jnp.broadcast_to(yo[:, None, :1], (B, K, 1)),
               xcy1, xcy2, ycy1, ycy2]
     ent_valid = [jnp.ones((B, K, 1), bool), xv1, xv2, yv1, yv2]
+    # path-order tiebreak code: tier (primary-before-advanced) then run
+    idx_base = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, None, :],
+                                (B, K, N))
+    ent_code = [jnp.zeros((B, K, 1), jnp.int32)] + \
+        [tier * N + idx_base + 1 for tier in (1, 2, 3, 4)]
 
     T = jnp.concatenate(ent_t, axis=2)
     CX = jnp.concatenate(ent_cx, axis=2)
     CY = jnp.concatenate(ent_cy, axis=2)
     VALID = jnp.concatenate(ent_valid, axis=2)
+    CODE = jnp.concatenate(ent_code, axis=2)
 
-    T_sortkey = jnp.where(VALID, T, inf)
-    # stable sort by t: at equal t the concatenation keeps primary entries
-    # before advanced ones (the reference emits primary then advanced per
-    # merge step)
-    sort_idx = jnp.argsort(T_sortkey, axis=2, stable=True)
-    Ts = jnp.take_along_axis(T, sort_idx, axis=2)
-    CXs = jnp.take_along_axis(CX, sort_idx, axis=2)
-    CYs = jnp.take_along_axis(CY, sort_idx, axis=2)
-    Vs = jnp.take_along_axis(VALID, sort_idx, axis=2)
-
+    # The derivative ``partial`` is nondecreasing along the merge path
+    # (CS nondecreasing, CX+CY nonincreasing), so the reference's
+    # first-positive scan reduces to: among positive entries, the
+    # lexicographic minimum of (t, partial, path-code) — no sort needed.
     sigma2 = sigma * sigma
-    partial = (rxyu[..., None] - nk[..., None] * (CXs + CYs)) / sigma2 \
-        + lam * Ts
-    cand = (partial > 0) & Vs
-    any_pos = jnp.any(cand, axis=2)
-    minindex = jnp.where(any_pos, jnp.argmax(cand, axis=2),
-                         jnp.sum(Vs, axis=2) - 1)
+    partial = (rxyu[..., None] - nk[..., None] * (CX + CY)) / sigma2 \
+        + lam * T
+    positive = (partial > 0) & VALID
 
-    def gather(a, idx):
-        return jnp.take_along_axis(a, idx[..., None], axis=2)[..., 0]
+    def select(mask, key_t, key_p, key_c, minimize):
+        big_t = inf if minimize else -inf
+        m = jnp.where(mask, key_t, big_t)
+        t_sel = (jnp.min(m, axis=2) if minimize else jnp.max(m, axis=2))
+        mask2 = mask & (key_t == t_sel[..., None])
+        m2 = jnp.where(mask2, key_p, big_t)
+        p_sel = (jnp.min(m2, axis=2) if minimize else jnp.max(m2, axis=2))
+        mask3 = mask2 & (key_p == p_sel[..., None])
+        big_c = jnp.int32(1 << 30)
+        m3 = jnp.where(mask3, key_c, big_c if minimize else -big_c)
+        c_sel = (jnp.min(m3, axis=2) if minimize else jnp.max(m3, axis=2))
+        sel = mask3 & (key_c == c_sel[..., None])
+        return sel
 
-    cs_mi = gather(Ts, minindex)
-    cx_mi = gather(CXs, minindex)
-    cy_mi = gather(CYs, minindex)
-    prev_idx = jnp.maximum(minindex - 1, 0)
-    cs_pv = gather(Ts, prev_idx)
-    cx_pv = gather(CXs, prev_idx)
-    cy_pv = gather(CYs, prev_idx)
+    inf = jnp.asarray(BIG, rm.dtype)
+    neg_inf = -inf
+    any_pos = jnp.any(positive, axis=2)
+
+    sel_pos = select(positive, T, partial, CODE, minimize=True)
+    nonpos = VALID & ~positive
+    any_nonpos = jnp.any(nonpos, axis=2)
+    sel_prev = select(nonpos, T, partial, CODE, minimize=False)
+    # no positive derivative: reference behaviour is to park on the last
+    # entry (guarded UB, cluster/matepair_em.py); use the path-last entry
+    sel_mi = jnp.where(any_pos[..., None], sel_pos, sel_prev)
+
+    def gather(vals, sel):
+        return jnp.sum(jnp.where(sel, vals, 0), axis=2)
+
+    cs_mi = gather(T, sel_mi)
+    cx_mi = gather(CX, sel_mi)
+    cy_mi = gather(CY, sel_mi)
+    cs_pv = gather(T, sel_prev)
+    cx_pv = gather(CX, sel_prev)
+    cy_pv = gather(CY, sel_prev)
 
     ok = nk > 0.0
     nk_safe = jnp.where(ok, nk, 1.0)
@@ -312,23 +336,29 @@ def _m_step(r, batch_static, sigma, lam):
 
     # three cases (MatePairEM.cpp:304-322)
     a0 = 0.5 * (cx_mi + (aplusb - cy_mi))
-    case_break = cs_mi != cs_pv
+    case_break = (cs_mi != cs_pv) | ~any_pos | ~any_nonpos
     a_break = cx_mi
     b_break = cy_mi
     min_a = jnp.maximum(cx_mi, aplusb - cy_pv)
     max_a = jnp.minimum(cx_pv, aplusb - cy_mi)
     a_mid = 0.5 * (min_a + max_a)
 
-    first = minindex == 0
+    # minindex == 0  <=>  the initial path entry is already positive
+    first = positive[:, :, 0]
     a = jnp.where(first, a0, jnp.where(case_break, a_break, a_mid))
     b = jnp.where(first, aplusb - a0,
                   jnp.where(case_break, b_break, aplusb - a_mid))
     return a, b, ok
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def make_em_step(sigma: float, lam: float = LAMBDA,
                  tol: float = TOLERANCE):
-    """Build the jitted batched EM iteration + driver."""
+    """Build the jitted batched EM iteration + driver (cached so repeated
+    runs reuse the compiled executable)."""
 
     def em_run(x, y, u, n, k, r0):
         B, KM, N = r0.shape
@@ -407,9 +437,17 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
     return jax.jit(em_run)
 
 
-def run_batch(batch: EMBatch, params: EMParams, dtype=jnp.float64):
+def run_batch(batch: EMBatch, params: EMParams, dtype=None):
     """Run the batched EM and select K by BIC.  Returns per-instance
-    memberships: {instance_id: list of member index lists}."""
+    memberships: {instance_id: list of member index lists}.
+
+    dtype defaults to f64 off-TPU (exact decision parity) and f32 on TPU
+    (v5e has no native f64; f32 decisions agree except at fp-boundary
+    memberships — see module docstring).
+    """
+    if dtype is None:
+        dtype = (jnp.float32 if jax.default_backend() == "tpu"
+                 else jnp.float64)
     em = make_em_step(params.fragment_stddev)
     x = jnp.asarray(batch.x, dtype)
     y = jnp.asarray(batch.y, dtype)

@@ -89,8 +89,17 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
     out_ref[:] = out_acc
 
 
-@functools.partial(jax.jit, static_argnames=("batch_tile",))
 def dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256):
+    """Dispatch wrapper: compiled Mosaic kernel on TPU, interpreter
+    elsewhere (CPU test meshes)."""
+    interpret = jax.default_backend() != "tpu"
+    return _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens,
+                                 batch_tile, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+def _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256,
+                          interpret=False):
     """Pallas equivalent of ``split_dp_batch.dp_row_maxima``.
 
     refs: (B, R) int32 char codes (0 = pad), ref_lens (B,), reads (B, L)
@@ -127,6 +136,7 @@ def dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256):
         out_specs=pl.BlockSpec((TB, Lp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, Lp), jnp.int32),
+        interpret=interpret,
     )(refs_sh, reads_p, lens_p)
 
     rowmax = out[:B, :L + 1]

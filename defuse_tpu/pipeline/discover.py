@@ -1,0 +1,101 @@
+"""Fusion discovery pipeline: cluster -> set cover -> split align -> vote.
+
+The in-process equivalent of the reference chain
+``clustermatepairs | setcover | get_align_regions | dosplitalign |
+sort -n | evalsplitalign`` (``defuse_run.pl:448-542``), producing
+byte-identical output files.  ``use_device`` routes the EM through the
+batched JAX path and the split DP through the Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+from ..align.batch_realign import collect_candidates, realign_candidates
+from ..align.tasks import (SplitReadRealigner, create_tasks, evaluate_file,
+                           read_align_region_pairs)
+from ..cluster.discordant import cluster_alignments, write_clusters
+from ..cluster.matepair_em import EMParams
+from ..cluster.setcover import run_setcover_file
+from ..core.exons import ExonRegions
+from ..io.fasta import FastaStore
+from ..io.sam import iter_compact, iter_sam, load_alignments
+from .regions import align_regions_lines
+
+
+def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
+                     fragment_mean, fragment_stddev, precision,
+                     min_cluster_size, min_read_length, max_read_length,
+                     outdir, use_device=True):
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    params = EMParams(fragment_mean, fragment_stddev, precision,
+                      min_cluster_size)
+
+    # --- clustering -----------------------------------------------------
+    table = load_alignments(iter_compact(spanning))
+    rows = cluster_alignments(table, params, use_device=use_device)
+    clusters_path = out / "clusters"
+    write_clusters(rows, str(clusters_path))
+
+    # --- set cover ------------------------------------------------------
+    sc_path = out / "clusters.sc"
+    run_setcover_file(str(clusters_path), str(sc_path), min_cluster_size)
+
+    # --- align regions --------------------------------------------------
+    regions_path = out / "clusters.sc.regions"
+    regions_path.write_text(
+        "\n".join(align_regions_lines(sc_path.read_text().splitlines()))
+        + "\n")
+
+    # --- split alignment ------------------------------------------------
+    ref_store = FastaStore.from_file(reference)
+    exon_regions = ExonRegions.from_file(exons)
+    fusion_regions = read_align_region_pairs(str(regions_path))
+    tasks = create_tasks(ref_store, exon_regions, fragment_mean,
+                         fragment_stddev, min_read_length, max_read_length,
+                         fusion_regions)
+    realigner = SplitReadRealigner()
+    for task in tasks.values():
+        realigner.add_task(task)
+    realigner.add_reads_fastq(fastq1)
+    realigner.add_reads_fastq(fastq2)
+
+    split_path = out / "splitreads.alignments"
+    candidates = collect_candidates(realigner, iter_sam(improper))
+    if use_device:
+        from ..ops.split_dp_pallas import dp_row_maxima_pallas
+
+        def rowmax_fn(refs_p, ref_lens, reads_p, read_lens):
+            import numpy as np
+            return dp_row_maxima_pallas(
+                refs_p.astype(np.int32), ref_lens,
+                reads_p.astype(np.int32), read_lens)
+    else:
+        from ..ops.split_dp_batch import dp_row_maxima as rowmax_fn
+
+    split_rows = realign_candidates(realigner, candidates, rowmax_fn)
+    with open(split_path, "w") as fh:
+        for row in split_rows:
+            fh.write(row.format() + "\n")
+
+    # --- sort -n equivalent --------------------------------------------
+    sorted_path = out / "splitreads.alignments.sorted"
+    with open(split_path) as fh:
+        lines = fh.readlines()
+    lines.sort(key=lambda l: (int(l.split("\t", 1)[0]), l.encode()))
+    with open(sorted_path, "w") as fh:
+        fh.writelines(lines)
+
+    # --- evaluate -------------------------------------------------------
+    outs = {name: out / f"splitreads.{name}" for name in
+            ("seq", "break", "predalign")}
+    with open(outs["seq"], "w") as seq_out, \
+            open(outs["break"], "w") as break_out, \
+            open(outs["predalign"], "w") as pred_out:
+        evaluate_file(tasks, str(sorted_path), seq_out, break_out, pred_out)
+
+    return {name: str(path) for name, path in outs.items()} | {
+        "clusters": str(clusters_path), "clusters_sc": str(sc_path),
+        "regions": str(regions_path), "split": str(split_path)}

@@ -234,28 +234,4 @@ def write_dataset(ds: SynthDataset, outdir):
     return paths
 
 
-def align_regions_lines(cluster_rows) -> list[str]:
-    """get_align_regions.pl equivalent, canonical ascending order."""
-    agg: dict[tuple[int, int], list] = {}
-    for row in cluster_rows:
-        fields = row.split("\t") if isinstance(row, str) else None
-        if fields is None:
-            cid, cend = row.cluster_id, row.cluster_end
-            ref, strand = row.ref_name, row.strand
-            start, end = row.start, row.end
-        else:
-            cid, cend = int(fields[0]), int(fields[1])
-            ref, strand = fields[4], 0 if fields[5] == "+" else 1
-            start, end = int(fields[6]), int(fields[7])
-        key = (cid, cend)
-        if key not in agg:
-            agg[key] = [ref, strand, start, end]
-        else:
-            agg[key][2] = min(agg[key][2], start)
-            agg[key][3] = max(agg[key][3], end)
-    lines = []
-    for (cid, cend) in sorted(agg):
-        ref, strand, start, end = agg[(cid, cend)]
-        lines.append(f"{cid}\t{cend}\t{ref}\t"
-                     f"{'-' if strand else '+'}\t{start}\t{end}")
-    return lines
+from defuse_tpu.pipeline.regions import align_regions_lines  # noqa: E402,F401
