@@ -235,3 +235,36 @@ def write_dataset(ds: SynthDataset, outdir):
 
 
 from defuse_tpu.pipeline.regions import align_regions_lines  # noqa: E402,F401
+
+
+def write_gtf(ds: SynthDataset, path) -> None:
+    """GTF gene models for the synthetic genes (exons + CDS covering the
+    interior exons, so UTR/ORF features are exercised)."""
+    with open(path, "w") as out:
+        for gene in ds.genes:
+            strand = "+" if gene.strand == 0 else "-"
+            attrs = (f'gene_id "{gene.name}"; '
+                     f'transcript_id "{gene.transcript}"; '
+                     f'gene_name "{gene.name}_name";')
+            for i, (s, e) in enumerate(gene.exons):
+                out.write(f"{gene.chromosome}\tsynth\texon\t{s}\t{e}\t.\t"
+                          f"{strand}\t.\t{attrs}\n")
+                # CDS: all but the first and last exon (UTR ends)
+                if 0 < i < len(gene.exons) - 1:
+                    out.write(f"{gene.chromosome}\tsynth\tCDS\t{s}\t{e}"
+                              f"\t.\t{strand}\t.\t{attrs}\n")
+
+
+def write_genome_fasta(ds: SynthDataset, path) -> None:
+    from defuse_tpu.io.fasta import write_fasta
+    write_fasta(str(path), dict(ds.genome))
+
+
+def write_repeats(ds: SynthDataset, path, seed=17, n=300) -> None:
+    rng = random.Random(seed)
+    with open(path, "w") as out:
+        for _ in range(n):
+            chrom = rng.choice(list(ds.genome))
+            start = rng.randint(0, len(ds.genome[chrom]) - 2000)
+            end = start + rng.randint(100, 1900)
+            out.write(f"{chrom}\t{start}\t{end}\tSynthRep\n")
