@@ -1,0 +1,100 @@
+"""Command-line interface mirroring the reference driver scripts.
+
+``defuse-tpu run``        <- ``defuse_run.pl -c config -d dataset -o out
+                             -1 fq1 -2 fq2 -n name`` (README.md:163-201)
+``defuse-tpu create-ref`` <- ``defuse_create_ref.pl``
+``defuse-tpu get-reads``  <- ``defuse_get_reads.pl``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="defuse-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="run the fusion discovery pipeline")
+    run.add_argument("-c", "--config", required=True)
+    run.add_argument("-d", "--dataset", required=True,
+                     help="dataset directory")
+    run.add_argument("-o", "--output", required=True)
+    run.add_argument("-1", "--fastq1", dest="fastq1", required=True)
+    run.add_argument("-2", "--fastq2", dest="fastq2", required=True)
+    run.add_argument("-n", "--name", default="defuse-tpu-library")
+    run.add_argument("-s", "--submit", default="direct",
+                     help="direct | (cluster submitters TBD)")
+    run.add_argument("-p", "--parallel", type=int, default=1)
+    run.add_argument("--no-device", action="store_true",
+                     help="host-only compute (no TPU)")
+    run.add_argument("--prealigned", default=None,
+                     help="directory with spanning.compact, improper.sam,"
+                          " concordant.sam from an external aligner")
+
+    ref = sub.add_parser("create-ref", help="build the reference dataset")
+    ref.add_argument("-c", "--config", required=True)
+    ref.add_argument("-d", "--dataset", required=True)
+
+    reads = sub.add_parser("get-reads",
+                           help="supporting reads for one cluster")
+    reads.add_argument("-c", "--config", required=True)
+    reads.add_argument("-d", "--dataset", required=True)
+    reads.add_argument("-o", "--output", required=True)
+    reads.add_argument("-i", "--id", required=True, type=int)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..config import Config
+
+    if args.command == "run":
+        config = Config.read(args.config, args.dataset)
+        from ..pipeline.run import run_pipeline
+        if args.prealigned:
+            import pathlib
+            pre = pathlib.Path(args.prealigned)
+            outs = run_pipeline(
+                config=config, output_dir=args.output,
+                library_name=args.name,
+                spanning=str(pre / "spanning.compact"),
+                improper=str(pre / "improper.sam"),
+                fastq1=args.fastq1, fastq2=args.fastq2,
+                concordant_sam=str(pre / "concordant.sam")
+                if (pre / "concordant.sam").exists() else None,
+                gene_models_gtf=config.get_value("gene_models")
+                if config.has_value("gene_models") else None,
+                genome_fasta=config.get_value("genome_fasta")
+                if config.has_value("genome_fasta") else None,
+                repeats_regions=config.get_value("repeats_regions")
+                if config.has_value("repeats_regions") else None,
+                use_device=not args.no_device)
+        else:
+            from ..align.frontend import align_reads
+            aligned = align_reads(config, args.output, args.fastq1,
+                                  args.fastq2)
+            outs = run_pipeline(
+                config=config, output_dir=args.output,
+                library_name=args.name, use_device=not args.no_device,
+                **aligned)
+        print(outs["results"])
+        return 0
+
+    if args.command == "create-ref":
+        from ..pipeline.create_ref import create_reference
+        config = Config.read(args.config, args.dataset)
+        create_reference(config, args.dataset)
+        return 0
+
+    if args.command == "get-reads":
+        from ..cli.get_reads import get_reads
+        config = Config.read(args.config, args.dataset)
+        get_reads(config, args.output, args.id)
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,262 @@
+"""Top-level fusion discovery pipeline — the ``defuse_run.pl`` equivalent.
+
+Stage graph (each stage checkpointed by the incremental Runner, so
+reruns resume):
+
+  align (or prealigned inputs)           [alignjob.pl]
+  -> read stats + covariance samples     [read_stats.pl, calccov]
+  -> discordant clustering (device EM)   [clustermatepairs]
+  -> set cover                           [setcover]
+  -> split realignment (Pallas DP)       [dosplitalign]
+  -> breakpoint vote                     [evalsplitalign]
+  -> spanning/split p-values             [evaluate_*.R]
+  -> annotation                          [annotate_fusions.pl]
+  -> collate + classify + filter         [coallate_fusions.pl,
+                                          run_adaboost.R, filter.pl]
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from ..annotate.adaboost import classify_results
+from ..annotate.collate import collate, filter_by_probability
+from ..annotate.features import Repeats, annotate_fusions
+from ..annotate.gene_models import GeneModels
+from ..annotate.mapping_stats import mapping_stats
+from ..cluster.matepair_em import EMParams
+from ..config import Config
+from ..core.exons import ExonRegions
+from ..io.fasta import FastaStore
+from ..stats.calccov import calccov, write_samples
+from ..stats.pvalues import cov_samples_merge, spanning_pvalue, \
+    split_pvalues
+from ..stats.readstats import ReadStats, read_stats_from_sam
+from .discover import discover_fusions
+from .runner import Runner
+
+
+def run_pipeline(*, config: Config, output_dir: str, library_name: str,
+                 spanning: str, improper: str, fastq1: str, fastq2: str,
+                 concordant_sam: str | None = None,
+                 reference_fasta: str | None = None,
+                 cdna_regions: str | None = None,
+                 gene_models_gtf: str | None = None,
+                 genome_fasta: str | None = None,
+                 repeats_regions: str | None = None,
+                 expression: dict | None = None,
+                 use_device: bool = True):
+    """Run the post-alignment pipeline end to end.
+
+    Alignment-stage inputs (spanning compact file, improper SAM,
+    indexed fastqs, concordant cdna SAM) come either from the built-in
+    aligner frontend (``defuse_tpu.align.frontend``) or from any
+    SAM-producing aligner.
+    """
+    out = pathlib.Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    runner = Runner(str(out / "log"), "defuse-tpu")
+
+    reference_fasta = reference_fasta or config.get_value("reference_fasta")
+    cdna_regions = cdna_regions or config.get_value("cdna_regions")
+
+    # --- read stats -----------------------------------------------------
+    stats_path = out / "concordant.read.stats"
+
+    def stage_read_stats(tmp_outputs):
+        if concordant_sam:
+            with open(concordant_sam) as fh:
+                stats = read_stats_from_sam(fh)
+        else:
+            stats = ReadStats(0, config.get_float("fallback_frag_mean"),
+                              config.get_float("fallback_frag_stddev"),
+                              50, 50, (50,))
+        with open(tmp_outputs[0], "w") as fh:
+            fh.write(stats.format())
+
+    runner.run("read stats", stage_read_stats,
+               inputs=[concordant_sam] if concordant_sam else [],
+               outputs=[stats_path])
+    stats = _read_stats_file(stats_path)
+
+    frag_mean = stats.fraglength_mean
+    frag_std = stats.fraglength_stddev
+    params = EMParams(frag_mean, frag_std,
+                      config.get_float("clustering_precision"),
+                      config.get_int("span_count_threshold"))
+
+    # --- covariance samples --------------------------------------------
+    cov_paths = {n: out / f"cov.{n}.samples" for n in
+                 ("span", "pos", "min")}
+    if concordant_sam and cdna_regions:
+        def stage_calccov(tmp_outputs):
+            er = ExonRegions.from_file(cdna_regions)
+            span, spos, smin = calccov(
+                concordant_sam, er,
+                trim_length=config.get_int("discord_read_trim"),
+                split_min_anchor=config.get_int("split_min_anchor"),
+                density=config.get_float("covariance_sampling_density"),
+                multi_exon=config.get_bool("multi_exon_transcripts_stats"))
+            write_samples(span, tmp_outputs[0], float_values=False)
+            write_samples(spos, tmp_outputs[1], float_values=True)
+            write_samples(smin, tmp_outputs[2], float_values=True)
+
+        runner.run("covariance samples", stage_calccov,
+                   inputs=[concordant_sam, cdna_regions],
+                   outputs=[cov_paths["span"], cov_paths["pos"],
+                            cov_paths["min"]])
+
+    # --- cluster + split chain -----------------------------------------
+    discover_outs = discover_fusions(
+        spanning=spanning, improper=improper, fastq1=fastq1,
+        fastq2=fastq2, reference=reference_fasta, exons=cdna_regions,
+        fragment_mean=frag_mean, fragment_stddev=frag_std,
+        precision=config.get_float("clustering_precision"),
+        min_cluster_size=config.get_int("span_count_threshold"),
+        min_read_length=stats.readlength_min,
+        max_read_length=stats.readlength_max,
+        outdir=str(out), use_device=use_device)
+
+    # --- p-values -------------------------------------------------------
+    covariances = {}
+    for n in ("span", "pos", "min"):
+        path = cov_paths[n]
+        if path.exists():
+            samples: dict[int, list[float]] = {}
+            for line in open(path):
+                f = line.split("\t")
+                samples.setdefault(int(f[0]), []).append(float(f[1]))
+            try:
+                covariances[n] = cov_samples_merge(samples)[1]
+            except ValueError:
+                covariances[n] = 0.0
+        else:
+            covariances[n] = 0.0
+
+    seqs = {}
+    split_p = {}
+    span_p = {}
+    for line in open(discover_outs["seq"]):
+        f = line.rstrip("\n").split("\t")
+        cid = int(f[0])
+        seqs[cid] = (f[1], int(f[3]))
+        pos_avg, min_avg = float(f[4]), float(f[5])
+        count = int(f[3])
+        pp, mp = split_pvalues(pos_avg, min_avg, count,
+                               covariances["pos"], covariances["min"])
+        split_p[cid] = (f"{pp:.15g}", f"{mp:.15g}")
+
+    span_stats = _span_stats(out / "clusters.sc", discover_outs["break"],
+                             discover_outs["seq"])
+    for cid in seqs:
+        mean, n = span_stats.get(cid, (frag_mean, 1))
+        sp = spanning_pvalue(mean, n, frag_mean, frag_std,
+                             covariances["span"], stats.readlength_max)
+        span_p[cid] = f"{sp:.15g}"
+
+    # --- annotation -----------------------------------------------------
+    annotations: dict[int, dict] = {}
+    if gene_models_gtf and genome_fasta:
+        gm = GeneModels(gene_models_gtf)
+        genome = FastaStore.from_file(genome_fasta)
+        repeats = Repeats(repeats_regions)
+        breaks = {}
+        for line in open(discover_outs["break"]):
+            f = line.rstrip("\n").split("\t")
+            breaks.setdefault(int(f[0]), {})[int(f[1])] = (f[2], f[3],
+                                                           int(f[4]))
+        clusters: dict = {}
+        solution: dict = {}
+        for line in open(out / "clusters.sc"):
+            f = line.rstrip("\n").split("\t")
+            cid, cend, frag = int(f[0]), int(f[1]), int(f[2])
+            clusters.setdefault(cid, {}).setdefault(cend, {})[frag] = (
+                int(f[6]), int(f[7]))
+            solution[frag] = cid
+        spanning_rows = []
+        for line in open(spanning):
+            f = line.rstrip("\n").split("\t")
+            spanning_rows.append((int(f[0]), int(f[1]), f[2], f[3],
+                                  int(f[4]), int(f[5])))
+        mstats = mapping_stats(spanning_rows, solution, gm)
+        rows = annotate_fusions(
+            breaks=breaks, seqs={c: s for c, (s, _n) in seqs.items()},
+            clusters=clusters, gene_models=gm, genome=genome,
+            repeats=repeats, expression=expression or {},
+            read_stats=stats, library_name=library_name,
+            mapping_stats=mstats,
+            percident_threshold=config.get_float(
+                "percent_identity_threshold"))
+        with open(out / "annotations", "w") as fh:
+            for r in rows:
+                fh.write(r + "\n")
+        for r in rows:
+            cid_s, key, value = r.split("\t", 2)
+            annotations.setdefault(int(cid_s), {})[key] = value
+
+    # --- collate + classify + filter -----------------------------------
+    results = out / "results.tsv"
+    with open(results, "w") as fh:
+        collate(sorted(annotations or seqs), seqs, span_p, split_p,
+                annotations, fh)
+    classified = out / "results.classify.tsv"
+    if annotations:
+        classify_results(str(results), str(classified))
+        filtered = out / "results.filtered.tsv"
+        filter_by_probability(str(classified), str(filtered),
+                              config.get_float("probability_threshold"))
+    return {"results": str(results), "classified": str(classified)}
+
+
+def _read_stats_file(path) -> ReadStats:
+    with open(path) as fh:
+        keys = fh.readline().rstrip("\n").split("\t")
+        values = fh.readline().rstrip("\n").split("\t")
+    d = dict(zip(keys, values))
+    return ReadStats(int(d["frag_count"]), float(d["fraglength_mean"]),
+                     float(d["fraglength_stddev"]),
+                     int(d["readlength_min"]), int(d["readlength_max"]))
+
+
+def _span_stats(clusters_sc_path, breaks_path, seq_path):
+    """Per-cluster spanning fragment-length mean/count relative to the
+    predicted breakpoint (``scripts/calc_span_stats.pl``): per fragment,
+    sum over ends of (breakpos - start + 1) on '+' or (end - breakpos + 1)
+    on '-', plus the inter-sequence length from the seq file."""
+    break_pos: dict = {}
+    for line in open(breaks_path):
+        f = line.rstrip("\n").split("\t")
+        break_pos.setdefault(int(f[0]), {})[int(f[1])] = int(f[4])
+    inter_length: dict[int, int] = {}
+    for line in open(seq_path):
+        f = line.rstrip("\n").split("\t")
+        inter_length[int(f[0])] = int(f[2])
+
+    strand_by_end: dict = {}
+    extents: dict = {}
+    for line in open(clusters_sc_path):
+        f = line.rstrip("\n").split("\t")
+        cid, cend, frag = int(f[0]), int(f[1]), int(f[2])
+        strand_by_end[(cid, cend)] = f[5]
+        extents.setdefault(cid, {}).setdefault(frag, {})[cend] = (
+            int(f[6]), int(f[7]))
+
+    out: dict[int, tuple[float, int]] = {}
+    for cid, frags in extents.items():
+        if cid not in break_pos:
+            continue
+        total = 0.0
+        count = 0
+        for frag, ends in frags.items():
+            length = 0
+            for cend, (start, end) in ends.items():
+                bp = break_pos[cid][cend]
+                if strand_by_end[(cid, cend)] == "+":
+                    length += bp - start + 1
+                else:
+                    length += end - bp + 1
+            length += inter_length[cid]
+            total += length
+            count += 1
+        out[cid] = (total / count, count)
+    return out
