@@ -1,0 +1,369 @@
+"""Alignment frontend — the ``alignjob.pl`` equivalent.
+
+From renamed paired fastqs to the clustering inputs, using the
+seed-and-extend aligner (``align/seedindex.py``) in place of bowtie:
+
+1. paired concordant screens vs cdna and genome (proper-pair model:
+   same reference, fwd/rev orientation, insert <= max_insert_size)
+2. fragment-length stats / covariance samples / expression from the
+   cdna proper pairs
+3. trim to ``discord_read_trim``, drop concordant fragments
+4. single-end all-alignments vs cdna and genome (-k/-m semantics)
+5. concordance re-screens: unmappable (>max_paired_alignments genomic
+   loci combos), same-gene, same-region (``find_unmappable.pl``,
+   ``find_concordant_gene.pl``, ``find_concordant_region.pl``)
+6. rRNA screen and IG-pair exclusion
+7. improper alignment set (matched dna+cdna per fragment minus
+   blacklists) and spanning rows (both-ends fragments)
+
+Outputs use the same row schemata as the reference so the downstream
+byte-parity chain is unaffected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+
+import numpy as np
+
+from ..annotate.gene_models import GeneModels
+from ..stats.readstats import ReadStats
+from .seedindex import SeedIndex
+
+UNMAPPABLE_BIN = 200000
+
+
+@dataclasses.dataclass
+class SingleAlignment:
+    ref_name: str
+    strand: int
+    start: int
+    end: int
+    mismatches: int
+
+
+def index_paired_fastq(fastq1: str, fastq2: str, outdir: str):
+    """Rename fragments to integer ids (``index_paired_fastq.pl``).
+    Returns (reads1, reads2, names) lists indexed by fragment id."""
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    names = []
+    reads = ([], [])
+    for end, path in ((0, fastq1), (1, fastq2)):
+        with open(path) as fh:
+            i = 0
+            while True:
+                header = fh.readline()
+                if not header:
+                    break
+                seq = fh.readline().rstrip("\n")
+                fh.readline()
+                fh.readline()
+                if end == 0:
+                    names.append(header[1:].rstrip("\n").rsplit("/", 1)[0])
+                reads[end].append(seq)
+                i += 1
+    with open(out / "reads.names", "w") as fh:
+        for i, name in enumerate(names):
+            fh.write(f"{i}\t{name}\n")
+    for end in (0, 1):
+        with open(out / f"reads.{end + 1}.fastq", "w") as fh:
+            for i, seq in enumerate(reads[end]):
+                fh.write(f"@{i}/{end + 1}\n{seq}\n+\n{'I' * len(seq)}\n")
+    return reads[0], reads[1], names
+
+
+def _align_all(index: SeedIndex, reads, max_mismatch=2,
+               max_alignments=None, verify_fn=None):
+    """Per-read alignment lists as SingleAlignment (1-based, fwd coords).
+    """
+    raw = index.align_batch(reads, max_mismatch=max_mismatch,
+                            max_alignments=max_alignments,
+                            verify_fn=verify_fn)
+    out = []
+    for read, hits in zip(reads, raw):
+        if hits is None:
+            out.append(None)
+            continue
+        row = []
+        for a in hits:
+            row.append(SingleAlignment(index.names[a.ref], a.strand,
+                                       a.pos, a.pos + len(read) - 1,
+                                       a.mismatches))
+        out.append(row)
+    return out
+
+
+def _best_proper_pairs(aligns1, aligns2, max_insert: int):
+    """Proper-pair screen: for each fragment, the best (fewest total
+    mismatches, then leftmost) fwd/rev same-reference pair within the
+    insert bound.  Returns {fragment: (a1, a2, isize)}."""
+    pairs = {}
+    for frag, (al1, al2) in enumerate(zip(aligns1, aligns2)):
+        if not al1 or not al2:
+            continue
+        best = None
+        for a1 in al1:
+            for a2 in al2:
+                if a1.ref_name != a2.ref_name or a1.strand == a2.strand:
+                    continue
+                fwd, rev = (a1, a2) if a1.strand == 0 else (a2, a1)
+                if fwd.start > rev.start:
+                    continue
+                isize = rev.end - fwd.start + 1
+                if isize > max_insert:
+                    continue
+                key = (a1.mismatches + a2.mismatches, fwd.start)
+                if best is None or key < best[0]:
+                    best = (key, a1, a2, isize)
+        if best is not None:
+            pairs[frag] = (best[1], best[2], best[3])
+    return pairs
+
+
+def write_pair_sam(pairs, reads1, reads2, path) -> None:
+    """Proper-pair SAM rows (flags 0x2 pairing) for read stats / calccov
+    / expression."""
+    with open(path, "w") as out:
+        for frag in sorted(pairs):
+            a1, a2, isize = pairs[frag]
+            for end, (a, mate, seq) in enumerate(
+                    ((a1, a2, reads1[frag]), (a2, a1, reads2[frag]))):
+                flag = 0x1 | 0x2 | (0x40 if end == 0 else 0x80)
+                if a.strand:
+                    flag |= 0x10
+                if mate.strand:
+                    flag |= 0x20
+                sign = 1 if a.start <= mate.start else -1
+                out.write(f"{frag}/{end + 1}\t{flag}\t{a.ref_name}\t"
+                          f"{a.start}\t255\t{len(seq)}M\t=\t{mate.start}\t"
+                          f"{sign * isize}\t{seq}\t{'I' * len(seq)}\n")
+
+
+def _genomic_loci_count(aligns, gene_models: GeneModels) -> int:
+    """Distinct genomic loci for one read's alignments
+    (``find_unmappable.pl`` overlap-group counting, canonical order)."""
+    positions = []
+    for a in aligns:
+        chrom = gene_models.calc_genomic_chromosome(a.ref_name)
+        s = gene_models.calc_genomic_position(a.ref_name, a.start)
+        e = gene_models.calc_genomic_position(a.ref_name, a.end)
+        if s > e:
+            s, e = e, s
+        positions.append((chrom, s, e))
+    bins: dict = {}
+    for i, (chrom, s, e) in enumerate(positions):
+        for b in range(s // UNMAPPABLE_BIN, e // UNMAPPABLE_BIN + 1):
+            bins.setdefault((chrom, b), []).append(i)
+    overlapping: dict[int, set] = {}
+    for members in bins.values():
+        for i in members:
+            for j in members:
+                if not (positions[i][2] < positions[j][1]
+                        or positions[i][1] > positions[j][2]):
+                    overlapping.setdefault(i, set()).add(j)
+    count = 0
+    remaining = dict(sorted(overlapping.items()))
+    while remaining:
+        i = next(iter(remaining))
+        for j in list(remaining[i]):
+            remaining.pop(j, None)
+        count += 1
+    return count
+
+
+def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
+              rrna_index: SeedIndex | None, gene_models: GeneModels,
+              reads1, reads2, outdir: str, max_insert_size: int = 500,
+              discord_read_trim: int = 50, max_paired_alignments: int = 10,
+              dna_concordant_length: int = 2000, max_alignments: int = 100,
+              ig_genes: set[str] | None = None, verify_fn=None):
+    """Run the full alignjob flow.  Returns paths dict."""
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    n_frags = len(reads1)
+
+    # 1. paired concordant screens
+    cdna_al1 = _align_all(cdna_index, reads1, verify_fn=verify_fn)
+    cdna_al2 = _align_all(cdna_index, reads2, verify_fn=verify_fn)
+    cdna_pairs = _best_proper_pairs(cdna_al1, cdna_al2, max_insert_size)
+    genome_al1 = _align_all(genome_index, reads1, verify_fn=verify_fn)
+    genome_al2 = _align_all(genome_index, reads2, verify_fn=verify_fn)
+    genome_pairs = _best_proper_pairs(genome_al1, genome_al2,
+                                      max_insert_size)
+
+    concordant = set(cdna_pairs) | set(genome_pairs)
+
+    cdna_pair_sam = out / "cdna.pair.sam"
+    write_pair_sam(cdna_pairs, reads1, reads2, cdna_pair_sam)
+
+    # 2. read stats from the proper pairs
+    isizes = [isize for (_a1, _a2, isize) in cdna_pairs.values()]
+    readlengths = sorted({len(r) for r in reads1} | {len(r)
+                                                     for r in reads2})
+    if isizes:
+        mean = sum(isizes) / len(isizes)
+        var = sum(i * i for i in isizes) / len(isizes) - mean ** 2
+        stats = ReadStats(len(isizes), mean, var ** 0.5, readlengths[0],
+                          readlengths[-1], tuple(readlengths))
+    else:
+        stats = ReadStats(0, 0.0, 0.0, 0, 0, ())
+
+    # 3. trim + drop concordant
+    trimmed1 = [r[:discord_read_trim] for r in reads1]
+    trimmed2 = [r[:discord_read_trim] for r in reads2]
+    candidates = [f for f in range(n_frags) if f not in concordant]
+
+    # 4. single-end all-alignments of trimmed candidate reads
+    def aligned_subset(index, trimmed):
+        sub = [trimmed[f] for f in candidates]
+        res = _align_all(index, sub, max_alignments=max_alignments,
+                         verify_fn=verify_fn)
+        return dict(zip(candidates, res))
+
+    cdna_end1 = aligned_subset(cdna_index, trimmed1)
+    cdna_end2 = aligned_subset(cdna_index, trimmed2)
+    dna_end1 = aligned_subset(genome_index, trimmed1)
+    dna_end2 = aligned_subset(genome_index, trimmed2)
+
+    # 5. concordance re-screens
+    blacklist: set[int] = set()
+
+    def all_aligns(frag, end):
+        per_end = (dna_end1, cdna_end1) if end == 0 else (dna_end2,
+                                                          cdna_end2)
+        merged = []
+        over_cap = False
+        for m in per_end:
+            a = m.get(frag)
+            if a is None:
+                over_cap = True
+            else:
+                merged.extend(a)
+        return merged, over_cap
+
+    for frag in candidates:
+        counts = []
+        genes = [set(), set()]
+        region_bins = [set(), set()]
+        over_cap_any = False
+        for end in (0, 1):
+            aligns, over_cap = all_aligns(frag, end)
+            over_cap_any |= over_cap
+            counts.append(_genomic_loci_count(aligns, gene_models)
+                          if aligns else 1)
+            ext = dna_concordant_length // 2
+            for a in aligns:
+                for g in gene_models.calc_overlapping_genes(
+                        a.ref_name, (a.start, a.end)):
+                    genes[end].add(g)
+                chrom = gene_models.calc_genomic_chromosome(a.ref_name)
+                regions = gene_models.calc_genomic_regions(
+                    a.ref_name, (a.start - ext, a.end + ext))
+                if regions:
+                    span = (regions[0][0], regions[-1][1])
+                    for b in range(span[0] // ext, span[1] // ext + 1):
+                        region_bins[end].add((chrom, b))
+        if over_cap_any:
+            blacklist.add(frag)  # XM-flagged (find_unmappable.pl:36-47)
+        if counts[0] * counts[1] > max_paired_alignments:
+            blacklist.add(frag)
+        if genes[0] & genes[1]:
+            blacklist.add(frag)
+        if region_bins[0] & region_bins[1]:
+            blacklist.add(frag)
+
+    # 6. rRNA screen (untrimmed) + IG pairs
+    if rrna_index is not None:
+        for end_reads in (reads1, reads2):
+            sub = [end_reads[f] for f in candidates]
+            res = _align_all(rrna_index, sub, verify_fn=verify_fn)
+            for f, hits in zip(candidates, res):
+                if hits:
+                    blacklist.add(f)
+    if ig_genes:
+        for frag in candidates:
+            ig_hit = [False, False]
+            for end, m in ((0, cdna_end1), (1, cdna_end2)):
+                for a in (m.get(frag) or []):
+                    gene = a.ref_name.split("|", 1)[0]
+                    if gene in ig_genes:
+                        ig_hit[end] = True
+            if ig_hit[0] and ig_hit[1]:
+                blacklist.add(frag)
+
+    # 7. improper SAM + spanning rows
+    improper_sam = out / "improper.sam"
+    spanning = out / "spanning.compact"
+    with open(improper_sam, "w") as sam_out, open(spanning, "w") as sp_out:
+        for frag in candidates:
+            if frag in blacklist:
+                continue
+            rows = []
+            ends_present = set()
+            for end in (0, 1):
+                aligns, _oc = all_aligns(frag, end)
+                seq = (trimmed1, trimmed2)[end][frag]
+                for a in aligns:
+                    rows.append((end, a, seq))
+                if aligns:
+                    ends_present.add(end)
+            for end, a, seq in rows:
+                flag = 0x10 if a.strand else 0
+                sam_out.write(f"{frag}/{end + 1}\t{flag}\t{a.ref_name}\t"
+                              f"{a.start}\t255\t{len(seq)}M\t*\t0\t0\t"
+                              f"{seq}\t{'I' * len(seq)}\n")
+            if len(ends_present) == 2:
+                for end, a, seq in rows:
+                    sp_out.write(f"{frag}\t{end}\t{a.ref_name}\t"
+                                 f"{'-' if a.strand else '+'}\t{a.start}"
+                                 f"\t{a.end}\n")
+
+    return {
+        "spanning": str(spanning),
+        "improper": str(improper_sam),
+        "concordant_sam": str(cdna_pair_sam),
+        "stats": stats,
+        "concordant_fragments": concordant,
+        "blacklist": blacklist,
+    }
+
+
+def align_reads(config, output_dir, fastq1, fastq2):
+    """CLI helper: build indices from config-named references and run the
+    frontend; returns run_pipeline keyword inputs."""
+    from ..io.fasta import FastaStore
+
+    out = pathlib.Path(output_dir)
+    reads1, reads2, _names = index_paired_fastq(fastq1, fastq2,
+                                                str(out / "reads"))
+    gene_models = GeneModels(config.get_value("gene_models"))
+    cdna = FastaStore.from_file(config.get_value("cdna_fasta"))
+    genome = FastaStore.from_file(config.get_value("genome_fasta"))
+    cdna_index = SeedIndex(cdna._seqs)
+    genome_index = SeedIndex(genome._seqs)
+    rrna_index = None
+    if config.has_value("rrna_fasta"):
+        rrna = FastaStore.from_file(config.get_value("rrna_fasta"))
+        rrna_index = SeedIndex(rrna._seqs)
+    ig_genes = set()
+    if config.has_value("ig_gene_list"):
+        with open(config.get_value("ig_gene_list")) as fh:
+            ig_genes = {line.strip() for line in fh if line.strip()}
+
+    res = align_job(
+        cdna_index=cdna_index, genome_index=genome_index,
+        rrna_index=rrna_index, gene_models=gene_models,
+        reads1=reads1, reads2=reads2, outdir=str(out / "aligned"),
+        max_insert_size=config.get_int("max_insert_size"),
+        discord_read_trim=config.get_int("discord_read_trim"),
+        max_paired_alignments=config.get_int("max_paired_alignments"),
+        dna_concordant_length=config.get_int("dna_concordant_length"),
+        ig_genes=ig_genes)
+    return {
+        "spanning": res["spanning"], "improper": res["improper"],
+        "fastq1": str(out / "reads" / "reads.1.fastq"),
+        "fastq2": str(out / "reads" / "reads.2.fastq"),
+        "concordant_sam": res["concordant_sam"],
+    }

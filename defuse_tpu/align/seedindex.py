@@ -1,0 +1,202 @@
+"""Seed-and-extend short-read aligner — the bowtie replacement.
+
+TPU-first design (SURVEY.md §7): exact k-mer seeds from a sorted-array
+index (pigeonhole: 3 non-overlapping 16-mers cover any <=2-mismatch
+alignment of a 48-50bp read), candidate verification as a batched
+device-side mismatch count over gathered reference windows.  No gaps —
+matching bowtie-v1's ungapped end-to-end model that the reference
+pipeline relies on (``alignjob.pl:121-122``).
+
+The index packs the reference into one int8 code array with per-sequence
+offsets; seeds are 2-bit-packed uint64 keys in a sorted table queried
+with vectorized searchsorted.  Index build is numpy sort-based; for
+genome-scale references the build shards by chromosome.
+
+Behavioral (not bit) parity with bowtie: alignment sets for simulated
+reads match bowtie's -v 2 model; the pipeline's downstream contracts
+(readid sets, concordance decisions) are what matter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+SEED_LEN = 16
+MAX_MISMATCH = 2
+
+_CODE = np.full(256, 4, dtype=np.int8)
+for _i, _b in enumerate(b"ACGT"):
+    _CODE[_b] = _i
+for _i, _b in enumerate(b"acgt"):
+    _CODE[_b] = _i
+
+
+def encode(seq: str) -> np.ndarray:
+    return _CODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
+
+
+@dataclasses.dataclass
+class Alignment:
+    ref: int        # sequence index
+    pos: int        # 1-based start
+    strand: int     # 0 fwd / 1 rev
+    mismatches: int
+
+
+class SeedIndex:
+    def __init__(self, sequences: dict[str, str], seed_len: int = SEED_LEN):
+        self.seed_len = seed_len
+        self.names = list(sequences)
+        self.offsets = np.zeros(len(self.names) + 1, dtype=np.int64)
+        codes = []
+        for i, name in enumerate(self.names):
+            c = encode(sequences[name])
+            codes.append(c)
+            self.offsets[i + 1] = self.offsets[i] + len(c)
+        self.codes = np.concatenate(codes) if codes else \
+            np.zeros(0, np.int8)
+        self.seq_lens = np.diff(self.offsets)
+
+        # build sorted k-mer table over all positions (valid ACGT windows)
+        n = len(self.codes)
+        k = seed_len
+        if n >= k:
+            c = self.codes.astype(np.uint64)
+            keys = np.zeros(n - k + 1, dtype=np.uint64)
+            valid = np.ones(n - k + 1, dtype=bool)
+            for j in range(k):
+                win = self.codes[j:n - k + 1 + j]
+                keys = (keys << np.uint64(2)) | win.astype(np.uint64)
+                valid &= win < 4
+            # exclude windows crossing sequence boundaries
+            starts = np.arange(n - k + 1, dtype=np.int64)
+            seq_of_start = np.searchsorted(self.offsets, starts,
+                                           side="right") - 1
+            seq_of_end = np.searchsorted(self.offsets, starts + k - 1,
+                                         side="right") - 1
+            valid &= seq_of_start == seq_of_end
+            positions = starts[valid]
+            keys = keys[valid]
+            order = np.argsort(keys, kind="stable")
+            self.keys = keys[order]
+            self.positions = positions[order]
+        else:
+            self.keys = np.zeros(0, np.uint64)
+            self.positions = np.zeros(0, np.int64)
+
+    # -- queries ---------------------------------------------------------
+
+    def _seed_keys(self, reads_codes: np.ndarray, offsets):
+        """Pack seed k-mers at given offsets: (B, n_seeds) uint64 keys,
+        invalid (non-ACGT) marked."""
+        B, L = reads_codes.shape
+        k = self.seed_len
+        keys = np.zeros((B, len(offsets)), dtype=np.uint64)
+        valid = np.ones((B, len(offsets)), dtype=bool)
+        for si, off in enumerate(offsets):
+            win = reads_codes[:, off:off + k]
+            kk = np.zeros(B, dtype=np.uint64)
+            for j in range(k):
+                kk = (kk << np.uint64(2)) | win[:, j].astype(np.uint64)
+                valid[:, si] &= win[:, j] < 4
+            keys[:, si] = kk
+        return keys, valid
+
+    def candidates(self, reads_codes: np.ndarray, max_per_seed: int = 256):
+        """Candidate global start positions per read (deduped), from
+        3-seed pigeonhole lookup.  Returns (read_idx, global_pos) arrays.
+        """
+        B, L = reads_codes.shape
+        k = self.seed_len
+        offsets = [0, k, 2 * k] if L >= 3 * k else \
+            list(range(0, L - k + 1, k))
+        keys, valid = self._seed_keys(reads_codes, offsets)
+
+        lo = np.searchsorted(self.keys, keys.ravel(), side="left")
+        hi = np.searchsorted(self.keys, keys.ravel(), side="right")
+        counts = np.minimum(hi - lo, max_per_seed)
+        counts[~valid.ravel()] = 0
+
+        total = int(counts.sum())
+        read_idx = np.repeat(np.arange(B * len(offsets)) // len(offsets),
+                             counts)
+        seed_off = np.repeat(np.tile(offsets, B), counts)
+        flat_starts = np.repeat(lo, counts)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        table_pos = self.positions[flat_starts + within]
+        cand_pos = table_pos - seed_off
+
+        # dedupe (read, pos)
+        key = read_idx.astype(np.int64) * (len(self.codes) + 64) \
+            + (cand_pos + 32)
+        uniq = np.unique(key)
+        read_idx = (uniq // (len(self.codes) + 64)).astype(np.int64)
+        cand_pos = (uniq % (len(self.codes) + 64)) - 32
+        return read_idx, cand_pos
+
+    def verify(self, reads_codes, read_lens, read_idx, cand_pos,
+               max_mismatch: int = MAX_MISMATCH, verify_fn=None):
+        """Count mismatches of each candidate end-to-end placement;
+        keep <= max_mismatch, in-bounds, single-sequence."""
+        L = reads_codes.shape[1]
+        n = len(read_idx)
+        if n == 0:
+            return (np.zeros(0, np.int64),) * 4
+        lens = read_lens[read_idx]
+        seq_i = np.searchsorted(self.offsets, cand_pos, side="right") - 1
+        in_bounds = (cand_pos >= 0) & \
+            (cand_pos + lens <= self.offsets[np.minimum(
+                seq_i + 1, len(self.offsets) - 1)]) & \
+            (seq_i >= 0)
+        # gather windows (clip for safety; invalid filtered after)
+        gather_idx = np.clip(cand_pos[:, None] + np.arange(L)[None, :], 0,
+                             len(self.codes) - 1)
+        if verify_fn is not None:
+            mismatches = verify_fn(self.codes, gather_idx,
+                                   reads_codes[read_idx], lens)
+        else:
+            windows = self.codes[gather_idx]
+            diff = (windows != reads_codes[read_idx]) \
+                & (np.arange(L)[None, :] < lens[:, None])
+            mismatches = diff.sum(axis=1)
+        ok = in_bounds & (mismatches <= max_mismatch)
+        return (read_idx[ok], cand_pos[ok], seq_i[ok],
+                mismatches[ok].astype(np.int64))
+
+    def align_batch(self, reads: list[str],
+                    max_mismatch: int = MAX_MISMATCH,
+                    max_alignments: int | None = None, verify_fn=None):
+        """All end-to-end alignments (both strands) per read.
+
+        Returns per-read lists of Alignment.  Reads with more than
+        ``max_alignments`` hits return the sentinel ``None`` (bowtie -m
+        semantics: reported as unaligned with the XM flag).
+        """
+        B = len(reads)
+        L = max((len(r) for r in reads), default=0)
+        fwd = np.full((B, L), 4, dtype=np.int8)
+        rev = np.full((B, L), 4, dtype=np.int8)
+        lens = np.zeros(B, dtype=np.int64)
+        comp = np.array([3, 2, 1, 0, 4], dtype=np.int8)
+        for i, r in enumerate(reads):
+            c = encode(r)
+            fwd[i, :len(c)] = c
+            rev[i, :len(c)] = comp[c[::-1]]
+            lens[i] = len(c)
+
+        out: list = [[] for _ in range(B)]
+        for strand, codes in ((0, fwd), (1, rev)):
+            ridx, cpos = self.candidates(codes)
+            ridx, cpos, seq_i, mm = self.verify(codes, lens, ridx, cpos,
+                                                max_mismatch, verify_fn)
+            for r, p, s, m in zip(ridx, cpos, seq_i, mm):
+                out[r].append(Alignment(
+                    int(s), int(p - self.offsets[s] + 1), strand, int(m)))
+        if max_alignments is not None:
+            for i in range(B):
+                if len(out[i]) > max_alignments:
+                    out[i] = None
+        return out

@@ -1,0 +1,67 @@
+"""Seed-index aligner correctness: complete recovery of <=2-mismatch
+plantings (pigeonhole guarantee) on random references, both strands,
+against a brute-force oracle."""
+
+import random
+
+import numpy as np
+
+from defuse_tpu.align.seedindex import SeedIndex, encode
+from defuse_tpu.core.types import revcomp
+
+
+def _brute_alignments(seqs, read, max_mm=2):
+    """All end-to-end placements with <= max_mm mismatches."""
+    out = []
+    r_f = np.frombuffer(read.encode(), np.uint8)
+    r_r = np.frombuffer(revcomp(read).encode(), np.uint8)
+    for si, (name, seq) in enumerate(seqs.items()):
+        s = np.frombuffer(seq.encode(), np.uint8)
+        for strand, rc in ((0, r_f), (1, r_r)):
+            if len(s) < len(rc):
+                continue
+            # sliding window mismatch counts
+            win = np.lib.stride_tricks.sliding_window_view(s, len(rc))
+            mm = (win != rc[None, :]).sum(axis=1)
+            for p in np.nonzero(mm <= max_mm)[0]:
+                out.append((si, int(p) + 1, strand, int(mm[p])))
+    return sorted(out)
+
+
+def test_aligner_vs_bruteforce():
+    rng = random.Random(11)
+    seqs = {
+        "A": "".join(rng.choice("ACGT") for _ in range(5000)),
+        "B": "".join(rng.choice("ACGT") for _ in range(3000)),
+    }
+    index = SeedIndex(seqs)
+
+    reads = []
+    for t in range(60):
+        src = seqs[rng.choice("AB")]
+        p = rng.randint(0, len(src) - 50)
+        read = list(src[p:p + 50])
+        for _ in range(rng.randint(0, 2)):  # plant <=2 mismatches
+            i = rng.randrange(50)
+            read[i] = rng.choice([c for c in "ACGT" if c != read[i]])
+        read = "".join(read)
+        if t % 3 == 0:
+            read = revcomp(read)
+        reads.append(read)
+    # plus random unmappable reads
+    reads += ["".join(rng.choice("ACGT") for _ in range(50))
+              for _ in range(10)]
+
+    results = index.align_batch(reads, max_mismatch=2)
+    for read, hits in zip(reads, results):
+        expected = _brute_alignments(seqs, read)
+        got = sorted((a.ref, a.pos, a.strand, a.mismatches) for a in hits)
+        assert got == expected, (read, got, expected)
+
+
+def test_multimap_cap():
+    seqs = {"R": "ACGTACGTAC" * 400}  # highly repetitive
+    index = SeedIndex(seqs)
+    read = ("ACGTACGTAC" * 6)[:50]
+    out = index.align_batch([read], max_alignments=100)
+    assert out[0] is None  # discarded like bowtie -m
