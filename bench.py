@@ -168,6 +168,9 @@ def run_reference(paths, ref_bin, tmp):
 
 def run_ours(paths, regions_file, tmp, use_tpu=True):
     """Our pipeline: host glue + device EM + Pallas split DP."""
+    if not use_tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from defuse_tpu.pipeline.discover import discover_fusions
     t0 = time.time()
     outs = discover_fusions(
@@ -185,9 +188,27 @@ def run_ours(paths, regions_file, tmp, use_tpu=True):
     return elapsed, outs
 
 
+def tpu_alive(timeout_s: int = 300) -> bool:
+    """Probe the device in a subprocess so a hung TPU tunnel can't hang
+    the benchmark itself."""
+    probe = ("import numpy, jax, jax.numpy as jnp;"
+             "print(float(numpy.asarray(jnp.ones(4).sum())))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", probe],
+                              capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     tmpdir = pathlib.Path(tempfile.mkdtemp(prefix="defuse_bench_"))
     ds, paths, n_pairs = build_dataset(tmpdir)
+    use_tpu = tpu_alive()
+    if not use_tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        print("WARNING: TPU unreachable, benchmarking host/CPU path",
+              file=sys.stderr)
 
     ref_bin = REPO / "ref_build" / "bin"
     baseline_pairs_s = FALLBACK_BASELINE_PAIRS_S
@@ -203,9 +224,9 @@ def main():
             paths, ref_bin, tmpdir)
         baseline_pairs_s = n_pairs / ref_elapsed
 
-    ours_elapsed, our_outs = run_ours(paths, None, tmpdir)
+    ours_elapsed, our_outs = run_ours(paths, None, tmpdir, use_tpu=use_tpu)
     # warm run (compilation amortized out — steady-state throughput)
-    ours_elapsed, our_outs = run_ours(paths, None, tmpdir)
+    ours_elapsed, our_outs = run_ours(paths, None, tmpdir, use_tpu=use_tpu)
     ours_pairs_s = n_pairs / ours_elapsed
 
     exact_match = None
@@ -222,6 +243,7 @@ def main():
         "vs_baseline": (round(ours_pairs_s / baseline_pairs_s, 3)
                         if baseline_pairs_s else None),
         "extra": {
+            "device": "tpu" if use_tpu else "cpu-fallback",
             "n_read_pairs": n_pairs,
             "baseline_pairs_s": (round(baseline_pairs_s, 1)
                                  if baseline_pairs_s else None),

@@ -94,9 +94,13 @@ def _np_rows(refs, reads, wanted_rows, R):
     decay = GAP * iota
     prev = np.zeros((B, R + 1), dtype=np.int32)
     out: dict[tuple[int, int], np.ndarray] = {}
-    for b in range(B):
-        if 0 in wanted_rows[b]:
-            out[(b, 0)] = np.zeros(int(ref_lens[b]) + 1, dtype=np.int32)
+    # invert wanted_rows: j -> [b], so the row loop only touches askers
+    wanted_by_j: dict[int, list[int]] = {}
+    for b, rows in enumerate(wanted_rows):
+        for j in rows:
+            wanted_by_j.setdefault(j, []).append(b)
+    for b in wanted_by_j.get(0, ()):
+        out[(b, 0)] = np.zeros(int(ref_lens[b]) + 1, dtype=np.int32)
     for j in range(1, L + 1):
         ch = enc_read[:, j - 1][:, None]
         sub = np.where(enc_ref == ch, MATCH, MISMATCH).astype(np.int32)
@@ -105,9 +109,8 @@ def _np_rows(refs, reads, wanted_rows, R):
         vert[:, 1:] = np.maximum(prev[:, :-1] + sub, prev[:, 1:] + GAP)
         col = np.maximum.accumulate(vert - decay, axis=1) + decay
         # read rows beyond a read's length are garbage; callers never ask
-        for b in range(B):
-            if j in wanted_rows[b]:
-                out[(b, j)] = col[b, :int(ref_lens[b]) + 1].copy()
+        for b in wanted_by_j.get(j, ()):
+            out[(b, j)] = col[b, :int(ref_lens[b]) + 1].copy()
         prev = col
     return out
 
@@ -167,9 +170,19 @@ def realign_candidates(realigner, candidates: list[Candidate],
     if not winners:
         return []
 
-    rows1 = _np_rows(ref1s, reads, wanted1, R)
-    rows2 = _np_rows([s[::-1] for s in ref2s], [r[::-1] for r in reads],
-                     wanted2, R)
+    # replay the DP only for accepted candidates
+    win_idx = [b for (b, _s, _k) in winners]
+    sub = {b: i for i, b in enumerate(win_idx)}
+    rows1_sub = _np_rows([ref1s[b] for b in win_idx],
+                         [reads[b] for b in win_idx],
+                         [wanted1[b] for b in win_idx], R)
+    rows2_sub = _np_rows([ref2s[b][::-1] for b in win_idx],
+                         [reads[b][::-1] for b in win_idx],
+                         [wanted2[b] for b in win_idx], R)
+    rows1 = {(b, j): v for (i, j), v in rows1_sub.items()
+             for b in [win_idx[i]]}
+    rows2 = {(b, j): v for (i, j), v in rows2_sub.items()
+             for b in [win_idx[i]]}
 
     out_rows: list[SplitRow] = []
     for (b, max_score, ks) in winners:

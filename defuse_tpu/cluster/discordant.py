@@ -91,12 +91,16 @@ def add_bin_pairs(frag_rows, min_fusion_range: int, bin_pairs: dict) -> None:
 
     bin_pairs: {(id1, id2): ([(readid, relStart, relEnd)], [...])}
     Bucket iteration within a fragment is in ascending packed-id order
-    (canonical; the golden build's ordered shims match).
+    (canonical; the golden build's ordered shims match).  Rows may carry
+    a precomputed bin range as a 7th element.
     """
     binned = [{}, {}]  # per read end: packed refbin id -> [packed alignment]
-    for (frag, read_end, ref, strand, start, end) in frag_rows:
+    for row in frag_rows:
+        (frag, read_end, ref, strand, start, end) = row[:6]
+        bins = row[6] if len(row) > 6 else _get_bins(
+            start, end, BIN_LENGTH, min_fusion_range)
         read_id = frag | (read_end << 31)
-        for b in _get_bins(start, end, BIN_LENGTH, min_fusion_range):
+        for b in bins:
             rb = pack_refbin(ref, strand, b)
             rel_start = bin_relative_pos(b, start)
             rel_end = bin_relative_pos(b, end)
@@ -186,20 +190,51 @@ def collect_bin_pair_tasks(table: AlignmentTable, params: EMParams):
     filtering; returns BinPairTask list in canonical key order."""
     min_fusion_range = int(params.fragment_mean + 10 * params.fragment_stddev)
 
+    # --- vectorized concordance screen ----------------------------------
+    # C++ semantics (clustermatepairs.cpp:211-244): per fragment, bin each
+    # alignment into minFusionRange-length bins extended by minFusionRange;
+    # a fragment is concordant when both read ends share a (ref, bin).
+    n = len(table)
+    frag_col = table.fragment.astype(np.int64)
+    starts = table.start.astype(np.int64)
+    ends = table.end.astype(np.int64)
+    mfr = np.int64(min_fusion_range)
+    lo = _trunc_div(starts - mfr, mfr)
+    hi = _trunc_div(ends + mfr, mfr)
+    counts = (hi - lo + 1).astype(np.int64)
+    row_rep = np.repeat(np.arange(n), counts)
+    bin_vals = lo[row_rep] + (np.arange(len(row_rep))
+                              - np.repeat(np.cumsum(counts) - counts,
+                                          counts))
+    ref_rep = table.ref.astype(np.int64)[row_rep]
+    end_rep = table.read_end.astype(np.int64)[row_rep]
+    frag_rep = frag_col[row_rep]
+    # sort by (frag, ref, bin, end); both-end duplicates are adjacent
+    order = np.lexsort((end_rep, bin_vals, ref_rep, frag_rep))
+    fs, rs, bs, es = (frag_rep[order], ref_rep[order], bin_vals[order],
+                      end_rep[order])
+    same = (fs[:-1] == fs[1:]) & (rs[:-1] == rs[1:]) & (bs[:-1] == bs[1:]) \
+        & (es[:-1] != es[1:])
+    concordant_frags = set(fs[:-1][same].tolist())
+
+    # precomputed cluster-bin ranges (bin length 2^15, extend mfr)
+    clo = _trunc_div(starts - mfr, np.int64(BIN_LENGTH))
+    chi = _trunc_div(ends + mfr, np.int64(BIN_LENGTH))
+
     # --- group rows by fragment in stream order -------------------------
     bin_pairs: dict = {}
-    n = len(table)
     i = 0
-    frag_col = table.fragment
     while i < n:
         j = i
         frag = frag_col[i]
         while j < n and frag_col[j] == frag:
             j += 1
-        rows = [(int(table.fragment[r]), int(table.read_end[r]),
-                 int(table.ref[r]), int(table.strand[r]),
-                 int(table.start[r]), int(table.end[r])) for r in range(i, j)]
-        if not check_concordant(rows, min_fusion_range):
+        if int(frag) not in concordant_frags:
+            rows = [(int(table.fragment[r]), int(table.read_end[r]),
+                     int(table.ref[r]), int(table.strand[r]),
+                     int(table.start[r]), int(table.end[r]),
+                     range(int(clo[r]), int(chi[r]) + 1))
+                    for r in range(i, j)]
             add_bin_pairs(rows, min_fusion_range, bin_pairs)
         i = j
 
@@ -306,20 +341,39 @@ def emit_cluster_rows(tasks, memberships, table: AlignmentTable,
 
 
 def cluster_alignments(table: AlignmentTable, params: EMParams,
-                       use_device: bool = False):
+                       use_device: bool = False, em_mode: str = "auto"):
     """Full clustering pass over an alignment table grouped by fragment.
 
     The table must be grouped by fragment (stream order), as produced by
-    the aligner stage.  Returns a list of ClusterRow.  ``use_device``
-    routes the EM through the batched JAX path (decision-equivalent);
-    default is the exact host oracle.
+    the aligner stage.  Returns a list of ClusterRow.
+
+    em_mode:
+      "auto"   — native C++ exact EM when built, else the Python oracle
+      "native" — native C++ exact EM (bit-identical memberships)
+      "oracle" — Python exact oracle
+      "device" — batched JAX EM (decision-equivalent)
+    ``use_device=True`` upgrades "auto" to "device".
     """
     tasks = collect_bin_pair_tasks(table, params)
-    if use_device and tasks:
+    if em_mode == "auto":
+        from . import native
+        if native.available():
+            em_mode = "native"
+        elif use_device:
+            em_mode = "device"
+        else:
+            em_mode = "oracle"
+    if not tasks:
+        memberships = []
+    elif em_mode == "device":
         from .matepair_em_batch import prepare_batch, run_batch
         batch = prepare_batch([(t.x, t.y, t.u) for t in tasks], params)
         result = run_batch(batch, params)
         memberships = [result.get(i, []) for i in range(len(tasks))]
+    elif em_mode == "native":
+        from . import native
+        memberships = native.em_cluster_batch(
+            [(t.x, t.y, t.u) for t in tasks], params)
     else:
         em = MatePairEM(params)
         memberships = [em.do_clustering(t.x, t.y, t.u) for t in tasks]

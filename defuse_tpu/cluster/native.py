@@ -1,0 +1,148 @@
+"""ctypes bindings for the native host library (native/defuse_host.cpp).
+
+The native library carries the sequential host-side inner loops (exact
+mate-pair EM with AS136 seeding, greedy set cover) at C++ speed; the
+Python oracles remain the parity ground truth and the fallback when the
+library is not built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+K_MAX = 10
+
+_LIB_PATH = pathlib.Path(__file__).resolve().parent.parent.parent / \
+    "native" / "libdefuse_host.so"
+_lib = None
+
+
+def load_library(build_if_missing: bool = True):
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and build_if_missing:
+        try:
+            subprocess.run(["bash", str(_LIB_PATH.parent / "build.sh")],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.dt_em_cluster.restype = ctypes.c_int
+    lib.dt_em_cluster.argtypes = [
+        ctypes.POINTER(ctypes.c_double)] * 3 + [
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.dt_em_cluster_batch.restype = None
+    lib.dt_setcover.restype = None
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def _dptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def em_cluster(x, y, u, params) -> list[list[int]]:
+    """Exact EM clustering of one instance via the native library."""
+    lib = load_library()
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    u = np.ascontiguousarray(u, dtype=np.float64)
+    n = len(x)
+    members = np.zeros(max(1, K_MAX * n), dtype=np.int32)
+    sizes = np.zeros(K_MAX, dtype=np.int32)
+    count = lib.dt_em_cluster(
+        _dptr(x), _dptr(y), _dptr(u), n,
+        ctypes.c_double(params.fragment_mean),
+        ctypes.c_double(params.fragment_stddev),
+        ctypes.c_double(params.precision), params.min_cluster_size,
+        _iptr(members), _iptr(sizes))
+    out = []
+    pos = 0
+    for c in range(count):
+        out.append(members[pos:pos + sizes[c]].tolist())
+        pos += sizes[c]
+    return out
+
+
+def em_cluster_batch(instances, params, n_threads: int = 0):
+    """Threaded exact EM over many instances.  Returns list of cluster
+    lists per instance."""
+    lib = load_library()
+    if n_threads <= 0:
+        import os
+        n_threads = max(1, (os.cpu_count() or 2) - 1)
+    n_inst = len(instances)
+    offsets = np.zeros(n_inst + 1, dtype=np.int64)
+    for i, (x, _y, _u) in enumerate(instances):
+        offsets[i + 1] = offsets[i] + len(x)
+    total = int(offsets[-1])
+    X = np.zeros(total)
+    Y = np.zeros(total)
+    U = np.zeros(total)
+    for i, (x, y, u) in enumerate(instances):
+        X[offsets[i]:offsets[i + 1]] = x
+        Y[offsets[i]:offsets[i + 1]] = y
+        U[offsets[i]:offsets[i + 1]] = u
+    member_offsets = offsets * K_MAX
+    members = np.zeros(max(1, K_MAX * total), dtype=np.int32)
+    sizes = np.zeros(K_MAX * n_inst, dtype=np.int32)
+    counts = np.zeros(n_inst, dtype=np.int32)
+    lib.dt_em_cluster_batch(
+        _dptr(X), _dptr(Y), _dptr(U),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_inst,
+        ctypes.c_double(params.fragment_mean),
+        ctypes.c_double(params.fragment_stddev),
+        ctypes.c_double(params.precision), params.min_cluster_size,
+        n_threads, _iptr(members),
+        member_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _iptr(sizes), _iptr(counts))
+    out = []
+    for i in range(n_inst):
+        clusters = []
+        pos = int(member_offsets[i])
+        for c in range(counts[i]):
+            size = int(sizes[i * K_MAX + c])
+            clusters.append(members[pos:pos + size].tolist())
+            pos += size
+        out.append(clusters)
+    return out
+
+
+def set_cover(clusters: list[list[int]]) -> list[list[int]]:
+    """Native greedy set cover; same contract as
+    ``cluster.setcover.set_cover``."""
+    lib = load_library()
+    n = len(clusters)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, c in enumerate(clusters):
+        offsets[i + 1] = offsets[i] + len(c)
+    members = np.zeros(max(1, int(offsets[-1])), dtype=np.int32)
+    for i, c in enumerate(clusters):
+        members[offsets[i]:offsets[i + 1]] = c
+    keep = np.zeros(max(1, int(offsets[-1])), dtype=np.int32)
+    lib.dt_setcover(
+        _iptr(members),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, int(offsets[-1]), _iptr(keep))
+    out = []
+    for i in range(n):
+        sl = slice(int(offsets[i]), int(offsets[i + 1]))
+        out.append(members[sl][keep[sl] == 1].tolist())
+    return out

@@ -89,5 +89,9 @@ def rewrite_clusters(in_path: str, out_path: str,
 def run_setcover_file(in_path: str, out_path: str,
                       min_cluster_size: int) -> None:
     clusters = read_cluster_fragments(in_path)
-    solution = set_cover(clusters)
+    from . import native
+    if native.available():
+        solution = native.set_cover(clusters)
+    else:
+        solution = set_cover(clusters)
     rewrite_clusters(in_path, out_path, solution, min_cluster_size)

@@ -27,7 +27,7 @@ from .regions import align_regions_lines
 def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                      fragment_mean, fragment_stddev, precision,
                      min_cluster_size, min_read_length, max_read_length,
-                     outdir, use_device=True):
+                     outdir, use_device=True, em_mode="auto"):
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     params = EMParams(fragment_mean, fragment_stddev, precision,
@@ -35,7 +35,8 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
 
     # --- clustering -----------------------------------------------------
     table = load_alignments(iter_compact(spanning))
-    rows = cluster_alignments(table, params, use_device=use_device)
+    rows = cluster_alignments(table, params, use_device=use_device,
+                              em_mode=em_mode)
     clusters_path = out / "clusters"
     write_clusters(rows, str(clusters_path))
 

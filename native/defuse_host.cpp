@@ -1,0 +1,765 @@
+// defuse-tpu native host library
+//
+// C++ implementations of the sequential host-side stages that wrap the
+// TPU compute path: discordant mate-pair clustering (binning + exact
+// mixture EM; algorithm spec: reference tools/clustermatepairs.cpp and
+// tools/MatePairEM.cpp — re-implemented from scratch, matching the
+// byte-level contracts the Python oracles in defuse_tpu/cluster/ pin
+// down), AS 136 k-means seeding, and greedy set cover
+// (tools/setcover.cpp contract, canonical lowest-id tie-break).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+// Build: ./build.sh -> libdefuse_host.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <set>
+#include <sstream>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+constexpr double kLambda = 0.1;
+constexpr double kTolerance = 0.001;
+constexpr int kKMax = 10;
+constexpr int kKMeansIter = 1000;
+constexpr double kHuge = 1.0e30;
+
+// ---------------------------------------------------------------------
+// AS 241 norminv + normal pdf (defuse_tpu/stats/normal.py contract)
+// ---------------------------------------------------------------------
+
+double poly8(const double* c, double x) {
+  double v = c[7];
+  for (int i = 6; i >= 0; i--) v = v * x + c[i];
+  return v;
+}
+
+double norminv(double p) {
+  static const double A[8] = {3.3871328727963666080, 1.3314166789178437745e2,
+    1.9715909503065514427e3, 1.3731693765509461125e4, 4.5921953931549871457e4,
+    6.7265770927008700853e4, 3.3430575583588128105e4, 2.5090809287301226727e3};
+  static const double B[8] = {1.0, 4.2313330701600911252e1,
+    6.8718700749205790830e2, 5.3941960214247511077e3, 2.1213794301586595867e4,
+    3.9307895800092710610e4, 2.8729085735721942674e4, 5.2264952788528545610e3};
+  static const double C[8] = {1.42343711074968357734, 4.63033784615654529590,
+    5.76949722146069140550, 3.64784832476320460504, 1.27045825245236838258,
+    2.41780725177450611770e-1, 2.27238449892691845833e-2,
+    7.74545014278341407640e-4};
+  static const double D[8] = {1.0, 2.05319162663775882187,
+    1.67638483018380384940, 6.89767334985100004550e-1,
+    1.48103976427480074590e-1, 1.51986665636164571966e-2,
+    5.47593808499534494600e-4, 1.05075007164441684324e-9};
+  static const double E[8] = {6.65790464350110377720, 5.46378491116411436990,
+    1.78482653991729133580, 2.96560571828504891230e-1,
+    2.65321895265761230930e-2, 1.24266094738807843860e-3,
+    2.71155556874348757815e-5, 2.01033439929228813265e-7};
+  static const double F[8] = {1.0, 5.99832206555887937690e-1,
+    1.36929880922735805310e-1, 1.48753612908506148525e-2,
+    7.86869131145613259100e-4, 1.84631831751005468180e-5,
+    1.42151175831644588870e-7, 2.04426310338993978564e-15};
+  if (p <= 0.0) return -kHuge;
+  if (p >= 1.0) return kHuge;
+  double q = p - 0.5;
+  if (std::fabs(q) <= 0.425) {
+    double r = 0.180625 - q * q;
+    return q * poly8(A, r) / poly8(B, r);
+  }
+  double r = (q < 0.0) ? p : 1.0 - p;
+  r = std::sqrt(-std::log(r));
+  double value;
+  if (r <= 5.0) {
+    r -= 1.6;
+    value = poly8(C, r) / poly8(D, r);
+  } else {
+    r -= 5.0;
+    value = poly8(E, r) / poly8(F, r);
+  }
+  return (q < 0.0) ? -value : value;
+}
+
+double normalpdf(double x, double mu, double sigma) {
+  double coeff = 1.0 / (sigma * std::sqrt(2.0 * M_PI));
+  double dist = (x - mu) / sigma;
+  return coeff * std::exp(-0.5 * dist * dist);
+}
+
+// ---------------------------------------------------------------------
+// AS 136 Hartigan-Wong k-means (defuse_tpu/cluster/kmeans.py contract)
+// ---------------------------------------------------------------------
+
+struct KmnsState {
+  int m, n, k;
+  const double* a;  // column-major (m x n)
+  std::vector<double> c;  // column-major (k x n)
+  std::vector<int> ic1, ic2, nc, ncp, itran, live;
+  std::vector<double> an1, an2, d;
+  int indx = 0;
+};
+
+void optra(KmnsState& s) {
+  const int m = s.m, n = s.n, k = s.k;
+  for (int l = 0; l < k; l++)
+    if (s.itran[l] == 1) s.live[l] = m + 1;
+  for (int i = 0; i < m; i++) {
+    s.indx++;
+    int l1 = s.ic1[i], l2 = s.ic2[i], ll = l2;
+    if (s.nc[l1] > 1) {
+      if (s.ncp[l1] != 0) {
+        double de = 0.0;
+        for (int j = 0; j < n; j++) {
+          double df = s.a[i + j * m] - s.c[l1 + j * k];
+          de += df * df;
+        }
+        s.d[i] = de * s.an1[l1];
+      }
+      double da = 0.0;
+      for (int j = 0; j < n; j++) {
+        double db = s.a[i + j * m] - s.c[l2 + j * k];
+        da += db * db;
+      }
+      double r2 = da * s.an2[l2];
+      for (int l = 0; l < k; l++) {
+        if ((i + 1 < s.live[l1] || i + 1 < s.live[l2]) && l != l1 &&
+            l != ll) {
+          double rr = r2 / s.an2[l];
+          double dc = 0.0;
+          for (int j = 0; j < n; j++) {
+            double dd = s.a[i + j * m] - s.c[l + j * k];
+            dc += dd * dd;
+          }
+          if (dc < rr) {
+            r2 = dc * s.an2[l];
+            l2 = l;
+          }
+        }
+      }
+      if (s.d[i] <= r2) {
+        s.ic2[i] = l2;
+      } else {
+        s.indx = 0;
+        s.live[l1] = m + i + 1;
+        s.live[l2] = m + i + 1;
+        s.ncp[l1] = i + 1;
+        s.ncp[l2] = i + 1;
+        double al1 = s.nc[l1], alw = al1 - 1.0;
+        double al2 = s.nc[l2], alt = al2 + 1.0;
+        for (int j = 0; j < n; j++) {
+          s.c[l1 + j * k] = (s.c[l1 + j * k] * al1 - s.a[i + j * m]) / alw;
+          s.c[l2 + j * k] = (s.c[l2 + j * k] * al2 + s.a[i + j * m]) / alt;
+        }
+        s.nc[l1]--;
+        s.nc[l2]++;
+        s.an2[l1] = alw / al1;
+        s.an1[l1] = (alw > 1.0) ? alw / (alw - 1.0) : kHuge;
+        s.an1[l2] = alt / al2;
+        s.an2[l2] = alt / (alt + 1.0);
+        s.ic1[i] = l2;
+        s.ic2[i] = l1;
+      }
+    }
+    if (s.indx == m) return;
+  }
+  for (int l = 0; l < k; l++) {
+    s.itran[l] = 0;
+    s.live[l] -= m;
+  }
+}
+
+void qtran(KmnsState& s) {
+  const int m = s.m, n = s.n, k = s.k;
+  int icoun = 0, istep = 0;
+  for (;;) {
+    for (int i = 0; i < m; i++) {
+      icoun++;
+      istep++;
+      int l1 = s.ic1[i], l2 = s.ic2[i];
+      if (s.nc[l1] > 1) {
+        if (istep <= s.ncp[l1]) {
+          double da = 0.0;
+          for (int j = 0; j < n; j++) {
+            double db = s.a[i + j * m] - s.c[l1 + j * k];
+            da += db * db;
+          }
+          s.d[i] = da * s.an1[l1];
+        }
+        if (istep < s.ncp[l1] || istep < s.ncp[l2]) {
+          double r2 = s.d[i] / s.an2[l2];
+          double dd = 0.0;
+          for (int j = 0; j < n; j++) {
+            double de = s.a[i + j * m] - s.c[l2 + j * k];
+            dd += de * de;
+          }
+          if (dd < r2) {
+            icoun = 0;
+            s.indx = 0;
+            s.itran[l1] = 1;
+            s.itran[l2] = 1;
+            s.ncp[l1] = istep + m;
+            s.ncp[l2] = istep + m;
+            double al1 = s.nc[l1], alw = al1 - 1.0;
+            double al2 = s.nc[l2], alt = al2 + 1.0;
+            for (int j = 0; j < n; j++) {
+              s.c[l1 + j * k] =
+                  (s.c[l1 + j * k] * al1 - s.a[i + j * m]) / alw;
+              s.c[l2 + j * k] =
+                  (s.c[l2 + j * k] * al2 + s.a[i + j * m]) / alt;
+            }
+            s.nc[l1]--;
+            s.nc[l2]++;
+            s.an2[l1] = alw / al1;
+            s.an1[l1] = (alw > 1.0) ? alw / (alw - 1.0) : kHuge;
+            s.an1[l2] = alt / al2;
+            s.an2[l2] = alt / (alt + 1.0);
+            s.ic1[i] = l2;
+            s.ic2[i] = l1;
+          }
+        }
+      }
+      if (icoun == m) return;
+    }
+  }
+}
+
+// returns ifault; assignments in ic1 (0-based)
+int kmns(const double* a, int m, int n, std::vector<double>& c, int k,
+         std::vector<int>& ic1_out, int iter_max) {
+  if (k <= 1 || m <= k) return 3;
+  KmnsState s;
+  s.m = m;
+  s.n = n;
+  s.k = k;
+  s.a = a;
+  s.c = c;
+  s.ic1.assign(m, 0);
+  s.ic2.assign(m, 0);
+  for (int i = 0; i < m; i++) {
+    double dt[2] = {0.0, 0.0};
+    for (int il = 0; il < 2; il++)
+      for (int j = 0; j < n; j++) {
+        double da = a[i + j * m] - s.c[il + j * k];
+        dt[il] += da * da;
+      }
+    if (dt[1] < dt[0]) {
+      s.ic1[i] = 1;
+      s.ic2[i] = 0;
+      std::swap(dt[0], dt[1]);
+    } else {
+      s.ic1[i] = 0;
+      s.ic2[i] = 1;
+    }
+    for (int l = 2; l < k; l++) {
+      double db = 0.0;
+      for (int j = 0; j < n; j++) {
+        double dc = a[i + j * m] - s.c[l + j * k];
+        db += dc * dc;
+      }
+      if (db < dt[1]) {
+        if (dt[0] <= db) {
+          dt[1] = db;
+          s.ic2[i] = l;
+        } else {
+          dt[1] = dt[0];
+          s.ic2[i] = s.ic1[i];
+          dt[0] = db;
+          s.ic1[i] = l;
+        }
+      }
+    }
+  }
+  s.nc.assign(k, 0);
+  std::fill(s.c.begin(), s.c.end(), 0.0);
+  for (int i = 0; i < m; i++) {
+    int l = s.ic1[i];
+    s.nc[l]++;
+    for (int j = 0; j < n; j++) s.c[l + j * k] += a[i + j * m];
+  }
+  for (int l = 0; l < k; l++)
+    if (s.nc[l] == 0) return 1;
+  s.an1.assign(k, 0.0);
+  s.an2.assign(k, 0.0);
+  s.ncp.assign(k, 0);
+  s.itran.assign(k, 0);
+  s.live.assign(k, 0);
+  s.d.assign(m, 0.0);
+  for (int l = 0; l < k; l++) {
+    double aa = s.nc[l];
+    for (int j = 0; j < n; j++) s.c[l + j * k] /= aa;
+    s.an2[l] = aa / (aa + 1.0);
+    s.an1[l] = (aa > 1.0) ? aa / (aa - 1.0) : kHuge;
+    s.itran[l] = 1;
+    s.ncp[l] = -1;
+  }
+  s.indx = 0;
+  int ifault = 2;
+  for (int ij = 0; ij < iter_max; ij++) {
+    optra(s);
+    if (s.indx == m) {
+      ifault = 0;
+      break;
+    }
+    qtran(s);
+    if (k == 2) {
+      ifault = 0;
+      break;
+    }
+    std::fill(s.ncp.begin(), s.ncp.end(), 0);
+  }
+  ic1_out = s.ic1;
+  return ifault;
+}
+
+// ---------------------------------------------------------------------
+// Exact mate-pair mixture EM (defuse_tpu/cluster/matepair_em.py contract)
+// ---------------------------------------------------------------------
+
+struct EMInstance {
+  std::vector<double> x, y, u;
+};
+
+class MatePairEMHost {
+ public:
+  MatePairEMHost(double mean, double stddev, double precision,
+                 int min_cluster_size)
+      : mean_(mean), stddev_(stddev), min_size_(min_cluster_size) {
+    double xq = -stddev * norminv((1.0 - precision) / 2.0);
+    min_probability_ = normalpdf(xq, 0.0, stddev);
+  }
+
+  // clusters as concatenated member lists + sizes
+  void DoClustering(const EMInstance& inst,
+                    std::vector<std::vector<int>>& clusters) {
+    clusters.clear();
+    n_ = (int)inst.x.size();
+    if (n_ < min_size_) return;
+    x_ = inst.x;
+    y_ = inst.y;
+    u_ = inst.u;
+
+    // stable descending sorts
+    std::vector<int> xo_order(n_), yo_order(n_);
+    for (int i = 0; i < n_; i++) xo_order[i] = yo_order[i] = i;
+    std::stable_sort(xo_order.begin(), xo_order.end(),
+                     [&](int a, int b) { return x_[a] > x_[b]; });
+    std::stable_sort(yo_order.begin(), yo_order.end(),
+                     [&](int a, int b) { return y_[a] > y_[b]; });
+    xo_.resize(n_);
+    yo_.resize(n_);
+    to_xo_.resize(n_);
+    to_yo_.resize(n_);
+    for (int s = 0; s < n_; s++) {
+      xo_[s] = x_[xo_order[s]];
+      to_xo_[xo_order[s]] = s;
+      yo_[s] = y_[yo_order[s]];
+      to_yo_[yo_order[s]] = s;
+    }
+    xo_inv_ = xo_order;
+    yo_inv_ = yo_order;
+
+    double min_bic = 0.0;
+    bool min_bic_valid = false;
+    int k_min_bic = 1;
+    for (k_ = 1; k_ <= std::min(kKMax, n_); k_++) {
+      double ll;
+      if (!ExpectationMaximization(ll)) continue;
+      double bic = -2.0 * ll + k_ * 2.0 * std::log((double)n_);
+      if (!min_bic_valid || bic < min_bic) {
+        min_bic = bic;
+        k_min_bic = k_;
+        min_bic_valid = true;
+      }
+    }
+    k_ = k_min_bic;
+    double ll;
+    if (!ExpectationMaximization(ll)) return;
+    for (int j = 0; j < k_; j++) {
+      std::vector<int> cluster;
+      for (int i = 0; i < n_; i++) {
+        double prob = PairProbability(x_[i], y_[i], u_[i], a_[j], b_[j]);
+        if (prob > min_probability_) cluster.push_back(i);
+      }
+      if ((int)cluster.size() >= min_size_)
+        clusters.push_back(std::move(cluster));
+    }
+  }
+
+  double PairProbability(double x, double y, double u, double a,
+                         double b) const {
+    return normalpdf(a + b - x - y, u, stddev_) *
+           std::exp(-kLambda * std::max(0.0, x - a) -
+                    kLambda * std::max(0.0, y - b));
+  }
+
+ private:
+  bool MaxLikelihood(const std::vector<double>& R,
+                     const std::vector<double>& RXO,
+                     const std::vector<double>& RYO, double& a,
+                     double& b) const {
+    const int n = n_;
+    std::vector<double> SX(n), SY(n);
+    double acc = 0.0;
+    for (int i = 0; i < n; i++) {
+      acc += RXO[i];
+      SX[i] = acc;
+    }
+    acc = 0.0;
+    for (int j = 0; j < n; j++) {
+      acc += RYO[j];
+      SY[j] = acc;
+    }
+    std::vector<double> CX, CY, CS;
+    CX.push_back(xo_[0]);
+    CY.push_back(yo_[0]);
+    CS.push_back(0.0);
+    int i = 0, j = 0;
+    while (i < n && j < n) {
+      if (i + 1 < n && xo_[i] == xo_[i + 1]) {
+        i++;
+        continue;
+      }
+      if (j + 1 < n && yo_[j] == yo_[j + 1]) {
+        j++;
+        continue;
+      }
+      if (SX[i] == SY[j]) {
+        CX.push_back(xo_[i]);
+        CY.push_back(yo_[j]);
+        CS.push_back(SX[i]);
+        if (i + 1 < n && j + 1 < n) {
+          CX.push_back(xo_[i + 1]);
+          CY.push_back(yo_[j + 1]);
+          CS.push_back(SX[i]);
+        }
+        i++;
+        j++;
+      } else if (SX[i] < SY[j]) {
+        CX.push_back(xo_[i]);
+        CY.push_back(yo_[j]);
+        CS.push_back(SX[i]);
+        if (i + 1 < n) {
+          CX.push_back(xo_[i + 1]);
+          CY.push_back(yo_[j]);
+          CS.push_back(SX[i]);
+        }
+        i++;
+      } else {
+        CX.push_back(xo_[i]);
+        CY.push_back(yo_[j]);
+        CS.push_back(SY[j]);
+        if (j + 1 < n) {
+          CX.push_back(xo_[i]);
+          CY.push_back(yo_[j + 1]);
+          CS.push_back(SY[j]);
+        }
+        j++;
+      }
+    }
+    double NK = 0.0;
+    for (int t = 0; t < n; t++) NK += R[t];
+    if (NK == 0.0) return false;
+    double RXYU = 0.0;
+    for (int t = 0; t < n; t++) RXYU += R[t] * (x_[t] + y_[t] + u_[t]);
+    const double s2 = stddev_ * stddev_;
+    size_t minindex = 0;
+    while (minindex < CS.size()) {
+      double partial =
+          (RXYU - NK * (CX[minindex] + CY[minindex])) / s2 +
+          kLambda * CS[minindex];
+      if (partial > 0) break;
+      minindex++;
+    }
+    if (minindex >= CS.size()) minindex = CS.size() - 1;  // guarded UB
+    double aplusb = (RXYU + s2 * kLambda * CS[minindex]) / NK;
+    if (minindex == 0) {
+      double min_a = CX[0];
+      double max_a = aplusb - CY[0];
+      a = 0.5 * (min_a + max_a);
+      b = aplusb - a;
+    } else if (CS[minindex] != CS[minindex - 1]) {
+      a = CX[minindex];
+      b = CY[minindex];
+    } else {
+      double min_a = std::max(CX[minindex], aplusb - CY[minindex - 1]);
+      double max_a = std::min(CX[minindex - 1], aplusb - CY[minindex]);
+      a = 0.5 * (min_a + max_a);
+      b = aplusb - a;
+    }
+    return true;
+  }
+
+  bool SelectKKZ(int k, std::vector<double>& A, std::vector<double>& B) {
+    A.clear();
+    B.clear();
+    double l2max = x_[0] * y_[0];
+    int imax = 0;
+    for (int i = 1; i < n_; i++) {
+      double l2 = x_[i] * y_[i];
+      if (l2 > l2max) {
+        imax = i;
+        l2max = l2;
+      }
+    }
+    A.push_back(x_[imax]);
+    B.push_back(y_[imax]);
+    std::vector<double> dist(n_);
+    for (int i = 0; i < n_; i++) {
+      double dx = x_[i] - A[0], dy = y_[i] - B[0];
+      dist[i] = dx * dx + dy * dy;
+    }
+    while ((int)A.size() < k) {
+      int ifar = 0;
+      double far = dist[0];
+      for (int i = 1; i < n_; i++)
+        if (dist[i] > far) {
+          far = dist[i];
+          ifar = i;
+        }
+      if (far == 0.0) return false;
+      A.push_back(x_[ifar]);
+      B.push_back(y_[ifar]);
+      for (int i = 0; i < n_; i++) {
+        double dx = x_[i] - A.back(), dy = y_[i] - B.back();
+        dist[i] = std::min(dist[i], dx * dx + dy * dy);
+      }
+    }
+    return true;
+  }
+
+  void Exponents(std::vector<std::vector<double>>& exps) const {
+    exps.assign(k_, std::vector<double>(n_));
+    for (int i = 0; i < n_; i++)
+      for (int j = 0; j < k_; j++) {
+        double diff = (a_[j] + b_[j] - x_[i] - y_[i] - u_[i]) / stddev_;
+        exps[j][i] = -0.5 * diff * diff -
+                     kLambda * std::max(0.0, x_[i] - a_[j]) -
+                     kLambda * std::max(0.0, y_[i] - b_[j]);
+      }
+  }
+
+  double LogLikelihood() const {
+    std::vector<std::vector<double>> exps;
+    Exponents(exps);
+    double LL = 0.0;
+    for (int i = 0; i < n_; i++) {
+      double maxexp = exps[0][i];
+      for (int j = 1; j < k_; j++) maxexp = std::max(maxexp, exps[j][i]);
+      double sum = 0.0;
+      for (int j = 0; j < k_; j++)
+        sum += w_[j] * std::exp(exps[j][i] - maxexp);
+      if (sum == 0.0) return -std::numeric_limits<double>::max();
+      LL += std::log(sum) + maxexp;
+    }
+    return LL;
+  }
+
+  void UpdateResponsibilities() {
+    std::vector<std::vector<double>> exps;
+    Exponents(exps);
+    for (int i = 0; i < n_; i++) {
+      double maxexp = exps[0][i];
+      for (int j = 1; j < k_; j++) maxexp = std::max(maxexp, exps[j][i]);
+      double norm = 0.0;
+      for (int j = 0; j < k_; j++)
+        norm += w_[j] * std::exp(exps[j][i] - maxexp);
+      for (int j = 0; j < k_; j++) {
+        double r = w_[j] * std::exp(exps[j][i] - maxexp) / norm;
+        r_[j][i] = r;
+        rxo_[j][to_xo_[i]] = r;
+        ryo_[j][to_yo_[i]] = r;
+      }
+    }
+  }
+
+  bool ExpectationMaximization(double& ll_out) {
+    r_.assign(k_, std::vector<double>(n_, 0.0));
+    rxo_.assign(k_, std::vector<double>(n_, 0.0));
+    ryo_.assign(k_, std::vector<double>(n_, 0.0));
+    w_.assign(k_, 0.0);
+    a_.assign(k_, 0.0);
+    b_.assign(k_, 0.0);
+    if (k_ == 1 || k_ == n_) {
+      for (int j = 0; j < k_; j++) {
+        std::fill(r_[j].begin(), r_[j].end(), 1.0 / k_);
+        std::fill(rxo_[j].begin(), rxo_[j].end(), 1.0 / k_);
+        std::fill(ryo_[j].begin(), ryo_[j].end(), 1.0 / k_);
+      }
+    } else {
+      std::vector<double> px, py;
+      if (!SelectKKZ(k_, px, py)) return false;
+      // kmns over (y, x) column-major layout
+      std::vector<double> a_mat((size_t)n_ * 2);
+      for (int i = 0; i < n_; i++) {
+        a_mat[i] = y_[i];
+        a_mat[i + n_] = x_[i];
+      }
+      std::vector<double> c_mat((size_t)k_ * 2);
+      for (int j = 0; j < k_; j++) {
+        c_mat[j] = py[j];
+        c_mat[j + k_] = px[j];
+      }
+      std::vector<int> ic1;
+      int ifault = kmns(a_mat.data(), n_, 2, c_mat, k_, ic1, kKMeansIter);
+      if (ifault == 1 || ifault == 3) return false;
+      for (int i = 0; i < n_; i++)
+        for (int j = 0; j < k_; j++) {
+          double v = (j == ic1[i]) ? 1.0 : 0.0;
+          r_[j][i] = v;
+          rxo_[j][to_xo_[i]] = v;
+          ryo_[j][to_yo_[i]] = v;
+        }
+    }
+    double last_ll = 0.0;
+    bool last_valid = false;
+    for (;;) {
+      for (int j = 0; j < k_; j++) {
+        double a, b;
+        if (MaxLikelihood(r_[j], rxo_[j], ryo_[j], a, b)) {
+          a_[j] = a;
+          b_[j] = b;
+        }
+      }
+      for (int j = 0; j < k_; j++) {
+        double nk = 0.0;
+        for (int i = 0; i < n_; i++) nk += r_[j][i];
+        w_[j] = nk / n_;
+      }
+      double ll = LogLikelihood();
+      if (last_valid && std::fabs(ll - last_ll) < kTolerance) break;
+      if (last_valid && ll == -std::numeric_limits<double>::max())
+        return false;
+      last_ll = ll;
+      last_valid = true;
+      UpdateResponsibilities();
+    }
+    ll_out = last_ll;
+    return true;
+  }
+
+  double mean_, stddev_, min_probability_;
+  int min_size_;
+  int n_ = 0, k_ = 0;
+  std::vector<double> x_, y_, u_, xo_, yo_, w_, a_, b_;
+  std::vector<int> to_xo_, to_yo_, xo_inv_, yo_inv_;
+  std::vector<std::vector<double>> r_, rxo_, ryo_;
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------
+
+extern "C" {
+
+// Cluster one bin-pair instance.  Outputs flattened member lists:
+// out_members gets the concatenated member indices, out_sizes the
+// per-cluster counts; returns the number of clusters (<= kmax).
+// Buffers must hold kmax*n ints (members) and kmax ints (sizes).
+int dt_em_cluster(const double* x, const double* y, const double* u, int n,
+                  double frag_mean, double frag_std, double precision,
+                  int min_cluster_size, int* out_members, int* out_sizes) {
+  MatePairEMHost em(frag_mean, frag_std, precision, min_cluster_size);
+  EMInstance inst;
+  inst.x.assign(x, x + n);
+  inst.y.assign(y, y + n);
+  inst.u.assign(u, u + n);
+  std::vector<std::vector<int>> clusters;
+  em.DoClustering(inst, clusters);
+  int pos = 0;
+  for (size_t c = 0; c < clusters.size(); c++) {
+    out_sizes[c] = (int)clusters[c].size();
+    for (int m : clusters[c]) out_members[pos++] = m;
+  }
+  return (int)clusters.size();
+}
+
+// Batched, threaded variant: instances given by offsets into flat
+// arrays.  out_members must hold kKMax * total points; out_sizes
+// kKMax * n_instances; out_counts n_instances.
+void dt_em_cluster_batch(const double* x, const double* y, const double* u,
+                         const int64_t* offsets, int n_instances,
+                         double frag_mean, double frag_std, double precision,
+                         int min_cluster_size, int n_threads,
+                         int* out_members, int64_t* member_offsets,
+                         int* out_sizes, int* out_counts) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  auto work = [&](int t) {
+    MatePairEMHost em(frag_mean, frag_std, precision, min_cluster_size);
+    for (int idx = t; idx < n_instances; idx += n_threads) {
+      int64_t lo = offsets[idx], hi = offsets[idx + 1];
+      int n = (int)(hi - lo);
+      EMInstance inst;
+      inst.x.assign(x + lo, x + hi);
+      inst.y.assign(y + lo, y + hi);
+      inst.u.assign(u + lo, u + hi);
+      std::vector<std::vector<int>> clusters;
+      em.DoClustering(inst, clusters);
+      out_counts[idx] = (int)clusters.size();
+      int pos = (int)(member_offsets[idx]);
+      for (size_t c = 0; c < clusters.size(); c++) {
+        out_sizes[idx * kKMax + (int)c] = (int)clusters[c].size();
+        for (int m : clusters[c]) out_members[pos++] = m;
+      }
+    }
+  };
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+}
+
+// Greedy set cover (canonical lowest-id tie-break).  clusters given as
+// flat member array + offsets; out_keep is a 0/1 mask per member slot.
+void dt_setcover(const int* members, const int64_t* offsets,
+                 int n_clusters, int64_t n_members_total, int* out_keep) {
+  std::vector<int64_t> sizes(n_clusters);
+  int max_element = -1;
+  for (int c = 0; c < n_clusters; c++) {
+    sizes[c] = offsets[c + 1] - offsets[c];
+    for (int64_t i = offsets[c]; i < offsets[c + 1]; i++)
+      max_element = std::max(max_element, members[i]);
+  }
+  std::vector<std::vector<int>> element_clusters(max_element + 1);
+  for (int c = 0; c < n_clusters; c++)
+    for (int64_t i = offsets[c]; i < offsets[c + 1]; i++)
+      element_clusters[members[i]].push_back(c);
+  std::vector<char> assigned(max_element + 1, 0);
+  std::fill(out_keep, out_keep + n_members_total, 0);
+  // (size, -cluster) max-heap via ordered set
+  std::set<std::pair<int64_t, int64_t>> order;  // (size, -cluster)
+  for (int c = 0; c < n_clusters; c++)
+    order.insert({sizes[c], -(int64_t)c});
+  while (!order.empty()) {
+    auto it = std::prev(order.end());
+    int64_t size = it->first;
+    int c = (int)(-it->second);
+    if (size == 0) break;
+    order.erase(it);
+    for (int64_t i = offsets[c]; i < offsets[c + 1]; i++) {
+      int e = members[i];
+      if (assigned[e]) continue;
+      assigned[e] = 1;
+      out_keep[i] = 1;
+      for (int other : element_clusters[e]) {
+        if (other == c) {
+          sizes[other]--;
+          continue;
+        }
+        order.erase({sizes[other], -(int64_t)other});
+        sizes[other]--;
+        order.insert({sizes[other], -(int64_t)other});
+      }
+    }
+    sizes[c] = 0;
+  }
+}
+
+}  // extern "C"

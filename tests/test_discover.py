@@ -12,8 +12,14 @@ from test_split_chain_parity import (MEAN, STD, PREC, MINCL, MINREAD,
                                      MAXREAD, _sort_n)
 
 
-@pytest.mark.parametrize("use_device", [False, True])
-def test_discover_matches_golden(ref_binaries, tmp_path, use_device):
+@pytest.mark.parametrize("use_device,em_mode", [
+    (False, "oracle"), (True, "device"), (False, "native")])
+def test_discover_matches_golden(ref_binaries, tmp_path, use_device,
+                                 em_mode):
+    if em_mode == "native":
+        from defuse_tpu.cluster import native
+        if not native.available():
+            pytest.skip("native library not built")
     ds = make_dataset(seed=31, fusion_pair=("TA", "TD"), break_a=2400,
                       break_b=1000)
     paths = write_dataset(ds, tmp_path)
@@ -25,7 +31,7 @@ def test_discover_matches_golden(ref_binaries, tmp_path, use_device):
         fragment_mean=MEAN, fragment_stddev=STD, precision=PREC,
         min_cluster_size=MINCL, min_read_length=MINREAD,
         max_read_length=MAXREAD, outdir=str(tmp_path / "ours"),
-        use_device=use_device)
+        use_device=use_device, em_mode=em_mode)
 
     # golden chain on our own clusters artifacts
     clusters = tmp_path / "ours" / "clusters"
