@@ -81,7 +81,8 @@ def test_fixture_instances_agree(ref_binaries, tmp_path):
 
     MatePairEM.do_clustering = capture
     try:
-        discordant.cluster_alignments(table, PARAMS)
+        # force the oracle path so instances are observable
+        discordant.cluster_alignments(table, PARAMS, em_mode="oracle")
     finally:
         MatePairEM.do_clustering = orig
 
