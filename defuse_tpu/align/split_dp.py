@@ -145,7 +145,74 @@ class SplitReadAligner:
                         ref_split=(i1, len(self.ref2) - i2 - 1),
                         read_split=(k, n_read - k),
                         score=max_score, score1=s1, score2=s2))
+        self._last = (m1, m2, read)
         return hits
+
+    def matches_for_hit(self, hit: SplitHit):
+        """Backtraced per-base matches for a hit from the last align()
+        call; matches2 are remapped to forward ref2/read coordinates
+        (``SplitReadAligner::ReverseMatches``)."""
+        m1, m2, read = self._last
+        n_read = len(read)
+        k = hit.read_split[0]
+        i1 = hit.ref_split[0]
+        i2 = len(self.ref2) - hit.ref_split[1] - 1
+        matches1 = backtrace_matches(m1, self.ref1, read, i1, k)
+        matches2 = backtrace_matches(m2, self.ref2_rev, read[::-1], i2,
+                                     n_read - k)
+        matches2 = [(len(self.ref2) - a - 1, n_read - b - 1)
+                    for a, b in matches2]
+        matches2.reverse()
+        return matches1, matches2
+
+
+def backtrace_matches(matrix: np.ndarray, ref: str, read: str,
+                      start_i: int, start_j: int):
+    """Match positions along the stored backtrace path from (start_i,
+    start_j) (``SplitReadAligner::BackTracePath``).  The stored pointer is
+    the last equal-scoring branch in fill order: gapRead > gapRef > match
+    (``SplitReadAligner.cpp:56-69``)."""
+    r = encode_seq(ref)
+    q = encode_seq(read)
+    matches = []
+    i, j = start_i, start_j
+    while j > 0:
+        if i == 0:
+            nj = j - 1
+            ni = i
+        else:
+            val = matrix[i, j]
+            if matrix[i, j - 1] + GAP == val:
+                ni, nj = i, j - 1
+            elif matrix[i - 1, j] + GAP == val:
+                ni, nj = i - 1, j
+            else:
+                ni, nj = i - 1, j - 1
+        if ni == i - 1 and nj == j - 1:
+            matches.append((i - 1, j - 1))
+        i, j = ni, nj
+    matches.reverse()
+    return matches
+
+
+def render_alignment_text(fragment: int, read_end: int, read_seq: str,
+                          ref1_len: int, matches1, matches2) -> str:
+    """Per-candidate alignment text (``SplitAlignment.cpp:402-437``)."""
+    parts = [f"{fragment}{'/1' if read_end == 0 else '/2'}\n"]
+    prev = -1
+    for refpos, readpos in matches1:
+        gap = refpos - prev - 1
+        parts.append((" " if prev == -1 else "-") * gap)
+        parts.append(read_seq[readpos])
+        prev = refpos
+    parts.append("-" * (ref1_len - prev - 1 + 1))
+    prev = -1
+    for refpos, readpos in matches2:
+        parts.append("-" * (refpos - prev - 1))
+        parts.append(read_seq[readpos])
+        prev = refpos
+    parts.append("\n")
+    return "".join(parts)
 
 
 def accept_threshold(read_length: int) -> int:

@@ -1,0 +1,132 @@
+"""Supporting-read evidence viewer — ``defuse_get_reads.pl`` + the
+``splitseq`` binary equivalents.
+
+Prints the split-read alignment text for one cluster (re-running the
+split alignment with backtrace, ``tools/splitseq.cpp:93-125`` /
+``SplitAlignment::ReAlign`` + ``WriteAlignText``), then the spanning
+compact rows whose fragments support the cluster
+(``defuse_get_reads.pl:95-146``).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+from ..align.split_dp import SplitReadAligner, accept_threshold, \
+    render_alignment_text
+from ..align.tasks import SplitRow, create_tasks, read_align_region_pairs
+from ..core.exons import ExonRegions
+from ..core.types import revcomp
+from ..io.fasta import FastaStore
+
+
+def splitseq_text(task, rows, reads: dict[int, str], out) -> None:
+    """WriteAlignText output for one fusion's predicted alignments."""
+    out.write(f"{task.fusion_id}\n")
+    out.write(f"{task.split_align_seq[0]}|{task.split_align_seq[1]}\n")
+    aligner = SplitReadAligner(task.split_align_seq[0],
+                               task.split_align_seq[1])
+    for row in rows:
+        read_id = row.fragment | (row.read_end << 31)
+        read_seq = reads.get(read_id, "")
+        if row.rev_comp:
+            read_seq = revcomp(read_seq)
+        hits = aligner.align(read_seq, accept_threshold(len(read_seq)),
+                             force_split=True)
+        seen = set()
+        for hit in hits:
+            if hit.ref_split in seen:
+                continue
+            seen.add(hit.ref_split)
+            if hit.ref_split == row.ref_split:
+                m1, m2 = aligner.matches_for_hit(hit)
+                out.write(render_alignment_text(
+                    row.fragment, row.read_end, read_seq,
+                    len(task.split_align_seq[0]), m1, m2))
+                break
+
+
+def get_reads(config, output_directory: str, cluster_id: int,
+              out=sys.stdout) -> None:
+    outdir = pathlib.Path(output_directory)
+    reference = FastaStore.from_file(config.get_value("reference_fasta"))
+    exons = ExonRegions.from_file(config.get_value("cdna_regions"))
+
+    stats = {}
+    with open(outdir / "concordant.read.stats") as fh:
+        keys = fh.readline().rstrip("\n").split("\t")
+        values = fh.readline().rstrip("\n").split("\t")
+        stats = dict(zip(keys, values))
+
+    fusion_regions = read_align_region_pairs(
+        str(outdir / "clusters.sc.regions"))
+    if cluster_id not in fusion_regions:
+        raise KeyError(f"Unable to find cluster {cluster_id}")
+    tasks = create_tasks(
+        reference, exons, float(stats["fraglength_mean"]),
+        float(stats["fraglength_stddev"]), int(stats["readlength_min"]),
+        int(stats["readlength_max"]), {cluster_id:
+                                       fusion_regions[cluster_id]})
+    task = tasks[cluster_id]
+
+    rows = []
+    with open(outdir / "splitreads.predalign") as fh:
+        for line in fh:
+            row = SplitRow.parse(line)
+            if row.fusion_id == cluster_id:
+                rows.append(row)
+
+    reads: dict[int, str] = {}
+    for end in (1, 2):
+        path = outdir / "reads" / f"reads.{end}.fastq"
+        if not path.exists():
+            continue
+        with open(path) as fh:
+            while True:
+                header = fh.readline()
+                if not header:
+                    break
+                seq = fh.readline().rstrip("\n")
+                fh.readline()
+                fh.readline()
+                frag = int(header[1:].rsplit("/", 1)[0])
+                reads[frag | ((end - 1) << 31)] = seq
+
+    out.write("Split Reads:\n")
+    splitseq_text(task, rows, reads, out)
+    out.write("\n")
+
+    # spanning reads matching the cluster extents
+    cluster_info: dict = {}
+    with open(outdir / "clusters.sc") as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if int(f[0]) != cluster_id:
+                continue
+            cend = int(f[1])
+            info = cluster_info.setdefault(cend, {
+                "ref": f[4], "strand": f[5], "start": int(f[6]),
+                "end": int(f[7]), "fragments": set()})
+            info["start"] = min(info["start"], int(f[6]))
+            info["end"] = max(info["end"], int(f[7]))
+            info["fragments"].add(int(f[2]))
+
+    out.write("Spanning Reads:\n")
+    spanning_path = outdir / "spanning.compact"
+    if not spanning_path.exists():
+        return
+    found: dict[int, dict[int, str]] = {}
+    with open(spanning_path) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            frag, strand = int(f[0]), f[3]
+            start, end = int(f[4]), int(f[5])
+            for cend, info in cluster_info.items():
+                if frag in info["fragments"] and strand == info["strand"] \
+                        and start <= info["end"] and end >= info["start"]:
+                    found.setdefault(frag, {})[cend] = line
+    for frag in sorted(found):
+        for cend in (0, 1):
+            if cend in found[frag]:
+                out.write(found[frag][cend])

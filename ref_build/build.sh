@@ -92,5 +92,6 @@ SPLIT_OBJS="$(compile $REF/AlignmentStream.cpp) $(compile $REF/FastaIndex.cpp) \
 
 link dosplitalign $(compile $REF/dosplitalign.cpp) $SPLIT_OBJS $OBJS_COMMON $BAMOBJS $ZOBJS
 link evalsplitalign $(compile $REF/evalsplitalign.cpp) $SPLIT_OBJS $OBJS_COMMON $BAMOBJS $ZOBJS
+link splitseq $(compile $REF/splitseq.cpp) $(compile $REF/PathFinder.cpp) $SPLIT_OBJS $OBJS_COMMON $BAMOBJS $ZOBJS
 
 echo "OK: binaries in $BIN"
