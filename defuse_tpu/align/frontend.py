@@ -136,7 +136,8 @@ def write_pair_sam(pairs, reads1, reads2, path) -> None:
                 if mate.strand:
                     flag |= 0x20
                 sign = 1 if a.start <= mate.start else -1
-                out.write(f"{frag}/{end + 1}\t{flag}\t{a.ref_name}\t"
+                # bowtie-style bare qname; the flags carry the read end
+                out.write(f"{frag}\t{flag}\t{a.ref_name}\t"
                           f"{a.start}\t255\t{len(seq)}M\t=\t{mate.start}\t"
                           f"{sign * isize}\t{seq}\t{'I' * len(seq)}\n")
 

@@ -105,9 +105,10 @@ def _make_concordant_sam(ds, path, n_pairs=400, seed=3):
         ref = f"{gene.name}|{gene.transcript}"
         r1 = cdna[start - 1:start - 1 + 50]
         r2 = revcomp(cdna[start + flen - 51:start + flen - 1])
-        rows.append(f"{i}/1\t99\t{ref}\t{start}\t255\t50M\t=\t"
+        # bowtie-style bare qnames: read ends carried by the flags
+        rows.append(f"{i}\t99\t{ref}\t{start}\t255\t50M\t=\t"
                     f"{start + flen - 50}\t{flen}\t{r1}\t{'I' * 50}")
-        rows.append(f"{i}/2\t147\t{ref}\t{start + flen - 50}\t255\t50M\t=\t"
+        rows.append(f"{i}\t147\t{ref}\t{start + flen - 50}\t255\t50M\t=\t"
                     f"{start}\t{-flen}\t{r2}\t{'I' * 50}")
     path.write_text("\n".join(rows) + "\n")
     return rows
