@@ -27,7 +27,9 @@ from .regions import align_regions_lines
 def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                      fragment_mean, fragment_stddev, precision,
                      min_cluster_size, min_read_length, max_read_length,
-                     outdir, use_device=True, em_mode="auto"):
+                     outdir, use_device=True, em_mode="auto",
+                     gene_models=None, mt_chromosome="MT",
+                     dna_concordant_length=2000):
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     params = EMParams(fragment_mean, fragment_stddev, precision,
@@ -40,9 +42,30 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     clusters_path = out / "clusters"
     write_clusters(rows, str(clusters_path))
 
+    ref_store = None
+    if gene_models is not None:
+        # mitochondrial segregation runs before setcover
+        # (defuse_run.pl:466-468)
+        from ..filters.cluster_filters import segregate_mitochondrial
+        ref_store = FastaStore.from_file(reference)
+        with open(clusters_path) as fh:
+            lines = fh.readlines()
+        lines = segregate_mitochondrial(lines, gene_models, mt_chromosome)
+        clusters_path.write_text("".join(lines))
+
     # --- set cover ------------------------------------------------------
     sc_path = out / "clusters.sc"
     run_setcover_file(str(clusters_path), str(sc_path), min_cluster_size)
+
+    if gene_models is not None:
+        from ..filters.cluster_filters import apply_post_setcover_filters
+        with open(sc_path) as fh:
+            lines = fh.readlines()
+        lines = apply_post_setcover_filters(
+            lines, gene_models, ref_store,
+            seq_range=dna_concordant_length,
+            min_cluster_size=min_cluster_size)
+        sc_path.write_text("".join(lines))
 
     # --- align regions --------------------------------------------------
     regions_path = out / "clusters.sc.regions"

@@ -107,6 +107,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                             cov_paths["min"]])
 
     # --- cluster + split chain -----------------------------------------
+    gm = GeneModels(gene_models_gtf) if gene_models_gtf else None
     discover_outs = discover_fusions(
         spanning=spanning, improper=improper, fastq1=fastq1,
         fastq2=fastq2, reference=reference_fasta, exons=cdna_regions,
@@ -115,7 +116,10 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
         min_cluster_size=config.get_int("span_count_threshold"),
         min_read_length=stats.readlength_min,
         max_read_length=stats.readlength_max,
-        outdir=str(out), use_device=use_device)
+        outdir=str(out), use_device=use_device,
+        gene_models=gm,
+        mt_chromosome=config.get_value("mt_chromosome"),
+        dna_concordant_length=config.get_int("dna_concordant_length"))
 
     # --- p-values -------------------------------------------------------
     covariances = {}
@@ -156,8 +160,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
 
     # --- annotation -----------------------------------------------------
     annotations: dict[int, dict] = {}
-    if gene_models_gtf and genome_fasta:
-        gm = GeneModels(gene_models_gtf)
+    if gm is not None and genome_fasta:
         genome = FastaStore.from_file(genome_fasta)
         repeats = Repeats(repeats_regions)
         breaks = {}
