@@ -158,6 +158,30 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                              covariances["span"], stats.readlength_max)
         span_p[cid] = f"{sp:.15g}"
 
+    # --- breakpoint sequence alignment (gmap/blat stage) ----------------
+    psl_paths: dict[str, str] = {}
+    if genome_fasta:
+        from ..align.breakseq import align_breakpoints
+        from ..align.seedindex import SeedIndex
+
+        breakseqs = {}
+        for line in open(discover_outs["seq"]):
+            f = line.rstrip("\n").split("\t")
+            if f[1] not in ("N", ""):
+                breakseqs[int(f[0])] = f[1]
+        targets = {"genome": SeedIndex(
+            FastaStore.from_file(genome_fasta)._seqs)}
+        for tname, key in (("cdna", "cdna_fasta"),
+                           ("exons", "exons_fasta"),
+                           ("cds", "cds_fasta"), ("est", "est_fasta")):
+            if config.has_value(key):
+                path = config.get_value(key)
+                import os as _os
+                if _os.path.exists(path):
+                    targets[tname] = SeedIndex(
+                        FastaStore.from_file(path)._seqs)
+        psl_paths = align_breakpoints(breakseqs, targets, str(out))
+
     # --- annotation -----------------------------------------------------
     annotations: dict[int, dict] = {}
     if gm is not None and genome_fasta:
@@ -182,14 +206,42 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             spanning_rows.append((int(f[0]), int(f[1]), f[2], f[3],
                                   int(f[4]), int(f[5])))
         mstats = mapping_stats(spanning_rows, solution, gm)
+        extra_kwargs = {}
+        if config.get_bool("calculate_extra_annotations") \
+                and concordant_sam:
+            from ..annotate.extra import (break_concordant,
+                                          index_sam_by_ref, interrupted,
+                                          interrupted_index,
+                                          splicing_index)
+            with open(concordant_sam) as fh:
+                by_ref = index_sam_by_ref(fh)
+            max_frag = int(frag_mean + 3 * frag_std)
+            bias = config.get_int("splice_bias")
+            bc = break_concordant(breaks, gm, by_ref, max_frag, bias)
+            info = interrupted(breaks, gm, by_ref, bias)
+            span_counts = {c: len(next(iter(ends.values())))
+                           for c, ends in clusters.items()}
+            extra_kwargs["splicing_index"] = splicing_index(bc,
+                                                            span_counts)
+            extra_kwargs["interrupted_index"] = interrupted_index(info)
+
         rows = annotate_fusions(
             breaks=breaks, seqs={c: s for c, (s, _n) in seqs.items()},
             clusters=clusters, gene_models=gm, genome=genome,
             repeats=repeats, expression=expression or {},
             read_stats=stats, library_name=library_name,
             mapping_stats=mstats,
+            psl_genome=psl_paths.get("genome"),
+            psl_genome_nointron=psl_paths.get("genome.nointron"),
+            psl_cdna=psl_paths.get("cdna"),
+            psl_est=psl_paths.get("est"),
+            psl_exons=psl_paths.get("exons"),
+            psl_cds=psl_paths.get("cds"),
+            est_alignments=config.get_value("est_alignments")
+            if config.has_value("est_alignments") else None,
             percident_threshold=config.get_float(
-                "percent_identity_threshold"))
+                "percent_identity_threshold"),
+            **extra_kwargs)
         with open(out / "annotations", "w") as fh:
             for r in rows:
                 fh.write(r + "\n")
