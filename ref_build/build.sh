@@ -94,4 +94,22 @@ link dosplitalign $(compile $REF/dosplitalign.cpp) $SPLIT_OBJS $OBJS_COMMON $BAM
 link evalsplitalign $(compile $REF/evalsplitalign.cpp) $SPLIT_OBJS $OBJS_COMMON $BAMOBJS $ZOBJS
 link splitseq $(compile $REF/splitseq.cpp) $(compile $REF/PathFinder.cpp) $SPLIT_OBJS $OBJS_COMMON $BAMOBJS $ZOBJS
 
+
+
+# bamfastq (BamTools needs -std=c++11; accumulators headers are stubbed)
+build_bamtools() {
+    local BT=/root/reference/external/BamTools-2.0
+    local BTO="$OBJ/bamtools"
+    mkdir -p "$BTO"
+    for f in "$BT"/api/*.cpp "$BT"/api/internal/*/*.cpp; do
+        local o="$BTO/$(echo "$f" | md5sum | cut -c1-10).o"
+        [ -f "$o" ] || { echo "CC  bamtools/$(basename "$f")" >&2; \
+            g++ -std=c++11 -O2 -c "$f" -I"$BT" -I"$BT/api" \
+            -I/root/reference/external/zlib-1.2.5 -o "$o"; }
+    done
+}
+build_bamtools
+BFOBJ="$OBJ/bamfastq.o"
+[ -f "$BFOBJ" ] || g++ -std=c++11 $CXXFLAGS -I/root/reference/external/BamTools-2.0 -I/root/reference/external/BamTools-2.0/api $REF/bamfastq.cpp -c -o "$BFOBJ"
+link bamfastq "$BFOBJ" $OBJS_COMMON "$OBJ"/bamtools/*.o $ZOBJS
 echo "OK: binaries in $BIN"
