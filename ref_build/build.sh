@@ -113,3 +113,6 @@ BFOBJ="$OBJ/bamfastq.o"
 [ -f "$BFOBJ" ] || g++ -std=c++11 $CXXFLAGS -I/root/reference/external/BamTools-2.0 -I/root/reference/external/BamTools-2.0/api $REF/bamfastq.cpp -c -o "$BFOBJ"
 link bamfastq "$BFOBJ" $OBJS_COMMON "$OBJ"/bamtools/*.o $ZOBJS
 echo "OK: binaries in $BIN"
+
+link matealign $(compile $REF/matealign.cpp) $(compile $REF/Sequences.cpp) \
+    $(compile $REF/ReadStream.cpp) $(compile $REF/SimpleAligner.cpp) $OBJS_COMMON
