@@ -170,19 +170,18 @@ def realign_candidates(realigner, candidates: list[Candidate],
     if not winners:
         return []
 
-    # replay the DP only for accepted candidates
+    # replay the DP only for accepted candidates — on device
     win_idx = [b for (b, _s, _k) in winners]
-    sub = {b: i for i, b in enumerate(win_idx)}
-    rows1_sub = _np_rows([ref1s[b] for b in win_idx],
+    max_rows = max(max(len(wanted1[b]), len(wanted2[b]))
+                   for b in win_idx)
+    rows1 = _device_rows([ref1s[b] for b in win_idx],
                          [reads[b] for b in win_idx],
-                         [wanted1[b] for b in win_idx], R)
-    rows2_sub = _np_rows([ref2s[b][::-1] for b in win_idx],
+                         [sorted(wanted1[b]) for b in win_idx],
+                         win_idx, R, max_rows, r1l[win_idx])
+    rows2 = _device_rows([ref2s[b][::-1] for b in win_idx],
                          [reads[b][::-1] for b in win_idx],
-                         [wanted2[b] for b in win_idx], R)
-    rows1 = {(b, j): v for (i, j), v in rows1_sub.items()
-             for b in [win_idx[i]]}
-    rows2 = {(b, j): v for (i, j), v in rows2_sub.items()
-             for b in [win_idx[i]]}
+                         [sorted(wanted2[b]) for b in win_idx],
+                         win_idx, R, max_rows, r2l[win_idx])
 
     out_rows: list[SplitRow] = []
     for (b, max_score, ks) in winners:
@@ -221,3 +220,26 @@ def _columns(row, target):
 
 def _pad_len(x: int, mult: int = 128) -> int:
     return (x + mult - 1) // mult * mult
+
+
+def _device_rows(refs, reads, wanted_rows, win_idx, R, max_rows,
+                 ref_lens_sub):
+    """Winner-row replay via ``ops.split_dp_batch.dp_selected_rows``.
+    Returns {(original_b, j): row ndarray (len ref+1)}."""
+    from ..ops.split_dp_batch import dp_selected_rows, pad_batch
+
+    B = len(refs)
+    L = _pad_len(max(len(r) for r in reads), 64)
+    refs_p, _rl = pad_batch(refs, R)
+    reads_p, _ql = pad_batch(reads, L)
+    row_sel = np.full((B, max_rows), -1, dtype=np.int32)
+    for i, rows in enumerate(wanted_rows):
+        row_sel[i, :len(rows)] = rows
+    out = np.asarray(dp_selected_rows(refs_p, _rl, reads_p, _ql, row_sel))
+    result = {}
+    for i, rows in enumerate(wanted_rows):
+        b = win_idx[i]
+        n_ref = int(ref_lens_sub[i])
+        for m, j in enumerate(rows):
+            result[(b, j)] = out[i, m, :n_ref + 1]
+    return result

@@ -110,6 +110,43 @@ def combine_split_scores(rowmax1, rowmax2, read_lens, min_scores):
     return max_score, best_k
 
 
+@jax.jit
+def dp_selected_rows(refs, ref_lens, reads, read_lens, row_sel):
+    """DP rows at requested read offsets.
+
+    row_sel: (B, M) int32 row indices (use -1 for unused slots).
+    Returns (B, M, R+1) int32 rows — the winner-row replay for split
+    tie enumeration, computed on device instead of a host loop.
+    """
+    B, R = refs.shape
+    L = reads.shape[1]
+    iota_r = jnp.arange(R + 1, dtype=jnp.int32)
+    decay = GAP * iota_r
+    M = row_sel.shape[1]
+
+    init_col = jnp.zeros((B, R + 1), dtype=jnp.int32)
+    init_out = jnp.zeros((B, M, R + 1), dtype=jnp.int32)
+    # row 0 is all zeros; capture it where requested
+    init_out = jnp.where((row_sel == 0)[..., None], 0, init_out)
+
+    def step(carry, j):
+        prev, out = carry
+        ch = jnp.take_along_axis(reads, (j - 1)[None].repeat(B)[:, None],
+                                 axis=1)[:, 0]
+        sub = jnp.where(refs == ch[:, None], MATCH, MISMATCH).astype(
+            jnp.int32)
+        vert0 = (GAP * j) * jnp.ones((B, 1), dtype=jnp.int32)
+        cand = jnp.maximum(prev[:, :-1] + sub, prev[:, 1:] + GAP)
+        vert = jnp.concatenate([vert0, cand], axis=1)
+        col = jax.lax.cummax(vert - decay[None, :], axis=1) + decay[None, :]
+        out = jnp.where((row_sel == j)[..., None], col[:, None, :], out)
+        return (col, out), jnp.int32(0)
+
+    js = jnp.arange(1, L + 1, dtype=jnp.int32)
+    (_, out), _ = jax.lax.scan(step, (init_col, init_out), js)
+    return out
+
+
 def pad_batch(seqs: list[str], width: int) -> tuple[np.ndarray, np.ndarray]:
     """Encode + right-pad a list of sequences to (B, width) uint8."""
     out = np.zeros((len(seqs), width), dtype=np.uint8)
