@@ -137,35 +137,33 @@ def realign_candidates(realigner, candidates: list[Candidate],
     rp, rl = pad_batch(reads, L)
     rrp, _ = pad_batch([s[::-1] for s in reads], L)
 
-    rm1 = np.asarray(rowmax_fn(r1p, r1l, rp, rl))
-    rm2 = np.asarray(rowmax_fn(r2p, r2l, rrp, rl))
-
-    # host combine (exact ints): totals per k, winners, tie k list
+    # one fused device call for forward + reversed matrices
+    rm_both = np.asarray(rowmax_fn(
+        np.concatenate([r1p, r2p]), np.concatenate([r1l, r2l]),
+        np.concatenate([rp, rrp]), np.concatenate([rl, rl])))
     n = len(candidates)
+    rm1 = rm_both[:n]
+    rm2 = rm_both[n:]
+
+    # vectorized combine (exact ints): totals[k] = rm1[k] + rm2[len-k]
+    Lp1 = rm1.shape[1]
+    ks_idx = np.arange(Lp1, dtype=np.int64)
+    idx2 = np.clip(rl[:, None] - ks_idx[None, :], 0, Lp1 - 1)
+    totals = rm1 + np.take_along_axis(rm2, idx2, axis=1)
+    totals[ks_idx[None, :] > rl[:, None]] = 0
+    min_scores = np.array([accept_threshold(int(l)) for l in rl])
+    totals[totals < min_scores[:, None]] = 0
+    max_scores = totals.max(axis=1)
+
     winners = []
-    wanted1 = []
-    wanted2 = []
-    for b in range(n):
+    wanted1 = [set() for _ in range(n)]
+    wanted2 = [set() for _ in range(n)]
+    for b in np.nonzero(max_scores > 0)[0]:
         ln = int(rl[b])
-        min_score = accept_threshold(ln)
-        # totals[k] = rm1[k] + rm2[ln - k]
-        totals = rm1[b, :ln + 1] + rm2[b, :ln + 1][::-1]
-        max_score = 0
-        ks = []
-        for k in range(ln + 1):
-            t = int(totals[k])
-            if t >= min_score and t > max_score:
-                max_score = t
-                ks = [k]
-            elif t >= min_score and t == max_score:
-                ks.append(k)
-        if max_score > 0:
-            winners.append((b, max_score, ks))
-            wanted1.append(set(ks))
-            wanted2.append({ln - k for k in ks})
-        else:
-            wanted1.append(set())
-            wanted2.append(set())
+        ks = np.nonzero(totals[b] == max_scores[b])[0].tolist()
+        winners.append((int(b), int(max_scores[b]), ks))
+        wanted1[b] = set(ks)
+        wanted2[b] = {ln - k for k in ks}
 
     if not winners:
         return []
