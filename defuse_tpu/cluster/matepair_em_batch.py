@@ -362,13 +362,14 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
 
     def em_run(x, y, u, n, k, r0):
         B, KM, N = r0.shape
+        big = jnp.asarray(BIG, x.dtype)
         point_valid = jnp.arange(N)[None, :] < n[:, None]
         comp_active = jnp.arange(KM)[None, :] < k[:, None]
 
         # static structures recomputed on device (cheap, avoids host state)
-        xo_idx = jnp.argsort(jnp.where(point_valid, -x, BIG), axis=1,
+        xo_idx = jnp.argsort(jnp.where(point_valid, -x, big), axis=1,
                              stable=True).astype(jnp.int32)
-        yo_idx = jnp.argsort(jnp.where(point_valid, -y, BIG), axis=1,
+        yo_idx = jnp.argsort(jnp.where(point_valid, -y, big), axis=1,
                              stable=True).astype(jnp.int32)
         xo = jnp.take_along_axis(x, xo_idx, axis=1)
         yo = jnp.take_along_axis(y, yo_idx, axis=1)
@@ -389,7 +390,7 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
 
         def ll_and_norm(a, b, w):
             exps = _exponents(a, b, x, y, u, sigma, lam)
-            exps = jnp.where(comp_active[..., None], exps, -BIG)
+            exps = jnp.where(comp_active[..., None], exps, -big)
             maxexp = jnp.max(exps, axis=1, keepdims=True)
             weighted = w[..., None] * jnp.exp(exps - maxexp)
             s = jnp.sum(weighted, axis=1)  # (B, N)
@@ -406,7 +407,8 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
             a_upd = jnp.where(ok & comp_active, a_new, a)
             b_upd = jnp.where(ok & comp_active, b_new, b)
             nk = jnp.sum(jnp.where(point_valid[:, None, :], r, 0.0), axis=2)
-            w_upd = nk / jnp.maximum(n[:, None], 1)
+            # keep the carry dtype stable under x64 promotion rules
+            w_upd = nk / jnp.maximum(n[:, None], 1).astype(x.dtype)
             ll, ll_failed, resp = ll_and_norm(a_upd, b_upd, w_upd)
             newly_done = jnp.abs(ll - last_ll) < tol
             live = ~done & ~failed
@@ -427,7 +429,7 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
         r = jnp.where(comp_active[..., None], r0, 0.0)
         state0 = (r, jnp.zeros((B, KM), x.dtype), jnp.zeros((B, KM), x.dtype),
                   jnp.zeros((B, KM), x.dtype),
-                  jnp.full((B,), -BIG, x.dtype),
+                  jnp.full((B,), -BIG).astype(x.dtype),
                   jnp.zeros((B,), bool), jnp.zeros((B,), bool),
                   jnp.zeros((), jnp.int32))
         r, a, b, w, ll, done, failed, iters = jax.lax.while_loop(
