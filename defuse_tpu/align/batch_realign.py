@@ -168,18 +168,20 @@ def realign_candidates(realigner, candidates: list[Candidate],
     if not winners:
         return []
 
-    # replay the DP only for accepted candidates — on device
+    # tie-column enumeration for accepted candidates — on device, with
+    # bit-packed transfer
     win_idx = [b for (b, _s, _k) in winners]
     max_rows = max(max(len(wanted1[b]), len(wanted2[b]))
                    for b in win_idx)
-    rows1 = _device_rows([ref1s[b] for b in win_idx],
-                         [reads[b] for b in win_idx],
-                         [sorted(wanted1[b]) for b in win_idx],
-                         win_idx, R, max_rows, r1l[win_idx])
-    rows2 = _device_rows([ref2s[b][::-1] for b in win_idx],
-                         [reads[b][::-1] for b in win_idx],
-                         [sorted(wanted2[b]) for b in win_idx],
-                         win_idx, R, max_rows, r2l[win_idx])
+    cols1_map = _device_tie_columns(
+        [ref1s[b] for b in win_idx], [reads[b] for b in win_idx],
+        [sorted(wanted1[b]) for b in win_idx], win_idx, R, max_rows,
+        r1l[win_idx])
+    cols2_map = _device_tie_columns(
+        [ref2s[b][::-1] for b in win_idx],
+        [reads[b][::-1] for b in win_idx],
+        [sorted(wanted2[b]) for b in win_idx], win_idx, R, max_rows,
+        r2l[win_idx])
 
     out_rows: list[SplitRow] = []
     for (b, max_score, ks) in winners:
@@ -187,13 +189,12 @@ def realign_candidates(realigner, candidates: list[Candidate],
         ln = int(rl[b])
         seen_splits = set()
         for k in ks:
-            row1 = rows1[(b, k)]
-            row2 = rows2[(b, ln - k)]
             s1 = int(rm1[b, k])
             s2 = int(rm2[b, ln - k])
             # a side with anchored max 0 collects no columns -> no rows
             # from this k (FindMaxRowEntry semantics)
-            cols1, cols2 = _columns(row1, s1), _columns(row2, s2)
+            cols1 = cols1_map.get((b, k), [])
+            cols2 = cols2_map.get((b, ln - k), [])
             for i1 in cols1:
                 for i2 in cols2:
                     ref_split = (int(i1), len(ref2s[b]) - int(i2) - 1)
@@ -220,11 +221,12 @@ def _pad_len(x: int, mult: int = 128) -> int:
     return (x + mult - 1) // mult * mult
 
 
-def _device_rows(refs, reads, wanted_rows, win_idx, R, max_rows,
-                 ref_lens_sub):
-    """Winner-row replay via ``ops.split_dp_batch.dp_selected_rows``.
-    Returns {(original_b, j): row ndarray (len ref+1)}."""
-    from ..ops.split_dp_batch import dp_selected_rows, pad_batch
+def _device_tie_columns(refs, reads, wanted_rows, win_idx, R, max_rows,
+                        ref_lens_sub):
+    """Tie columns via ``ops.split_dp_batch.dp_tie_columns``.
+    Returns {(original_b, j): [columns]} (anchored-max semantics built
+    in: rows whose max is below MIN_SPLIT_SCORE get no columns)."""
+    from ..ops.split_dp_batch import dp_tie_columns, pad_batch
 
     B = len(refs)
     L = _pad_len(max(len(r) for r in reads), 64)
@@ -233,11 +235,21 @@ def _device_rows(refs, reads, wanted_rows, win_idx, R, max_rows,
     row_sel = np.full((B, max_rows), -1, dtype=np.int32)
     for i, rows in enumerate(wanted_rows):
         row_sel[i, :len(rows)] = rows
-    out = np.asarray(dp_selected_rows(refs_p, _rl, reads_p, _ql, row_sel))
+    rowmax, packed = dp_tie_columns(refs_p, _rl, reads_p, _ql, row_sel)
+    packed = np.ascontiguousarray(np.asarray(packed))
+    rowmax = np.asarray(rowmax)
     result = {}
+    W = packed.shape[2]
+    bits = np.unpackbits(
+        packed.view(np.uint8).reshape(B, max_rows, W, 4),
+        axis=3, bitorder="little").reshape(B, max_rows, W * 32)
     for i, rows in enumerate(wanted_rows):
         b = win_idx[i]
         n_ref = int(ref_lens_sub[i])
         for m, j in enumerate(rows):
-            result[(b, j)] = out[i, m, :n_ref + 1]
+            if rowmax[i, m] < MIN_SPLIT_SCORE:
+                result[(b, j)] = []
+            else:
+                result[(b, j)] = np.nonzero(
+                    bits[i, m, :n_ref + 1])[0].tolist()
     return result

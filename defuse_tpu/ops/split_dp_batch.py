@@ -111,26 +111,36 @@ def combine_split_scores(rowmax1, rowmax2, read_lens, min_scores):
 
 
 @jax.jit
-def dp_selected_rows(refs, ref_lens, reads, read_lens, row_sel):
-    """DP rows at requested read offsets.
+def dp_tie_columns(refs, ref_lens, reads, read_lens, row_sel):
+    """Tie-column bitmasks for requested DP rows.
 
-    row_sel: (B, M) int32 row indices (use -1 for unused slots).
-    Returns (B, M, R+1) int32 rows — the winner-row replay for split
-    tie enumeration, computed on device instead of a host loop.
+    row_sel: (B, M) int32 row indices (-1 for unused slots).
+    For each requested row, computes the anchored row maximum and a
+    bit-packed mask of the columns achieving it (``FindMaxRowEntry``
+    column collection) — transferring ~30x less data than raw rows,
+    which matters on high-latency links.
+
+    Returns (rowmax (B, M) int32, packed (B, M, ceil((R+1)/32)) uint32).
     """
     B, R = refs.shape
     L = reads.shape[1]
     iota_r = jnp.arange(R + 1, dtype=jnp.int32)
     decay = GAP * iota_r
     M = row_sel.shape[1]
+    valid = iota_r[None, :] <= ref_lens[:, None]  # (B, R+1)
 
     init_col = jnp.zeros((B, R + 1), dtype=jnp.int32)
-    init_out = jnp.zeros((B, M, R + 1), dtype=jnp.int32)
-    # row 0 is all zeros; capture it where requested
-    init_out = jnp.where((row_sel == 0)[..., None], 0, init_out)
+
+    def capture(col, j, rows_acc):
+        # rows_acc: (B, M, R+1) int32 captured rows
+        return jnp.where((row_sel == j)[..., None], col[:, None, :],
+                         rows_acc)
+
+    init_rows = capture(init_col, 0,
+                        jnp.full((B, M, R + 1), NEG, jnp.int32))
 
     def step(carry, j):
-        prev, out = carry
+        prev, rows_acc = carry
         ch = jnp.take_along_axis(reads, (j - 1)[None].repeat(B)[:, None],
                                  axis=1)[:, 0]
         sub = jnp.where(refs == ch[:, None], MATCH, MISMATCH).astype(
@@ -139,12 +149,25 @@ def dp_selected_rows(refs, ref_lens, reads, read_lens, row_sel):
         cand = jnp.maximum(prev[:, :-1] + sub, prev[:, 1:] + GAP)
         vert = jnp.concatenate([vert0, cand], axis=1)
         col = jax.lax.cummax(vert - decay[None, :], axis=1) + decay[None, :]
-        out = jnp.where((row_sel == j)[..., None], col[:, None, :], out)
-        return (col, out), jnp.int32(0)
+        return (col, capture(col, j, rows_acc)), jnp.int32(0)
 
     js = jnp.arange(1, L + 1, dtype=jnp.int32)
-    (_, out), _ = jax.lax.scan(step, (init_col, init_out), js)
-    return out
+    (_, rows), _ = jax.lax.scan(step, (init_col, init_rows), js)
+
+    masked = jnp.where(valid[:, None, :], rows, NEG)
+    rowmax = jnp.max(masked, axis=2)
+    rowmax = jnp.where(rowmax >= MIN_SPLIT_SCORE, rowmax, 0)
+    tie = (masked == rowmax[..., None]) & (rowmax[..., None]
+                                           >= MIN_SPLIT_SCORE)
+
+    W = (R + 1 + 31) // 32
+    pad = W * 32 - (R + 1)
+    tie_p = jnp.pad(tie, ((0, 0), (0, 0), (0, pad)))
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    packed = jnp.sum(
+        tie_p.reshape(B, M, W, 32).astype(jnp.uint32)
+        * weights[None, None, None, :], axis=3, dtype=jnp.uint32)
+    return rowmax, packed
 
 
 def pad_batch(seqs: list[str], width: int) -> tuple[np.ndarray, np.ndarray]:
