@@ -29,15 +29,19 @@ BIN_LENGTH = 1 << 15
 
 
 def _trunc_div(a, b):
-    """C-style integer division (truncate toward zero)."""
+    """C-style integer division (truncate toward zero); works on scalars
+    (fast path) and arrays."""
+    if isinstance(a, (int, np.integer)):
+        q = abs(int(a)) // b
+        return -q if a < 0 else q
     q = np.abs(a) // b
     return np.where(a < 0, -q, q)
 
 
 def _get_bins(start, end, bin_length, extend):
     """Bin range for a region (``clustermatepairs.cpp:152-161``)."""
-    lo = int(_trunc_div(np.int64(start - extend), bin_length))
-    hi = int(_trunc_div(np.int64(end + extend), bin_length))
+    lo = _trunc_div(int(start) - extend, bin_length)
+    hi = _trunc_div(int(end) + extend, bin_length)
     return range(lo, hi + 1)
 
 
