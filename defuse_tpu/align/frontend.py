@@ -367,4 +367,6 @@ def align_reads(config, output_dir, fastq1, fastq2):
         "fastq1": str(out / "reads" / "reads.1.fastq"),
         "fastq2": str(out / "reads" / "reads.2.fastq"),
         "concordant_sam": res["concordant_sam"],
+        # reuse the indices for the breakpoint alignment stage
+        "target_indices": {"genome": genome_index, "cdna": cdna_index},
     }

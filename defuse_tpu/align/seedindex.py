@@ -63,20 +63,20 @@ class SeedIndex:
         n = len(self.codes)
         k = seed_len
         if n >= k:
-            c = self.codes.astype(np.uint64)
-            keys = np.zeros(n - k + 1, dtype=np.uint64)
-            valid = np.ones(n - k + 1, dtype=bool)
+            codes_u = self.codes.astype(np.uint64)  # one conversion
+            m = n - k + 1
+            keys = np.zeros(m, dtype=np.uint64)
+            valid = np.ones(m, dtype=bool)
             for j in range(k):
-                win = self.codes[j:n - k + 1 + j]
-                keys = (keys << np.uint64(2)) | win.astype(np.uint64)
-                valid &= win < 4
-            # exclude windows crossing sequence boundaries
-            starts = np.arange(n - k + 1, dtype=np.int64)
+                keys <<= np.uint64(2)
+                keys |= codes_u[j:m + j]
+                np.logical_and(valid, self.codes[j:m + j] < 4, out=valid)
+            # exclude windows crossing sequence boundaries: a window is
+            # intra-sequence iff its end stays before the next offset
+            starts = np.arange(m, dtype=np.int64)
             seq_of_start = np.searchsorted(self.offsets, starts,
                                            side="right") - 1
-            seq_of_end = np.searchsorted(self.offsets, starts + k - 1,
-                                         side="right") - 1
-            valid &= seq_of_start == seq_of_end
+            valid &= starts + k <= self.offsets[seq_of_start + 1]
             positions = starts[valid]
             keys = keys[valid]
             order = np.argsort(keys, kind="stable")

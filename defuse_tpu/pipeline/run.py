@@ -45,7 +45,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                  genome_fasta: str | None = None,
                  repeats_regions: str | None = None,
                  expression: dict | None = None,
-                 use_device: bool = True):
+                 use_device: bool = True, target_indices=None):
     """Run the post-alignment pipeline end to end.
 
     Alignment-stage inputs (spanning compact file, improper SAM,
@@ -169,12 +169,14 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             f = line.rstrip("\n").split("\t")
             if f[1] not in ("N", ""):
                 breakseqs[int(f[0])] = f[1]
-        targets = {"genome": SeedIndex(
-            FastaStore.from_file(genome_fasta)._seqs)}
+        targets = dict(target_indices or {})
+        if "genome" not in targets:
+            targets["genome"] = SeedIndex(
+                FastaStore.from_file(genome_fasta)._seqs)
         for tname, key in (("cdna", "cdna_fasta"),
                            ("exons", "exons_fasta"),
                            ("cds", "cds_fasta"), ("est", "est_fasta")):
-            if config.has_value(key):
+            if tname not in targets and config.has_value(key):
                 path = config.get_value(key)
                 import os as _os
                 if _os.path.exists(path):

@@ -48,7 +48,11 @@ class Gene:
 
 
 def random_seq(rng: random.Random, n: int) -> str:
-    return "".join(rng.choice("ACGT") for _ in range(n))
+    import numpy as np
+    nprng = np.random.default_rng(rng.getrandbits(63))
+    return nprng.integers(0, 4, n, dtype=np.uint8).astype("uint8") \
+        .choose(np.frombuffer(b"ACGT", dtype=np.uint8)) \
+        .tobytes().decode()
 
 
 @dataclasses.dataclass
