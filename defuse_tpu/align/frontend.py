@@ -331,9 +331,10 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
     }
 
 
-def align_reads(config, output_dir, fastq1, fastq2):
+def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     """CLI helper: build indices from config-named references and run the
-    frontend; returns run_pipeline keyword inputs."""
+    frontend; returns run_pipeline keyword inputs.  ``use_device`` routes
+    candidate verification through the TPU (ops/verify_batch.py)."""
     from ..io.fasta import FastaStore
 
     out = pathlib.Path(output_dir)
@@ -353,6 +354,10 @@ def align_reads(config, output_dir, fastq1, fastq2):
         with open(config.get_value("ig_gene_list")) as fh:
             ig_genes = {line.strip() for line in fh if line.strip()}
 
+    verify_fn = None
+    if use_device:
+        from ..ops.verify_batch import DeviceVerifier
+        verify_fn = DeviceVerifier()
     res = align_job(
         cdna_index=cdna_index, genome_index=genome_index,
         rrna_index=rrna_index, gene_models=gene_models,
@@ -361,7 +366,7 @@ def align_reads(config, output_dir, fastq1, fastq2):
         discord_read_trim=config.get_int("discord_read_trim"),
         max_paired_alignments=config.get_int("max_paired_alignments"),
         dna_concordant_length=config.get_int("dna_concordant_length"),
-        ig_genes=ig_genes)
+        ig_genes=ig_genes, verify_fn=verify_fn)
     return {
         "spanning": res["spanning"], "improper": res["improper"],
         "fastq1": str(out / "reads" / "reads.1.fastq"),
