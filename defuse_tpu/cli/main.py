@@ -74,7 +74,8 @@ def main(argv=None) -> int:
         else:
             from ..align.frontend import align_reads
             aligned = align_reads(config, args.output, args.fastq1,
-                                  args.fastq2)
+                                  args.fastq2,
+                                  use_device=not args.no_device)
             outs = run_pipeline(
                 config=config, output_dir=args.output,
                 library_name=args.name, use_device=not args.no_device,
