@@ -79,6 +79,12 @@ def main(argv=None) -> int:
             outs = run_pipeline(
                 config=config, output_dir=args.output,
                 library_name=args.name, use_device=not args.no_device,
+                gene_models_gtf=config.get_value("gene_models")
+                if config.has_value("gene_models") else None,
+                genome_fasta=config.get_value("genome_fasta")
+                if config.has_value("genome_fasta") else None,
+                repeats_regions=config.get_value("repeats_regions")
+                if config.has_value("repeats_regions") else None,
                 **aligned)
         print(outs["results"])
         return 0

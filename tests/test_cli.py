@@ -1,0 +1,74 @@
+"""CLI surface test: create-ref + run + get-reads exactly as the README
+documents, via python -m defuse_tpu."""
+
+import subprocess
+import sys
+
+from synthdata import make_dataset, write_dataset, write_genome_fasta, \
+    write_gtf, write_repeats
+
+
+def test_cli_end_to_end(tmp_path):
+    ds = make_dataset(seed=7)
+    paths = write_dataset(ds, tmp_path)
+    gtf = tmp_path / "genes.gtf"
+    write_gtf(ds, gtf)
+    genome_fa = tmp_path / "genome.fa"
+    write_genome_fasta(ds, genome_fa)
+    write_repeats(ds, tmp_path / "repeats.regions")
+
+    dataset = tmp_path / "dataset"
+    config = tmp_path / "config.txt"
+    config.write_text("\n".join([
+        f"genome_fasta = {genome_fa}",
+        f"gene_models = {gtf}",
+        "gene_biotypes = synth",
+        "chromosomes = 1,2",
+        "span_count_threshold = 3",
+        f"repeats_regions = {tmp_path}/repeats.regions",
+        "dataset_prefix = $(dataset_directory)/defuse",
+        "cdna_regions = $(dataset_prefix).cdna.regions",
+        "cdna_fasta = $(dataset_prefix).cdna.fa",
+        "exons_fasta = $(dataset_prefix).exons.fa",
+        "cds_fasta = $(dataset_prefix).cds.fa",
+        "reference_fasta = $(dataset_prefix).reference.fa",
+        "rrna_fasta = $(dataset_prefix).rrna.fa",
+        "ig_gene_list = $(dataset_prefix).ig.gene.list",
+    ]) + "\n")
+
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "defuse_tpu", "create-ref",
+         "-c", str(config), "-d", str(dataset)],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr
+    assert (dataset / "defuse.cdna.fa").exists()
+
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "defuse_tpu", "run",
+         "-c", str(config), "-d", str(dataset), "-o", str(out),
+         "-1", str(paths["fastq1"]), "-2", str(paths["fastq2"]),
+         "-n", "cli-test", "--no-device"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    results = (out / "results.tsv").read_text().splitlines()
+    assert len(results) >= 2
+    header = results[0].split("\t")
+    g1 = header.index("gene1")
+    g2 = header.index("gene2")
+    assert any({r.split("\t")[g1], r.split("\t")[g2]} == {"GA", "GB"}
+               for r in results[1:])
+
+    # get-reads for the first cluster id present
+    cid = results[1].split("\t")[0]
+    proc = subprocess.run(
+        [sys.executable, "-m", "defuse_tpu", "get-reads",
+         "-c", str(config), "-d", str(dataset), "-o", str(out),
+         "-i", cid],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Split Reads:" in proc.stdout
+    assert "Spanning Reads:" in proc.stdout
