@@ -42,6 +42,10 @@ def load_library(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_int)]
     lib.dt_em_cluster_batch.restype = None
     lib.dt_setcover.restype = None
+    lib.dt_clustermatepairs.restype = ctypes.c_int
+    lib.dt_clustermatepairs.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -123,6 +127,26 @@ def em_cluster_batch(instances, params, n_threads: int = 0):
             pos += size
         out.append(clusters)
     return out
+
+
+def clustermatepairs(in_path: str, out_path: str, params,
+                     n_threads: int = 0) -> None:
+    """Full native clustering stage: compact alignment file -> cluster
+    rows file.  Byte-identical to
+    ``discordant.cluster_alignments`` + ``write_clusters`` (itself pinned
+    to the golden build of ``tools/clustermatepairs.cpp``)."""
+    lib = load_library()
+    if n_threads <= 0:
+        import os
+        n_threads = max(1, (os.cpu_count() or 2) - 1)
+    rc = lib.dt_clustermatepairs(
+        str(in_path).encode(), str(out_path).encode(),
+        ctypes.c_double(params.fragment_mean),
+        ctypes.c_double(params.fragment_stddev),
+        ctypes.c_double(params.precision), params.min_cluster_size,
+        n_threads)
+    if rc != 0:
+        raise RuntimeError(f"dt_clustermatepairs failed with code {rc}")
 
 
 def set_cover(clusters: list[list[int]]) -> list[list[int]]:

@@ -36,11 +36,17 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                       min_cluster_size)
 
     # --- clustering -----------------------------------------------------
-    table = load_alignments(iter_compact(spanning))
-    rows = cluster_alignments(table, params, use_device=use_device,
-                              em_mode=em_mode)
     clusters_path = out / "clusters"
-    write_clusters(rows, str(clusters_path))
+    from ..cluster import native
+    if em_mode in ("auto", "native") and native.available():
+        # full native file->file driver: parse + bin + filter + EM + emit
+        # all in C++ (byte-identical; test_cluster_parity pins it)
+        native.clustermatepairs(spanning, clusters_path, params)
+    else:
+        table = load_alignments(iter_compact(spanning))
+        rows = cluster_alignments(table, params, use_device=use_device,
+                                  em_mode=em_mode)
+        write_clusters(rows, str(clusters_path))
 
     ref_store = None
     if gene_models is not None:

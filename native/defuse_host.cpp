@@ -763,3 +763,336 @@ void dt_setcover(const int* members, const int64_t* offsets,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Full clustermatepairs stage: compact alignment file -> cluster rows
+// file.  Mirrors defuse_tpu/cluster/discordant.py (itself pinned to the
+// golden build of the reference): concordance screen, 32kb packed
+// binning, per-bin-pair filters, exact EM, canonical ordering.
+// ---------------------------------------------------------------------
+
+namespace {
+
+constexpr int kBinLength = 1 << 15;
+
+inline int64_t TruncDiv(int64_t a, int64_t b) {
+  int64_t q = (a < 0 ? -a : a) / b;
+  return a < 0 ? -q : q;
+}
+
+struct PackedAln {
+  uint32_t read_id;
+  uint16_t rel_start;
+  uint16_t rel_end;
+};
+
+struct CompactRow {
+  int32_t fragment;
+  int8_t read_end;
+  int32_t ref;
+  int8_t strand;
+  int32_t start;
+  int32_t end;
+};
+
+struct BinPairData {
+  std::vector<PackedAln> first, second;
+};
+
+struct ClusterRowOut {
+  int frag, read_end1, start1, end1, read_end2, start2, end2;
+};
+
+struct BinPairResult {
+  // per cluster: rows (end0+end1 fused)
+  std::vector<std::vector<ClusterRowOut>> clusters;
+  int ref1, strand1, ref2, strand2;
+};
+
+void ProcessBinPair(uint32_t key1, uint32_t key2, const BinPairData& data,
+                    int min_fusion_range, double frag_mean,
+                    MatePairEMHost& em, int min_cluster_size,
+                    BinPairResult& result) {
+  auto unpack = [&](uint32_t key, const std::vector<PackedAln>& packed,
+                    int& ref, int& strand, std::vector<int>& frag,
+                    std::vector<int>& rend, std::vector<int>& start,
+                    std::vector<int>& end) {
+    ref = key & ((1u << 18) - 1);
+    strand = (key >> 18) & 1;
+    int bin = key >> 19;
+    int64_t base = (int64_t)bin * kBinLength - kBinLength / 2;
+    for (const auto& p : packed) {
+      frag.push_back(p.read_id & 0x7FFFFFFF);
+      rend.push_back((p.read_id >> 31) & 1);
+      start.push_back((int)(p.rel_start + base));
+      end.push_back((int)(p.rel_end + base));
+    }
+  };
+  int ref1, strand1, ref2, strand2;
+  std::vector<int> frag1, rend1, start1, end1;
+  std::vector<int> frag2, rend2, start2, end2;
+  unpack(key1, data.first, ref1, strand1, frag1, rend1, start1, end1);
+  unpack(key2, data.second, ref2, strand2, frag2, rend2, start2, end2);
+  result.ref1 = ref1;
+  result.strand1 = strand1;
+  result.ref2 = ref2;
+  result.strand2 = strand2;
+
+  std::map<int, std::vector<int>> frags1, frags2;
+  for (size_t i = 0; i < frag1.size(); i++) frags1[frag1[i]].push_back(i);
+  for (size_t i = 0; i < frag2.size(); i++) frags2[frag2[i]].push_back(i);
+
+  // keep common fragments only
+  std::vector<int> common;
+  for (auto& kv : frags1)
+    if (frags2.count(kv.first)) common.push_back(kv.first);
+  if ((int)common.size() < min_cluster_size) {
+    // size check happens later on filtered maps; mirror python: first
+    // intersect, then overlap-filter, then size check
+  }
+
+  auto filter_overlapping = [&](std::vector<int>& aligns, int ref,
+                                int strand, const std::vector<int>& starts,
+                                const std::vector<int>& ends,
+                                const std::vector<int>& rends) {
+    std::vector<int> kept;
+    std::set<std::pair<int64_t, int64_t>> seen[2];
+    int64_t refstrand = (int64_t)ref | ((int64_t)strand << 31);
+    for (int ai : aligns) {
+      int64_t lo = TruncDiv(starts[ai], min_fusion_range);
+      int64_t hi = TruncDiv(ends[ai], min_fusion_range);
+      int e = rends[ai];
+      bool overlap = false;
+      for (int64_t b = lo; b <= hi; b++)
+        if (seen[e].count({refstrand, b})) overlap = true;
+      if (!overlap) {
+        for (int64_t b = lo; b <= hi; b++) seen[e].insert({refstrand, b});
+        kept.push_back(ai);
+      }
+    }
+    aligns.swap(kept);
+  };
+
+  std::map<int, std::vector<int>> f1, f2;
+  for (int f : common) {
+    f1[f] = frags1[f];
+    f2[f] = frags2[f];
+  }
+  for (auto& kv : f1)
+    filter_overlapping(kv.second, ref1, strand1, start1, end1, rend1);
+  for (auto& kv : f2)
+    filter_overlapping(kv.second, ref2, strand2, start2, end2, rend2);
+  if ((int)f1.size() < min_cluster_size ||
+      (int)f2.size() < min_cluster_size)
+    return;
+
+  std::vector<int> pa1, pa2, pfrag;
+  for (int f : common)
+    for (int a1 : f1[f])
+      for (int a2 : f2[f]) {
+        pa1.push_back(a1);
+        pa2.push_back(a2);
+        pfrag.push_back(f);
+      }
+  if (pa1.empty()) return;
+
+  EMInstance inst;
+  int n = (int)pa1.size();
+  inst.x.resize(n);
+  inst.y.resize(n);
+  inst.u.resize(n);
+  for (int i = 0; i < n; i++) {
+    int a1 = pa1[i], a2 = pa2[i];
+    double xs, xe, ys, ye;
+    if (strand1 == 0) {
+      xs = start1[a1];
+      xe = end1[a1];
+    } else {
+      xs = -end1[a1];
+      xe = -start1[a1];
+    }
+    if (strand2 == 0) {
+      ys = start2[a2];
+      ye = end2[a2];
+    } else {
+      ys = -end2[a2];
+      ye = -start2[a2];
+    }
+    inst.x[i] = xe;
+    inst.y[i] = ye;
+    inst.u[i] = frag_mean - (xe - xs + 1) - (ye - ys + 1);
+  }
+  std::vector<std::vector<int>> clusters;
+  em.DoClustering(inst, clusters);
+  for (auto& cluster : clusters) {
+    if ((int)cluster.size() < min_cluster_size) continue;
+    std::set<int> seen_frags;
+    std::vector<ClusterRowOut> rows;
+    for (int m : cluster) {
+      int f = pfrag[m];
+      if (seen_frags.count(f)) continue;
+      seen_frags.insert(f);
+      int a1 = pa1[m], a2 = pa2[m];
+      rows.push_back({f, rend1[a1], start1[a1], end1[a1], rend2[a2],
+                      start2[a2], end2[a2]});
+    }
+    if (!rows.empty()) result.clusters.push_back(std::move(rows));
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int dt_clustermatepairs(const char* in_path, const char* out_path,
+                        double frag_mean, double frag_std,
+                        double precision, int min_cluster_size,
+                        int n_threads) {
+  const int min_fusion_range = (int)(frag_mean + 10.0 * frag_std);
+  std::ifstream in(in_path);
+  if (!in.good()) return 1;
+
+  std::unordered_map<std::string, int> ref_index;
+  std::vector<std::string> ref_names;
+  std::vector<CompactRow> rows;
+  std::string line;
+  while (std::getline(in, line)) {
+    // fields: fragment, readEnd(parser flip: "1"->0 else 1), ref,
+    // strand, start, end
+    const char* s = line.c_str();
+    char* endp;
+    long fragment = strtol(s, &endp, 10);
+    const char* f1 = endp + 1;
+    const char* t1 = strchr(f1, '\t');
+    int read_end = (t1 - f1 == 1 && *f1 == '1') ? 0 : 1;
+    const char* f2 = t1 + 1;
+    const char* t2 = strchr(f2, '\t');
+    std::string ref(f2, t2 - f2);
+    const char* f3 = t2 + 1;
+    int strand = (*f3 == '-') ? 1 : 0;
+    const char* f4 = strchr(f3, '\t') + 1;
+    long start = strtol(f4, &endp, 10);
+    long end = strtol(endp + 1, nullptr, 10);
+    auto ins = ref_index.insert({ref, (int)ref_names.size()});
+    if (ins.second) ref_names.push_back(ref);
+    rows.push_back({(int32_t)fragment, (int8_t)read_end,
+                    (int32_t)ins.first->second, (int8_t)strand,
+                    (int32_t)start, (int32_t)end});
+  }
+
+  // group by fragment (stream order); concordance screen; bin pairs
+  std::map<std::pair<uint32_t, uint32_t>, BinPairData> bin_pairs;
+  size_t i = 0;
+  while (i < rows.size()) {
+    size_t j = i;
+    while (j < rows.size() && rows[j].fragment == rows[i].fragment) j++;
+    // concordance screen: both read ends bin to a common (ref, bin)
+    // (discordant.check_concordant / clustermatepairs.cpp:211-244).
+    // Incremental insert-then-check-other is equivalent to full-set
+    // intersection for the boolean outcome.
+    {
+      std::set<std::pair<int, int64_t>> conc[2];
+      bool concordant = false;
+      for (size_t r = i; r < j && !concordant; r++) {
+        int64_t lo = TruncDiv((int64_t)rows[r].start - min_fusion_range,
+                              min_fusion_range);
+        int64_t hi = TruncDiv((int64_t)rows[r].end + min_fusion_range,
+                              min_fusion_range);
+        int e = rows[r].read_end;
+        for (int64_t b = lo; b <= hi; b++) {
+          if (conc[1 - e].count({rows[r].ref, b})) {
+            concordant = true;
+            break;
+          }
+          conc[e].insert({rows[r].ref, b});
+        }
+      }
+      if (!concordant) {
+        std::map<uint32_t, std::vector<PackedAln>> binned[2];
+        for (size_t r = i; r < j; r++) {
+          int64_t lo = TruncDiv((int64_t)rows[r].start - min_fusion_range,
+                                kBinLength);
+          int64_t hi = TruncDiv((int64_t)rows[r].end + min_fusion_range,
+                                kBinLength);
+          uint32_t read_id = (uint32_t)rows[r].fragment |
+                             ((uint32_t)rows[r].read_end << 31);
+          for (int64_t b = lo; b <= hi; b++) {
+            uint32_t key = (uint32_t)rows[r].ref |
+                           ((uint32_t)rows[r].strand << 18) |
+                           ((uint32_t)b << 19);
+            int64_t base = b * kBinLength - kBinLength / 2;
+            binned[rows[r].read_end][key].push_back(
+                {read_id, (uint16_t)(rows[r].start - base),
+                 (uint16_t)(rows[r].end - base)});
+          }
+        }
+        for (const auto& kv1 : binned[0])
+          for (const auto& kv2 : binned[1]) {
+            uint32_t k1 = kv1.first, k2 = kv2.first;
+            if (k1 < k2) {
+              auto& bp = bin_pairs[{k1, k2}];
+              bp.first.insert(bp.first.end(), kv1.second.begin(),
+                              kv1.second.end());
+              bp.second.insert(bp.second.end(), kv2.second.begin(),
+                               kv2.second.end());
+            } else {
+              auto& bp = bin_pairs[{k2, k1}];
+              bp.first.insert(bp.first.end(), kv2.second.begin(),
+                              kv2.second.end());
+              bp.second.insert(bp.second.end(), kv1.second.begin(),
+                               kv1.second.end());
+            }
+          }
+      }
+    }
+    i = j;
+  }
+
+  // process bin pairs (threaded, canonical order preserved on output)
+  std::vector<const std::pair<const std::pair<uint32_t, uint32_t>,
+                              BinPairData>*> items;
+  for (const auto& kv : bin_pairs)
+    if ((int)kv.second.first.size() >= min_cluster_size &&
+        (int)kv.second.second.size() >= min_cluster_size)
+      items.push_back(&kv);
+
+  std::vector<BinPairResult> results(items.size());
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      MatePairEMHost em(frag_mean, frag_std, precision, min_cluster_size);
+      for (size_t idx = t; idx < items.size(); idx += n_threads) {
+        ProcessBinPair(items[idx]->first.first, items[idx]->first.second,
+                       items[idx]->second, min_fusion_range, frag_mean,
+                       em, min_cluster_size, results[idx]);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+
+  std::ofstream out(out_path);
+  if (!out.good()) return 2;
+  int cluster_id = 0;
+  char buf[256];
+  for (const auto& res : results) {
+    for (const auto& cluster : res.clusters) {
+      for (const auto& row : cluster) {
+        snprintf(buf, sizeof(buf), "%d\t0\t%d\t%d\t%s\t%c\t%d\t%d\n",
+                 cluster_id, row.frag, row.read_end1,
+                 ref_names[res.ref1].c_str(),
+                 res.strand1 ? '-' : '+', row.start1, row.end1);
+        out << buf;
+        snprintf(buf, sizeof(buf), "%d\t1\t%d\t%d\t%s\t%c\t%d\t%d\n",
+                 cluster_id, row.frag, row.read_end2,
+                 ref_names[res.ref2].c_str(),
+                 res.strand2 ? '-' : '+', row.start2, row.end2);
+        out << buf;
+      }
+      cluster_id++;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

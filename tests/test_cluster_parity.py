@@ -42,3 +42,24 @@ def test_clustermatepairs_byte_parity(ref_binaries, compact_fixture,
     golden_text = golden.read_text()
     assert golden_text, "golden clusters file is empty"
     assert ours == golden_text
+
+
+def test_native_clustermatepairs_byte_parity(compact_fixture, tmp_path):
+    """The full native file->file clustering driver matches the Python
+    path byte for byte (which the test above pins to the golden build)."""
+    from defuse_tpu.cluster import native
+    if not native.available():
+        pytest.skip("native library not built")
+
+    params = EMParams(fragment_mean=PARAMS["mean"],
+                      fragment_stddev=PARAMS["stddev"],
+                      precision=PARAMS["precision"],
+                      min_cluster_size=PARAMS["min_cluster_size"])
+
+    table = load_alignments(iter_compact(compact_fixture))
+    rows = cluster_alignments(table, params, em_mode="oracle")
+    py_text = "".join(r.format() + "\n" for r in rows)
+
+    out = tmp_path / "clusters.native"
+    native.clustermatepairs(compact_fixture, out, params, n_threads=3)
+    assert out.read_text() == py_text
