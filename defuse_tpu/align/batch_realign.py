@@ -115,10 +115,48 @@ def _np_rows(refs, reads, wanted_rows, R):
     return out
 
 
+def _native_rows(ref1s, ref2s, reads, candidates, subset=None):
+    """Emit SplitRows via the native realigner.  ``subset`` restricts to
+    those candidate indices (screen survivors), preserving order."""
+    from ..cluster import native
+    if subset is None:
+        idx = list(range(len(candidates)))
+    else:
+        idx = list(subset)
+    packed = native.split_realign([ref1s[b] for b in idx],
+                                  [ref2s[b] for b in idx],
+                                  [reads[b] for b in idx])
+    out_rows: list[SplitRow] = []
+    for ci, i1, j2, k, score in packed.tolist():
+        b = idx[ci]
+        c = candidates[b]
+        ln = len(reads[b])
+        out_rows.append(SplitRow(
+            c.cluster_id, c.fragment, c.read_end, c.rev_comp,
+            (i1, j2), (k, ln - k), score))
+    return out_rows
+
+
+def realign_candidates_native(realigner,
+                              candidates: list[Candidate]) -> list[SplitRow]:
+    """Stages 2+3 fully in native C++ (threaded) — the host fast path
+    when no device is in use.  Byte-identical rows to
+    ``realign_candidates`` (pinned by tests/test_split_chain_parity)."""
+    if not candidates:
+        return []
+    tasks = realigner.tasks
+    ref1s = [tasks[c.cluster_id].split_align_seq[0] for c in candidates]
+    ref2s = [tasks[c.cluster_id].split_align_seq[1] for c in candidates]
+    reads = [c.read_seq for c in candidates]
+    return _native_rows(ref1s, ref2s, reads, candidates)
+
+
 def realign_candidates(realigner, candidates: list[Candidate],
-                       rowmax_fn) -> list[SplitRow]:
+                       rowmax_fn, native_enum: bool = False) -> list[SplitRow]:
     """Stages 2+3.  ``rowmax_fn(refs_p, ref_lens, reads_p, read_lens)``
-    computes DP row maxima (device or XLA fallback)."""
+    computes DP row maxima (device or XLA fallback).  With
+    ``native_enum`` the tie-column enumeration of screen survivors runs
+    in native C++ instead of a second device round trip."""
     if not candidates:
         return []
 
@@ -154,6 +192,13 @@ def realign_candidates(realigner, candidates: list[Candidate],
     min_scores = np.array([accept_threshold(int(l)) for l in rl])
     totals[totals < min_scores[:, None]] = 0
     max_scores = totals.max(axis=1)
+
+    if native_enum:
+        survivors = np.nonzero(max_scores > 0)[0].tolist()
+        if not survivors:
+            return []
+        return _native_rows(ref1s, ref2s, reads, candidates,
+                            subset=survivors)
 
     winners = []
     wanted1 = [set() for _ in range(n)]

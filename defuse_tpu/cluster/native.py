@@ -46,6 +46,13 @@ def load_library(build_if_missing: bool = True):
     lib.dt_clustermatepairs.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int, ctypes.c_int]
+    lib.dt_split_realign.restype = ctypes.c_long
+    lib.dt_split_realign.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_long]
     _lib = lib
     return lib
 
@@ -147,6 +154,48 @@ def clustermatepairs(in_path: str, out_path: str, params,
         n_threads)
     if rc != 0:
         raise RuntimeError(f"dt_clustermatepairs failed with code {rc}")
+
+
+def _concat_seqs(seqs):
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        offsets[i + 1] = offsets[i] + len(s)
+    buf = np.frombuffer("".join(seqs).encode(), dtype=np.uint8).copy() \
+        if seqs else np.zeros(1, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    return buf, offsets
+
+
+def split_realign(ref1s, ref2s, reads, n_threads: int = 0) -> np.ndarray:
+    """Full split-read realignment of candidates (DP screen + combine +
+    tie-column enumeration).  Returns an (T, 5) int32 array of
+    (cand_idx, i1, j2, k, score) rows in the canonical emission order
+    (same contract as ``align.batch_realign.realign_candidates``)."""
+    lib = load_library()
+    if n_threads <= 0:
+        import os
+        n_threads = max(1, (os.cpu_count() or 2) - 1)
+    r1buf, r1off = _concat_seqs(ref1s)
+    r2buf, r2off = _concat_seqs(ref2s)
+    rdbuf, rdoff = _concat_seqs(reads)
+
+    def _u8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def _i64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    cap = max(1024, 4 * len(reads))
+    while True:
+        out = np.empty((cap, 5), dtype=np.int32)
+        total = lib.dt_split_realign(
+            _u8(r1buf), _i64(r1off), _u8(r2buf), _i64(r2off),
+            _u8(rdbuf), _i64(rdoff), len(reads), n_threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        if total <= cap:
+            return out[:total]
+        cap = int(total)
 
 
 def set_cover(clusters: list[list[int]]) -> list[list[int]]:

@@ -94,6 +94,8 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
 
     split_path = out / "splitreads.alignments"
     candidates = collect_candidates(realigner, iter_sam(improper))
+    from ..cluster import native as native_lib
+    have_native = native_lib.available()
     if use_device:
         from ..ops.split_dp_pallas import dp_row_maxima_pallas
 
@@ -102,10 +104,17 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             return dp_row_maxima_pallas(
                 refs_p.astype(np.int32), ref_lens,
                 reads_p.astype(np.int32), read_lens)
+
+        # device screen + native tie enumeration when built (saves the
+        # second device round trip); pure-device fallback otherwise
+        split_rows = realign_candidates(realigner, candidates, rowmax_fn,
+                                        native_enum=have_native)
+    elif have_native:
+        from ..align.batch_realign import realign_candidates_native
+        split_rows = realign_candidates_native(realigner, candidates)
     else:
         from ..ops.split_dp_batch import dp_row_maxima as rowmax_fn
-
-    split_rows = realign_candidates(realigner, candidates, rowmax_fn)
+        split_rows = realign_candidates(realigner, candidates, rowmax_fn)
     with open(split_path, "w") as fh:
         for row in split_rows:
             fh.write(row.format() + "\n")

@@ -1096,3 +1096,135 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Split-read realignment stages 2+3: screening DP + tie-column
+// enumeration + row emission.  Exact integer recurrence pinned by
+// defuse_tpu/align/split_dp.py (itself byte-parity vs the golden build
+// of tools/SplitReadAligner.cpp); emission order and seen-split dedup
+// mirror defuse_tpu/align/batch_realign.realign_candidates.
+// ---------------------------------------------------------------------
+
+namespace {
+
+constexpr int kMatch = 2;
+constexpr int kMismatch = -1;
+constexpr int kGap = -2;
+constexpr int kMinSplitScore = 8;  // MIN_ANCHOR(4) * MATCH(2)
+
+// DP rows for read (q, n) vs ref (r, m): rows (n+1) x (m+1), row 0 all
+// zeros; row j: vert[0]=GAP*j, vert[i]=max(prev[i-1]+sub, prev[i]+GAP),
+// col[i]=max(vert[i], col[i-1]+GAP).
+void SplitDPRows(const uint8_t* q, int n, const uint8_t* r, int m,
+                 std::vector<int32_t>& rows) {
+  rows.assign((size_t)(n + 1) * (m + 1), 0);
+  for (int j = 1; j <= n; j++) {
+    const int32_t* prev = rows.data() + (size_t)(j - 1) * (m + 1);
+    int32_t* cur = rows.data() + (size_t)j * (m + 1);
+    uint8_t ch = q[j - 1];
+    int32_t running = kGap * j;
+    cur[0] = running;
+    for (int i = 1; i <= m; i++) {
+      int32_t sub = (r[i - 1] == ch) ? kMatch : kMismatch;
+      int32_t vert = std::max(prev[i - 1] + sub, prev[i] + kGap);
+      running = std::max(vert, running + kGap);
+      cur[i] = running;
+    }
+  }
+}
+
+// anchored row max over columns 0..m (clamped to 0 below threshold)
+inline int32_t AnchoredRowMax(const int32_t* row, int m) {
+  int32_t mx = row[0];
+  for (int i = 1; i <= m; i++) mx = std::max(mx, row[i]);
+  return (mx >= kMinSplitScore) ? mx : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Output rows: (cand_idx, i1, j2, k, score) int32 x5.  Returns the total
+// number of rows; if > cap, caller must re-invoke with a larger buffer.
+long dt_split_realign(const uint8_t* ref1, const int64_t* ref1_off,
+                      const uint8_t* ref2, const int64_t* ref2_off,
+                      const uint8_t* reads, const int64_t* read_off,
+                      int n_cand, int n_threads, int32_t* out, long cap) {
+  std::vector<std::vector<int32_t>> results(n_cand);
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      std::vector<int32_t> rows1, rows2;
+      std::vector<uint8_t> qrev, rrev;
+      for (int b = t; b < n_cand; b += n_threads) {
+        const uint8_t* r1 = ref1 + ref1_off[b];
+        int m1 = (int)(ref1_off[b + 1] - ref1_off[b]);
+        const uint8_t* r2 = ref2 + ref2_off[b];
+        int m2 = (int)(ref2_off[b + 1] - ref2_off[b]);
+        const uint8_t* q = reads + read_off[b];
+        int n = (int)(read_off[b + 1] - read_off[b]);
+        if (n == 0) continue;
+        qrev.assign(q, q + n);
+        std::reverse(qrev.begin(), qrev.end());
+        rrev.assign(r2, r2 + m2);
+        std::reverse(rrev.begin(), rrev.end());
+        SplitDPRows(q, n, r1, m1, rows1);
+        SplitDPRows(qrev.data(), n, rrev.data(), m2, rows2);
+        // row maxima + combine
+        std::vector<int32_t> rm1(n + 1), rm2(n + 1);
+        for (int j = 0; j <= n; j++) {
+          rm1[j] = AnchoredRowMax(rows1.data() + (size_t)j * (m1 + 1), m1);
+          rm2[j] = AnchoredRowMax(rows2.data() + (size_t)j * (m2 + 1), m2);
+        }
+        int32_t min_score =
+            (int32_t)((double)((float)n) * (double)((float)kMatch) * 0.90);
+        int32_t max_score = 0;
+        for (int k = 0; k <= n; k++) {
+          int32_t tot = rm1[k] + rm2[n - k];
+          if (tot >= min_score && tot > max_score) max_score = tot;
+        }
+        if (max_score <= 0) continue;
+        auto& res = results[b];
+        std::set<std::pair<int, int>> seen_splits;
+        for (int k = 0; k <= n; k++) {
+          int32_t tot = rm1[k] + rm2[n - k];
+          if (tot < min_score || tot != max_score) continue;
+          int32_t s1 = rm1[k], s2 = rm2[n - k];
+          // tie columns: anchored-max semantics — a side whose row max
+          // is below threshold collects no columns
+          if (s1 < kMinSplitScore || s2 < kMinSplitScore) continue;
+          const int32_t* row1 = rows1.data() + (size_t)k * (m1 + 1);
+          const int32_t* row2 = rows2.data() + (size_t)(n - k) * (m2 + 1);
+          int32_t sc = std::min(s1, s2);
+          for (int i1 = 0; i1 <= m1; i1++) {
+            if (row1[i1] != s1) continue;
+            for (int i2 = 0; i2 <= m2; i2++) {
+              if (row2[i2] != s2) continue;
+              int j2 = m2 - i2 - 1;
+              if (!seen_splits.insert({i1, j2}).second) continue;
+              res.push_back(b);
+              res.push_back(i1);
+              res.push_back(j2);
+              res.push_back(k);
+              res.push_back(sc);
+            }
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  long total = 0;
+  for (const auto& res : results) total += (long)(res.size() / 5);
+  if (total <= cap) {
+    int32_t* p = out;
+    for (const auto& res : results) {
+      std::copy(res.begin(), res.end(), p);
+      p += res.size();
+    }
+  }
+  return total;
+}
+
+}  // extern "C"
