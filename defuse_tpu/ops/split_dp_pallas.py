@@ -144,3 +144,53 @@ def _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256,
         <= read_lens[:, None]
     rowmax = jnp.where(rowmax >= MIN_SPLIT_SCORE, rowmax, 0)
     return jnp.where(row_valid, rowmax, 0)
+
+
+def screen_candidates_pallas(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
+                             read_lens, min_scores):
+    """Transfer-lean candidate screen: returns per-candidate max split
+    score (0 = reject).
+
+    The candidate set references few unique fusion flank pairs, so only
+    the *unique* flanks ship to the device (uint8); per-candidate flank
+    rows are gathered on device by ``ref_idx``.  ``uref2r`` is the
+    reversed second flank.  Reads ship once (uint8); their reversal for
+    the second-flank DP happens on device.  Only the (B,) max-score
+    vector comes back — on a high-latency link this cuts the screen's
+    traffic ~50x vs shipping per-candidate int32 matrices both ways.
+    """
+    interpret = jax.default_backend() != "tpu"
+    return _screen_candidates(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
+                              read_lens, min_scores, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _screen_candidates(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
+                       read_lens, min_scores, interpret=False):
+    L = reads.shape[1]
+    reads32 = reads.astype(jnp.int32)
+    read_lens = read_lens.astype(jnp.int32)
+    # device-side reversal of the padded variable-length reads
+    pos = read_lens[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+    rev = jnp.take_along_axis(reads32, jnp.clip(pos, 0, L - 1), axis=1)
+    rev = jnp.where(jnp.arange(L, dtype=jnp.int32)[None, :]
+                    < read_lens[:, None], rev, 0)
+
+    r1 = uref1.astype(jnp.int32)[ref_idx]
+    l1 = ulen1.astype(jnp.int32)[ref_idx]
+    r2 = uref2r.astype(jnp.int32)[ref_idx]
+    l2 = ulen2.astype(jnp.int32)[ref_idx]
+
+    rowmax = _dp_row_maxima_pallas(
+        jnp.concatenate([r1, r2]), jnp.concatenate([l1, l2]),
+        jnp.concatenate([reads32, rev]),
+        jnp.concatenate([read_lens, read_lens]),
+        256, interpret)
+    B = reads.shape[0]
+    rm1 = rowmax[:B]
+    rm2 = rowmax[B:]
+
+    from .split_dp_batch import combine_split_scores
+    max_score, _ = combine_split_scores(rm1, rm2, read_lens,
+                                        min_scores.astype(jnp.int32))
+    return max_score

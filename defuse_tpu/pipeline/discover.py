@@ -97,18 +97,21 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     from ..cluster import native as native_lib
     have_native = native_lib.available()
     if use_device:
-        from ..ops.split_dp_pallas import dp_row_maxima_pallas
+        if have_native:
+            # transfer-lean device screen + native tie enumeration
+            from ..align.batch_realign import realign_candidates_screened
+            split_rows = realign_candidates_screened(realigner, candidates)
+        else:
+            from ..ops.split_dp_pallas import dp_row_maxima_pallas
 
-        def rowmax_fn(refs_p, ref_lens, reads_p, read_lens):
-            import numpy as np
-            return dp_row_maxima_pallas(
-                refs_p.astype(np.int32), ref_lens,
-                reads_p.astype(np.int32), read_lens)
+            def rowmax_fn(refs_p, ref_lens, reads_p, read_lens):
+                import numpy as np
+                return dp_row_maxima_pallas(
+                    refs_p.astype(np.int32), ref_lens,
+                    reads_p.astype(np.int32), read_lens)
 
-        # device screen + native tie enumeration when built (saves the
-        # second device round trip); pure-device fallback otherwise
-        split_rows = realign_candidates(realigner, candidates, rowmax_fn,
-                                        native_enum=have_native)
+            split_rows = realign_candidates(realigner, candidates,
+                                            rowmax_fn)
     elif have_native:
         from ..align.batch_realign import realign_candidates_native
         split_rows = realign_candidates_native(realigner, candidates)

@@ -58,3 +58,11 @@ hrows = realign_candidates(realigner, candidates, dp_row_maxima, native_enum=Tru
 print(f"hybrid screen+native enum {time.time()-t0:.2f}s rows={len(hrows)}")
 assert [r.format() for r in rows] == [r.format() for r in hrows], "HYBRID MISMATCH"
 print("PARITY OK hybrid")
+
+from defuse_tpu.align.batch_realign import realign_candidates_screened
+t0=time.time(); srows = realign_candidates_screened(realigner, candidates)
+print(f"screened realign {time.time()-t0:.2f}s rows={len(srows)}")
+t0=time.time(); srows2 = realign_candidates_screened(realigner, candidates)
+print(f"screened realign (2nd) {time.time()-t0:.2f}s")
+assert [r.format() for r in rows] == [r.format() for r in srows], "SCREEN MISMATCH"
+print("PARITY OK screened")
