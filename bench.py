@@ -26,9 +26,9 @@ sys.path.insert(0, str(REPO / "tests"))
 MEAN, STD, PREC, MINCL = 200.0, 20.0, 0.95, 3
 MINREAD = MAXREAD = 50
 
-N_FUSIONS = 48
+N_FUSIONS = 96
 FRAGS_PER_FUSION = 150
-N_BACKGROUND = 8000
+N_BACKGROUND = 40000
 
 # measured on this image when the reference toolchain cannot be rebuilt
 FALLBACK_BASELINE_PAIRS_S = None

@@ -115,6 +115,26 @@ def _np_rows(refs, reads, wanted_rows, R):
     return out
 
 
+def collect_candidates_native(realigner, improper_path: str
+                              ) -> list[Candidate]:
+    """Stage 1 in native C++: parse + binned-region lookup + dedup
+    (byte-identical candidate order to ``collect_candidates``)."""
+    from ..cluster import native
+    from ..core.types import revcomp as _rc
+
+    packed = native.collect_candidates(improper_path, realigner.binned)
+    out: list[Candidate] = []
+    reads = realigner.reads
+    for order, (cluster_id, fragment, read_end, rev_comp) in enumerate(
+            packed.tolist()):
+        read_seq = reads.get(fragment | (read_end << 31), "")
+        if rev_comp:
+            read_seq = _rc(read_seq)
+        out.append(Candidate(order, cluster_id, fragment, read_end,
+                             rev_comp, read_seq))
+    return out
+
+
 def _native_rows(ref1s, ref2s, reads, candidates, subset=None):
     """Emit SplitRows via the native realigner.  ``subset`` restricts to
     those candidate indices (screen survivors), preserving order."""

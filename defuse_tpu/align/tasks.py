@@ -301,12 +301,16 @@ class BinnedLocations:
         self.bin_spacing = bin_spacing
         self.ids: list[int] = []
         self.regions: list[tuple[int, int]] = []
+        self.region_refs: list[str] = []   # per-region ref / strand for
+        self.region_strands: list[int] = []  # array export (native path)
         self.binned: list[dict[str, dict[int, list[int]]]] = [{}, {}]
 
     def add(self, id_: int, location: Location) -> None:
         idx = len(self.ids)
         self.ids.append(id_)
         self.regions.append((location.start, location.end))
+        self.region_refs.append(location.ref_name)
+        self.region_strands.append(location.strand)
         by_ref = self.binned[location.strand].setdefault(
             location.ref_name, {})
         for b in range(location.start // self.bin_spacing,

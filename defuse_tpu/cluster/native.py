@@ -53,6 +53,14 @@ def load_library(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
         ctypes.c_long]
+    lib.dt_collect_candidates.restype = ctypes.c_long
+    lib.dt_collect_candidates.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_long, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_long]
     _lib = lib
     return lib
 
@@ -98,7 +106,7 @@ def em_cluster_batch(instances, params, n_threads: int = 0):
     lib = load_library()
     if n_threads <= 0:
         import os
-        n_threads = max(1, (os.cpu_count() or 2) - 1)
+        n_threads = max(1, os.cpu_count() or 2)
     n_inst = len(instances)
     offsets = np.zeros(n_inst + 1, dtype=np.int64)
     for i, (x, _y, _u) in enumerate(instances):
@@ -145,7 +153,7 @@ def clustermatepairs(in_path: str, out_path: str, params,
     lib = load_library()
     if n_threads <= 0:
         import os
-        n_threads = max(1, (os.cpu_count() or 2) - 1)
+        n_threads = max(1, os.cpu_count() or 2)
     rc = lib.dt_clustermatepairs(
         str(in_path).encode(), str(out_path).encode(),
         ctypes.c_double(params.fragment_mean),
@@ -175,7 +183,7 @@ def split_realign(ref1s, ref2s, reads, n_threads: int = 0) -> np.ndarray:
     lib = load_library()
     if n_threads <= 0:
         import os
-        n_threads = max(1, (os.cpu_count() or 2) - 1)
+        n_threads = max(1, os.cpu_count() or 2)
     r1buf, r1off = _concat_seqs(ref1s)
     r2buf, r2off = _concat_seqs(ref2s)
     rdbuf, rdoff = _concat_seqs(reads)
@@ -193,6 +201,46 @@ def split_realign(ref1s, ref2s, reads, n_threads: int = 0) -> np.ndarray:
             _u8(r1buf), _i64(r1off), _u8(r2buf), _i64(r2off),
             _u8(rdbuf), _i64(rdoff), len(reads), n_threads,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        if total <= cap:
+            return out[:total]
+        cap = int(total)
+
+
+def collect_candidates(sam_path: str, binned) -> np.ndarray:
+    """Stream an improper SAM against a ``BinnedLocations`` and nominate
+    split-read candidates (same contract as
+    ``align.batch_realign.collect_candidates``).  Returns an (N, 4) int32
+    array of (cluster_id, fragment, read_end, rev_comp) rows in
+    nomination order."""
+    lib = load_library()
+    n = len(binned.ids)
+    ids = np.asarray(binned.ids, dtype=np.uint32)
+    starts = np.array([r[0] for r in binned.regions], dtype=np.int32)
+    ends = np.array([r[1] for r in binned.regions], dtype=np.int32)
+    strands = np.asarray(binned.region_strands, dtype=np.int8)
+    ref_names = sorted(set(binned.region_refs))
+    ref_map = {nm: i for i, nm in enumerate(ref_names)}
+    refs = np.array([ref_map[nm] for nm in binned.region_refs],
+                    dtype=np.int32)
+    names_buf, names_off = _concat_seqs(ref_names)
+
+    def _p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    cap = 4096
+    while True:
+        out = np.empty((cap, 4), dtype=np.int32)
+        total = lib.dt_collect_candidates(
+            str(sam_path).encode(), _p(ids, ctypes.c_uint32),
+            _p(refs, ctypes.c_int32), _p(strands, ctypes.c_int8),
+            _p(starts, ctypes.c_int32), _p(ends, ctypes.c_int32), n,
+            names_buf.ctypes.data_as(ctypes.c_char_p),
+            _p(names_off, ctypes.c_int64), len(ref_names),
+            binned.bin_spacing,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        if total < 0:
+            raise RuntimeError(
+                f"dt_collect_candidates parse error {total}")
         if total <= cap:
             return out[:total]
         cap = int(total)

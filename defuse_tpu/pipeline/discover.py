@@ -93,9 +93,13 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     realigner.add_reads_fastq(fastq2)
 
     split_path = out / "splitreads.alignments"
-    candidates = collect_candidates(realigner, iter_sam(improper))
     from ..cluster import native as native_lib
     have_native = native_lib.available()
+    if have_native:
+        from ..align.batch_realign import collect_candidates_native
+        candidates = collect_candidates_native(realigner, improper)
+    else:
+        candidates = collect_candidates(realigner, iter_sam(improper))
     if use_device:
         if have_native:
             # transfer-lean device screen + native tie enumeration

@@ -1228,3 +1228,136 @@ long dt_split_realign(const uint8_t* ref1, const int64_t* ref1_off,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Candidate collection: stream the improper SAM against the binned mate
+// regions and nominate split-read candidates in reference order.
+// Contract: defuse_tpu/align/batch_realign.collect_candidates +
+// align/tasks.BinnedLocations (SplitAlignment.cpp:177-303 semantics).
+// ---------------------------------------------------------------------
+
+namespace {
+
+inline int64_t FloorDiv(int64_t a, int64_t b) {
+  int64_t q = a / b, r = a % b;
+  return (r != 0 && ((r < 0) != (b < 0))) ? q - 1 : q;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Regions: n_regions entries (region_id = packed cluster id|end<<31,
+// ref interned by caller to match ref_names, strand, start, end).
+// Output rows: (cluster_id, fragment, read_end, rev_comp) int32 x4 (the
+// caller reconstructs read_id = fragment | read_end<<31).  Returns the
+// candidate count, or <0 on parse error; if > cap the caller retries.
+long dt_collect_candidates(const char* sam_path,
+                           const uint32_t* region_ids,
+                           const int32_t* region_ref,
+                           const int8_t* region_strand,
+                           const int32_t* region_start,
+                           const int32_t* region_end, long n_regions,
+                           const char* ref_names_concat,
+                           const int64_t* ref_name_off, int n_refs,
+                           int bin_spacing, int32_t* out, long cap) {
+  std::unordered_map<std::string, int> ref_index;
+  for (int i = 0; i < n_refs; i++)
+    ref_index.emplace(std::string(ref_names_concat + ref_name_off[i],
+                                  ref_names_concat + ref_name_off[i + 1]),
+                      i);
+
+  // (strand, ref) -> bin -> region indices
+  std::vector<std::unordered_map<int64_t, std::vector<int32_t>>> binned(2);
+  for (long i = 0; i < n_regions; i++) {
+    int64_t ref_key = region_ref[i];
+    int64_t lo = FloorDiv(region_start[i], bin_spacing);
+    int64_t hi = FloorDiv(region_end[i], bin_spacing);
+    for (int64_t b = lo; b <= hi; b++)
+      binned[region_strand[i]][(ref_key << 32) ^ (b & 0xFFFFFFFFll)]
+          .push_back((int32_t)i);
+  }
+
+  std::ifstream in(sam_path);
+  if (!in.good()) return -1;
+  // per cluster id: set of (read_id, rev_comp) already nominated
+  std::unordered_map<uint32_t, std::unordered_set<uint64_t>> cand_unique;
+  std::vector<int32_t> res;
+  std::string line;
+  std::vector<int32_t> hit_ids;
+  while (std::getline(in, line)) {
+    if (!line.empty() && line[0] == '@') continue;
+    // fields 0:qname 1:flag 2:rname 3:pos ... 9:seq
+    const char* f[11];
+    f[0] = line.c_str();
+    int nf = 1;
+    for (const char* p = line.c_str(); *p && nf < 11; p++)
+      if (*p == '\t') f[nf++] = p + 1;
+    if (nf < 10) return -2;
+    const char* seq_end =
+        (nf >= 11) ? f[10] - 1 : line.c_str() + line.size();
+    if (f[2][0] == '*' && f[2][1] == '\t') continue;
+    char* endp;
+    long fragment = strtol(f[0], &endp, 10);
+    long flag = strtol(f[1], nullptr, 10);
+    int read_end_sam;
+    if (*endp == '/') {
+      char e = endp[1];
+      if ((e != '1' && e != '2') || endp[2] != '\t') return -3;
+      read_end_sam = (e == '1') ? 0 : 1;
+    } else {
+      read_end_sam = (flag & 0x40) ? 0 : 1;
+    }
+    int strand = (flag & 0x10) ? 1 : 0;
+    std::string rname(f[2], f[3] - f[2] - 1);
+    auto it = ref_index.find(rname);
+    if (it == ref_index.end()) continue;  // no regions on this reference
+    int64_t ref_key = it->second;
+    long pos = strtol(f[3], nullptr, 10);
+    long seq_len = (long)(seq_end - f[9]);
+    long aln_end = pos + seq_len - 1;
+
+    hit_ids.clear();
+    int64_t lo = FloorDiv(pos, bin_spacing);
+    int64_t hi = FloorDiv(aln_end, bin_spacing);
+    auto& bmap = binned[strand];
+    for (int64_t b = lo; b <= hi; b++) {
+      auto bit = bmap.find((ref_key << 32) ^ (b & 0xFFFFFFFFll));
+      if (bit == bmap.end()) continue;
+      for (int32_t ri : bit->second)
+        if (region_start[ri] <= aln_end && region_end[ri] >= pos)
+          hit_ids.push_back(ri);
+    }
+    if (hit_ids.empty()) continue;
+    // unique ids, sorted by signed-int32 value of the packed id
+    std::sort(hit_ids.begin(), hit_ids.end(),
+              [&](int32_t a, int32_t b2) {
+                return (int32_t)region_ids[a] < (int32_t)region_ids[b2];
+              });
+    uint32_t prev_id = 0;
+    bool first = true;
+    for (int32_t ri : hit_ids) {
+      uint32_t cid = region_ids[ri];
+      if (!first && cid == prev_id) continue;
+      first = false;
+      prev_id = cid;
+      uint32_t cluster_id = cid & 0x7FFFFFFF;
+      int cluster_end = (cid >> 31) & 1;
+      int read_end = (read_end_sam == 1) ? 0 : 1;
+      int rev_comp = (cluster_end == 0) ? 1 : 0;
+      uint64_t read_id = (uint64_t)(uint32_t)fragment |
+                         ((uint64_t)read_end << 31);
+      uint64_t key = (read_id << 1) | (uint64_t)rev_comp;
+      if (!cand_unique[cluster_id].insert(key).second) continue;
+      res.push_back((int32_t)cluster_id);
+      res.push_back((int32_t)fragment);
+      res.push_back(read_end);
+      res.push_back(rev_comp);
+    }
+  }
+  long total = (long)(res.size() / 4);
+  if (total <= cap) std::copy(res.begin(), res.end(), out);
+  return total;
+}
+
+}  // extern "C"

@@ -66,3 +66,10 @@ t0=time.time(); srows2 = realign_candidates_screened(realigner, candidates)
 print(f"screened realign (2nd) {time.time()-t0:.2f}s")
 assert [r.format() for r in rows] == [r.format() for r in srows], "SCREEN MISMATCH"
 print("PARITY OK screened")
+
+from defuse_tpu.align.batch_realign import collect_candidates_native
+t0=time.time(); ncands = collect_candidates_native(realigner, str(paths["improper"]))
+print(f"native collect {time.time()-t0:.2f}s n={len(ncands)}")
+assert [(c.order,c.cluster_id,c.fragment,c.read_end,c.rev_comp,c.read_seq) for c in candidates] == \
+       [(c.order,c.cluster_id,c.fragment,c.read_end,c.rev_comp,c.read_seq) for c in ncands], "COLLECT MISMATCH"
+print("PARITY OK native collect")
