@@ -980,72 +980,130 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
                     (int32_t)start, (int32_t)end});
   }
 
-  // group by fragment (stream order); concordance screen; bin pairs
-  std::map<std::pair<uint32_t, uint32_t>, BinPairData> bin_pairs;
-  size_t i = 0;
-  while (i < rows.size()) {
+  // group rows by fragment (stream order)
+  std::vector<size_t> group_starts;
+  for (size_t i = 0; i < rows.size();) {
+    group_starts.push_back(i);
     size_t j = i;
     while (j < rows.size() && rows[j].fragment == rows[i].fragment) j++;
-    // concordance screen: both read ends bin to a common (ref, bin)
-    // (discordant.check_concordant / clustermatepairs.cpp:211-244).
-    // Incremental insert-then-check-other is equivalent to full-set
-    // intersection for the boolean outcome.
-    {
-      std::set<std::pair<int, int64_t>> conc[2];
-      bool concordant = false;
-      for (size_t r = i; r < j && !concordant; r++) {
-        int64_t lo = TruncDiv((int64_t)rows[r].start - min_fusion_range,
-                              min_fusion_range);
-        int64_t hi = TruncDiv((int64_t)rows[r].end + min_fusion_range,
-                              min_fusion_range);
-        int e = rows[r].read_end;
-        for (int64_t b = lo; b <= hi; b++) {
-          if (conc[1 - e].count({rows[r].ref, b})) {
-            concordant = true;
-            break;
+    i = j;
+  }
+  group_starts.push_back(rows.size());
+  size_t n_groups = group_starts.size() - 1;
+
+  if (n_threads < 1) n_threads = 1;
+  int acc_threads = std::min<int>(n_threads, std::max<size_t>(1, n_groups));
+
+  // concordance screen + binning, parallel over contiguous group chunks
+  // (fragment order is preserved: chunk-order concatenation at merge).
+  // Per-fragment scratch uses sorted small vectors instead of heap sets.
+  std::vector<std::map<std::pair<uint32_t, uint32_t>, BinPairData>>
+      accums(acc_threads);
+  {
+    std::vector<std::thread> acc_workers;
+    for (int t = 0; t < acc_threads; t++) {
+      acc_workers.emplace_back([&, t]() {
+        size_t g_lo = n_groups * t / acc_threads;
+        size_t g_hi = n_groups * (t + 1) / acc_threads;
+        auto& bin_pairs = accums[t];
+        std::vector<std::tuple<int32_t, int64_t, int8_t>> conc;
+        std::vector<std::pair<uint32_t, PackedAln>> binned[2];
+        for (size_t g = g_lo; g < g_hi; g++) {
+          size_t i = group_starts[g], j = group_starts[g + 1];
+          // concordance: both read ends share a (ref, range-bin)
+          // (discordant.check_concordant / clustermatepairs.cpp:211-244)
+          conc.clear();
+          for (size_t r = i; r < j; r++) {
+            int64_t lo = TruncDiv((int64_t)rows[r].start - min_fusion_range,
+                                  min_fusion_range);
+            int64_t hi = TruncDiv((int64_t)rows[r].end + min_fusion_range,
+                                  min_fusion_range);
+            for (int64_t b = lo; b <= hi; b++)
+              conc.emplace_back(rows[r].ref, b, rows[r].read_end);
           }
-          conc[e].insert({rows[r].ref, b});
-        }
-      }
-      if (!concordant) {
-        std::map<uint32_t, std::vector<PackedAln>> binned[2];
-        for (size_t r = i; r < j; r++) {
-          int64_t lo = TruncDiv((int64_t)rows[r].start - min_fusion_range,
-                                kBinLength);
-          int64_t hi = TruncDiv((int64_t)rows[r].end + min_fusion_range,
-                                kBinLength);
-          uint32_t read_id = (uint32_t)rows[r].fragment |
-                             ((uint32_t)rows[r].read_end << 31);
-          for (int64_t b = lo; b <= hi; b++) {
-            uint32_t key = (uint32_t)rows[r].ref |
-                           ((uint32_t)rows[r].strand << 18) |
-                           ((uint32_t)b << 19);
-            int64_t base = b * kBinLength - kBinLength / 2;
-            binned[rows[r].read_end][key].push_back(
-                {read_id, (uint16_t)(rows[r].start - base),
-                 (uint16_t)(rows[r].end - base)});
-          }
-        }
-        for (const auto& kv1 : binned[0])
-          for (const auto& kv2 : binned[1]) {
-            uint32_t k1 = kv1.first, k2 = kv2.first;
-            if (k1 < k2) {
-              auto& bp = bin_pairs[{k1, k2}];
-              bp.first.insert(bp.first.end(), kv1.second.begin(),
-                              kv1.second.end());
-              bp.second.insert(bp.second.end(), kv2.second.begin(),
-                               kv2.second.end());
-            } else {
-              auto& bp = bin_pairs[{k2, k1}];
-              bp.first.insert(bp.first.end(), kv2.second.begin(),
-                              kv2.second.end());
-              bp.second.insert(bp.second.end(), kv1.second.begin(),
-                               kv1.second.end());
+          std::sort(conc.begin(), conc.end());
+          bool concordant = false;
+          for (size_t a = 0; a + 1 < conc.size() && !concordant; a++)
+            if (std::get<0>(conc[a]) == std::get<0>(conc[a + 1]) &&
+                std::get<1>(conc[a]) == std::get<1>(conc[a + 1]) &&
+                std::get<2>(conc[a]) != std::get<2>(conc[a + 1]))
+              concordant = true;
+          if (concordant) continue;
+
+          binned[0].clear();
+          binned[1].clear();
+          for (size_t r = i; r < j; r++) {
+            int64_t lo = TruncDiv((int64_t)rows[r].start - min_fusion_range,
+                                  kBinLength);
+            int64_t hi = TruncDiv((int64_t)rows[r].end + min_fusion_range,
+                                  kBinLength);
+            uint32_t read_id = (uint32_t)rows[r].fragment |
+                               ((uint32_t)rows[r].read_end << 31);
+            for (int64_t b = lo; b <= hi; b++) {
+              uint32_t key = (uint32_t)rows[r].ref |
+                             ((uint32_t)rows[r].strand << 18) |
+                             ((uint32_t)b << 19);
+              int64_t base = b * kBinLength - kBinLength / 2;
+              binned[rows[r].read_end].emplace_back(
+                  key, PackedAln{read_id, (uint16_t)(rows[r].start - base),
+                                 (uint16_t)(rows[r].end - base)});
             }
           }
-      }
+          // group by key ascending, preserving append order within a key
+          // (matches python dict-of-lists + sorted() iteration)
+          auto by_key = [](const std::pair<uint32_t, PackedAln>& a,
+                           const std::pair<uint32_t, PackedAln>& b) {
+            return a.first < b.first;
+          };
+          std::stable_sort(binned[0].begin(), binned[0].end(), by_key);
+          std::stable_sort(binned[1].begin(), binned[1].end(), by_key);
+          for (size_t a1 = 0; a1 < binned[0].size();) {
+            size_t b1 = a1;
+            while (b1 < binned[0].size() &&
+                   binned[0][b1].first == binned[0][a1].first)
+              b1++;
+            for (size_t a2 = 0; a2 < binned[1].size();) {
+              size_t b2 = a2;
+              while (b2 < binned[1].size() &&
+                     binned[1][b2].first == binned[1][a2].first)
+                b2++;
+              uint32_t k1 = binned[0][a1].first, k2 = binned[1][a2].first;
+              auto append = [&](std::vector<PackedAln>& dst, int e,
+                                size_t lo2, size_t hi2) {
+                for (size_t r = lo2; r < hi2; r++)
+                  dst.push_back(binned[e][r].second);
+              };
+              if (k1 < k2) {
+                auto& bp = bin_pairs[{k1, k2}];
+                append(bp.first, 0, a1, b1);
+                append(bp.second, 1, a2, b2);
+              } else {
+                auto& bp = bin_pairs[{k2, k1}];
+                append(bp.first, 1, a2, b2);
+                append(bp.second, 0, a1, b1);
+              }
+              a2 = b2;
+            }
+            a1 = b1;
+          }
+        }
+      });
     }
-    i = j;
+    for (auto& th : acc_workers) th.join();
+  }
+
+  // merge thread accumulators in chunk order (ascending fragment order
+  // within every bucket is preserved)
+  std::map<std::pair<uint32_t, uint32_t>, BinPairData> bin_pairs;
+  for (auto& acc : accums) {
+    for (auto& kv : acc) {
+      auto& bp = bin_pairs[kv.first];
+      bp.first.insert(bp.first.end(), kv.second.first.begin(),
+                      kv.second.first.end());
+      bp.second.insert(bp.second.end(), kv.second.second.begin(),
+                       kv.second.second.end());
+    }
+    acc.clear();
   }
 
   // process bin pairs (threaded, canonical order preserved on output)
