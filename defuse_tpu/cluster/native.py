@@ -61,6 +61,29 @@ def load_library(build_if_missing: bool = True):
         ctypes.c_long, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
         ctypes.c_long]
+    lib.dt_driver_new.restype = ctypes.c_void_p
+    lib.dt_driver_new.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.dt_driver_n_candidates.restype = ctypes.c_long
+    lib.dt_driver_n_candidates.argtypes = [ctypes.c_void_p]
+    lib.dt_driver_read_matrix.restype = None
+    lib.dt_driver_read_matrix.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int]
+    lib.dt_driver_emit.restype = ctypes.c_long
+    lib.dt_driver_emit.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p,
+        ctypes.c_int]
+    lib.dt_driver_free.restype = None
+    lib.dt_driver_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -244,6 +267,92 @@ def collect_candidates(sam_path: str, binned) -> np.ndarray:
         if total <= cap:
             return out[:total]
         cap = int(total)
+
+
+class RealignDriver:
+    """Two-phase native realign driver.
+
+    Phase 1 (construction) parses the fastqs + improper SAM and
+    materializes candidates with reverse-complemented reads in C++.
+    ``read_matrix(width)`` exposes the padded reads for the device
+    screen; ``emit(out_path, survivors)`` realigns (all candidates when
+    ``survivors`` is None) and writes the split rows file directly.
+    Byte-identical output to the Python
+    ``collect_candidates``/``realign_candidates`` chain."""
+
+    def __init__(self, improper_sam, fastq1, fastq2, binned, cluster_ids,
+                 flank1s, flank2s):
+        self._lib = load_library()
+        n = len(binned.ids)
+        ids = np.asarray(binned.ids, dtype=np.uint32)
+        starts = np.array([r[0] for r in binned.regions], dtype=np.int32)
+        ends = np.array([r[1] for r in binned.regions], dtype=np.int32)
+        strands = np.asarray(binned.region_strands, dtype=np.int8)
+        ref_names = sorted(set(binned.region_refs))
+        ref_map = {nm: i for i, nm in enumerate(ref_names)}
+        refs = np.array([ref_map[nm] for nm in binned.region_refs],
+                        dtype=np.int32)
+        names_buf, names_off = _concat_seqs(ref_names)
+        cids = np.asarray(cluster_ids, dtype=np.uint32)
+        f1buf, f1off = _concat_seqs(flank1s)
+        f2buf, f2off = _concat_seqs(flank2s)
+
+        def _p(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        self._h = self._lib.dt_driver_new(
+            str(improper_sam).encode(), str(fastq1).encode(),
+            str(fastq2).encode(), _p(ids, ctypes.c_uint32),
+            _p(refs, ctypes.c_int32), _p(strands, ctypes.c_int8),
+            _p(starts, ctypes.c_int32), _p(ends, ctypes.c_int32), n,
+            names_buf.ctypes.data_as(ctypes.c_char_p),
+            _p(names_off, ctypes.c_int64), len(ref_names),
+            binned.bin_spacing, _p(cids, ctypes.c_uint32), len(cids),
+            f1buf.ctypes.data_as(ctypes.c_char_p),
+            _p(f1off, ctypes.c_int64),
+            f2buf.ctypes.data_as(ctypes.c_char_p),
+            _p(f2off, ctypes.c_int64))
+        if not self._h:
+            raise RuntimeError("dt_driver_new failed")
+        self.n_candidates = int(self._lib.dt_driver_n_candidates(self._h))
+
+    def read_matrix(self, width: int):
+        """(reads (B, width) uint8, lens (B,), flank_idx (B,))."""
+        B = self.n_candidates
+        reads = np.zeros((max(B, 1), width), dtype=np.uint8)
+        lens = np.zeros(max(B, 1), dtype=np.int32)
+        fidx = np.zeros(max(B, 1), dtype=np.int32)
+        self._lib.dt_driver_read_matrix(
+            self._h, reads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            fidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), width)
+        return reads[:B], lens[:B], fidx[:B]
+
+    def emit(self, out_path, survivors=None, n_threads: int = 0) -> int:
+        if n_threads <= 0:
+            import os
+            n_threads = max(1, os.cpu_count() or 2)
+        if survivors is None:
+            mask = None
+        else:
+            mask = np.ascontiguousarray(survivors, dtype=np.uint8)
+            mask = mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        total = self._lib.dt_driver_emit(
+            self._h, mask, str(out_path).encode(), n_threads)
+        if total < 0:
+            raise RuntimeError("dt_driver_emit failed")
+        return int(total)
+
+    def close(self):
+        if self._h:
+            self._lib.dt_driver_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def set_cover(clusters: list[list[int]]) -> list[list[int]]:

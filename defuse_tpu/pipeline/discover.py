@@ -89,23 +89,49 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     realigner = SplitReadRealigner()
     for task in tasks.values():
         realigner.add_task(task)
-    realigner.add_reads_fastq(fastq1)
-    realigner.add_reads_fastq(fastq2)
 
     split_path = out / "splitreads.alignments"
     from ..cluster import native as native_lib
     have_native = native_lib.available()
     if have_native:
-        from ..align.batch_realign import collect_candidates_native
-        candidates = collect_candidates_native(realigner, improper)
+        # native driver: fastq + SAM parsing, candidate nomination,
+        # realignment and row emission all in C++; the device screen
+        # (when enabled) sits between the two phases
+        import numpy as np
+
+        from ..align.split_dp import accept_threshold
+        from ..align.batch_realign import _pad_len
+
+        cluster_ids = sorted(tasks)
+        flank1s = [tasks[cid].split_align_seq[0] for cid in cluster_ids]
+        flank2s = [tasks[cid].split_align_seq[1] for cid in cluster_ids]
+        driver = native_lib.RealignDriver(
+            improper, fastq1, fastq2, realigner.binned, cluster_ids,
+            flank1s, flank2s)
+        survivors = None
+        if use_device and driver.n_candidates and cluster_ids:
+            from ..ops.split_dp_batch import pad_batch
+            from ..ops.split_dp_pallas import screen_candidates_pallas
+            L = _pad_len(max_read_length, 64)
+            reads_p, read_lens, fidx = driver.read_matrix(L)
+            R = _pad_len(max(max(len(a), len(b))
+                             for a, b in zip(flank1s, flank2s)))
+            u1p, u1l = pad_batch(flank1s, R)
+            u2rp, u2l = pad_batch([s[::-1] for s in flank2s], R)
+            min_scores = np.array(
+                [accept_threshold(int(l)) for l in read_lens],
+                dtype=np.int32)
+            max_scores = np.asarray(screen_candidates_pallas(
+                u1p, u1l, u2rp, u2l, np.maximum(fidx, 0), reads_p,
+                read_lens, min_scores))
+            survivors = max_scores > 0
+        driver.emit(split_path, survivors)
+        driver.close()
     else:
+        realigner.add_reads_fastq(fastq1)
+        realigner.add_reads_fastq(fastq2)
         candidates = collect_candidates(realigner, iter_sam(improper))
-    if use_device:
-        if have_native:
-            # transfer-lean device screen + native tie enumeration
-            from ..align.batch_realign import realign_candidates_screened
-            split_rows = realign_candidates_screened(realigner, candidates)
-        else:
+        if use_device:
             from ..ops.split_dp_pallas import dp_row_maxima_pallas
 
             def rowmax_fn(refs_p, ref_lens, reads_p, read_lens):
@@ -113,18 +139,12 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                 return dp_row_maxima_pallas(
                     refs_p.astype(np.int32), ref_lens,
                     reads_p.astype(np.int32), read_lens)
-
-            split_rows = realign_candidates(realigner, candidates,
-                                            rowmax_fn)
-    elif have_native:
-        from ..align.batch_realign import realign_candidates_native
-        split_rows = realign_candidates_native(realigner, candidates)
-    else:
-        from ..ops.split_dp_batch import dp_row_maxima as rowmax_fn
+        else:
+            from ..ops.split_dp_batch import dp_row_maxima as rowmax_fn
         split_rows = realign_candidates(realigner, candidates, rowmax_fn)
-    with open(split_path, "w") as fh:
-        for row in split_rows:
-            fh.write(row.format() + "\n")
+        with open(split_path, "w") as fh:
+            for row in split_rows:
+                fh.write(row.format() + "\n")
 
     # --- sort -n equivalent --------------------------------------------
     sorted_path = out / "splitreads.alignments.sorted"

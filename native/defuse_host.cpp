@@ -1176,16 +1176,20 @@ constexpr int kMinSplitScore = 8;  // MIN_ANCHOR(4) * MATCH(2)
 void SplitDPRows(const uint8_t* q, int n, const uint8_t* r, int m,
                  std::vector<int32_t>& rows) {
   rows.assign((size_t)(n + 1) * (m + 1), 0);
+  // two passes per row: the vertical/diagonal candidates vectorize; the
+  // horizontal-gap prefix max is a short serial scan
   for (int j = 1; j <= n; j++) {
     const int32_t* prev = rows.data() + (size_t)(j - 1) * (m + 1);
     int32_t* cur = rows.data() + (size_t)j * (m + 1);
     uint8_t ch = q[j - 1];
+    for (int i = 1; i <= m; i++) {
+      int32_t sub = (r[i - 1] == ch) ? kMatch : kMismatch;
+      cur[i] = std::max(prev[i - 1] + sub, prev[i] + kGap);
+    }
     int32_t running = kGap * j;
     cur[0] = running;
     for (int i = 1; i <= m; i++) {
-      int32_t sub = (r[i - 1] == ch) ? kMatch : kMismatch;
-      int32_t vert = std::max(prev[i - 1] + sub, prev[i] + kGap);
-      running = std::max(vert, running + kGap);
+      running = std::max(cur[i], running + kGap);
       cur[i] = running;
     }
   }
@@ -1303,22 +1307,20 @@ inline int64_t FloorDiv(int64_t a, int64_t b) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Regions: n_regions entries (region_id = packed cluster id|end<<31,
-// ref interned by caller to match ref_names, strand, start, end).
-// Output rows: (cluster_id, fragment, read_end, rev_comp) int32 x4 (the
-// caller reconstructs read_id = fragment | read_end<<31).  Returns the
-// candidate count, or <0 on parse error; if > cap the caller retries.
-long dt_collect_candidates(const char* sam_path,
-                           const uint32_t* region_ids,
-                           const int32_t* region_ref,
-                           const int8_t* region_strand,
-                           const int32_t* region_start,
-                           const int32_t* region_end, long n_regions,
-                           const char* ref_names_concat,
-                           const int64_t* ref_name_off, int n_refs,
-                           int bin_spacing, int32_t* out, long cap) {
+// Core of candidate collection; appends (cluster_id, fragment,
+// read_end, rev_comp) quads to res.  Returns 0 or a negative parse
+// error code.
+int CollectCandidatesCore(const char* sam_path,
+                          const uint32_t* region_ids,
+                          const int32_t* region_ref,
+                          const int8_t* region_strand,
+                          const int32_t* region_start,
+                          const int32_t* region_end, long n_regions,
+                          const char* ref_names_concat,
+                          const int64_t* ref_name_off, int n_refs,
+                          int bin_spacing, std::vector<int32_t>& res) {
   std::unordered_map<std::string, int> ref_index;
   for (int i = 0; i < n_refs; i++)
     ref_index.emplace(std::string(ref_names_concat + ref_name_off[i],
@@ -1340,7 +1342,6 @@ long dt_collect_candidates(const char* sam_path,
   if (!in.good()) return -1;
   // per cluster id: set of (read_id, rev_comp) already nominated
   std::unordered_map<uint32_t, std::unordered_set<uint64_t>> cand_unique;
-  std::vector<int32_t> res;
   std::string line;
   std::vector<int32_t> hit_ids;
   while (std::getline(in, line)) {
@@ -1413,9 +1414,230 @@ long dt_collect_candidates(const char* sam_path,
       res.push_back(rev_comp);
     }
   }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+long dt_collect_candidates(const char* sam_path,
+                           const uint32_t* region_ids,
+                           const int32_t* region_ref,
+                           const int8_t* region_strand,
+                           const int32_t* region_start,
+                           const int32_t* region_end, long n_regions,
+                           const char* ref_names_concat,
+                           const int64_t* ref_name_off, int n_refs,
+                           int bin_spacing, int32_t* out, long cap) {
+  std::vector<int32_t> res;
+  int rc = CollectCandidatesCore(sam_path, region_ids, region_ref,
+                                 region_strand, region_start, region_end,
+                                 n_regions, ref_names_concat, ref_name_off,
+                                 n_refs, bin_spacing, res);
+  if (rc < 0) return rc;
   long total = (long)(res.size() / 4);
   if (total <= cap) std::copy(res.begin(), res.end(), out);
   return total;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Two-phase realign driver: phase 1 collects candidates and materializes
+// their (possibly reverse-complemented) reads natively; the caller may
+// run the device screen on the padded read matrix; phase 2 realigns the
+// surviving candidates and writes the split-alignment rows file
+// directly (SplitRow.format contract: 9 tab-terminated fields).
+// ---------------------------------------------------------------------
+
+namespace {
+
+struct RealignDriver {
+  std::vector<int32_t> cand;           // quads from CollectCandidatesCore
+  std::vector<std::string> reads;      // per candidate, rev-comp applied
+  std::vector<int32_t> flank_idx;      // per candidate -> unique flanks
+  std::vector<std::string> flank1, flank2;
+};
+
+bool LoadFastqReads(const char* path,
+                    std::unordered_map<uint32_t, std::string>& reads) {
+  std::ifstream in(path);
+  if (!in.good()) return false;
+  std::string header, seq, plus, qual;
+  while (std::getline(in, header)) {
+    if (!std::getline(in, seq) || !std::getline(in, plus) ||
+        !std::getline(in, qual))
+      return false;
+    const char* h = header.c_str() + 1;
+    char* endp;
+    long fragment = strtol(h, &endp, 10);
+    // name.rsplit("/",1): end 0 iff the suffix is exactly "1"
+    int end = (endp[0] == '/' && endp[1] == '1' && endp[2] == '\0') ? 0 : 1;
+    reads[(uint32_t)fragment | ((uint32_t)end << 31)] = std::move(seq);
+  }
+  return true;
+}
+
+std::string RevComp(const std::string& s) {
+  // tools/Common.cpp:32-54 semantics: case preserved, non-ACGT kept
+  std::string out(s.rbegin(), s.rend());
+  for (char& c : out) {
+    switch (c) {
+      case 'A': c = 'T'; break;
+      case 'C': c = 'G'; break;
+      case 'G': c = 'C'; break;
+      case 'T': c = 'A'; break;
+      case 'a': c = 't'; break;
+      case 'c': c = 'g'; break;
+      case 'g': c = 'c'; break;
+      case 't': c = 'a'; break;
+      default: break;
+    }
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// cluster_ids: n_clusters sorted ascending unique cluster ids, with
+// flank sequences per cluster in the same order.
+void* dt_driver_new(const char* sam_path, const char* fastq1,
+                    const char* fastq2, const uint32_t* region_ids,
+                    const int32_t* region_ref,
+                    const int8_t* region_strand,
+                    const int32_t* region_start,
+                    const int32_t* region_end, long n_regions,
+                    const char* ref_names_concat,
+                    const int64_t* ref_name_off, int n_refs,
+                    int bin_spacing, const uint32_t* cluster_ids,
+                    long n_clusters, const char* flank1_concat,
+                    const int64_t* flank1_off, const char* flank2_concat,
+                    const int64_t* flank2_off) {
+  auto* d = new RealignDriver();
+  std::unordered_map<uint32_t, std::string> read_store;
+  if (!LoadFastqReads(fastq1, read_store) ||
+      !LoadFastqReads(fastq2, read_store)) {
+    delete d;
+    return nullptr;
+  }
+  if (CollectCandidatesCore(sam_path, region_ids, region_ref,
+                            region_strand, region_start, region_end,
+                            n_regions, ref_names_concat, ref_name_off,
+                            n_refs, bin_spacing, d->cand) < 0) {
+    delete d;
+    return nullptr;
+  }
+  d->flank1.reserve(n_clusters);
+  d->flank2.reserve(n_clusters);
+  for (long i = 0; i < n_clusters; i++) {
+    d->flank1.emplace_back(flank1_concat + flank1_off[i],
+                           flank1_concat + flank1_off[i + 1]);
+    d->flank2.emplace_back(flank2_concat + flank2_off[i],
+                           flank2_concat + flank2_off[i + 1]);
+  }
+  long n_cand = (long)(d->cand.size() / 4);
+  d->reads.reserve(n_cand);
+  d->flank_idx.reserve(n_cand);
+  static const std::string kEmpty;
+  for (long c = 0; c < n_cand; c++) {
+    uint32_t cluster_id = (uint32_t)d->cand[4 * c];
+    uint32_t fragment = (uint32_t)d->cand[4 * c + 1];
+    uint32_t read_end = (uint32_t)d->cand[4 * c + 2];
+    int rev_comp = d->cand[4 * c + 3];
+    auto it = read_store.find(fragment | (read_end << 31));
+    const std::string& seq = (it == read_store.end()) ? kEmpty : it->second;
+    d->reads.push_back(rev_comp ? RevComp(seq) : seq);
+    const uint32_t* lo = cluster_ids;
+    const uint32_t* hi = cluster_ids + n_clusters;
+    const uint32_t* pos = std::lower_bound(lo, hi, cluster_id);
+    d->flank_idx.push_back(
+        (pos != hi && *pos == cluster_id) ? (int32_t)(pos - lo) : -1);
+  }
+  return d;
+}
+
+long dt_driver_n_candidates(void* handle) {
+  return (long)(((RealignDriver*)handle)->cand.size() / 4);
+}
+
+// Padded read matrix for the device screen: out_reads (B x width) uint8
+// zero-filled, out_lens (B,), out_flank_idx (B,).
+void dt_driver_read_matrix(void* handle, uint8_t* out_reads,
+                           int32_t* out_lens, int32_t* out_flank_idx,
+                           int width) {
+  auto* d = (RealignDriver*)handle;
+  long n = (long)d->reads.size();
+  for (long c = 0; c < n; c++) {
+    const std::string& s = d->reads[c];
+    int len = (int)std::min<size_t>(s.size(), width);
+    std::memcpy(out_reads + (size_t)c * width, s.data(), len);
+    out_lens[c] = len;
+    out_flank_idx[c] = d->flank_idx[c];
+  }
+}
+
+// Realign candidates (survivors mask optional; NULL = all) and write
+// the split rows file.  Returns the row count, or <0 on error.
+long dt_driver_emit(void* handle, const uint8_t* survivors,
+                    const char* out_path, int n_threads) {
+  auto* d = (RealignDriver*)handle;
+  long n_cand = (long)(d->cand.size() / 4);
+  std::vector<int32_t> sel;
+  for (long c = 0; c < n_cand; c++)
+    if ((!survivors || survivors[c]) && d->flank_idx[c] >= 0 &&
+        !d->reads[c].empty())
+      sel.push_back((int32_t)c);
+
+  // pack selected candidates through the existing realigner
+  std::vector<int64_t> r1off(sel.size() + 1, 0), r2off(sel.size() + 1, 0),
+      rdoff(sel.size() + 1, 0);
+  std::string r1buf, r2buf, rdbuf;
+  for (size_t i = 0; i < sel.size(); i++) {
+    int32_t c = sel[i];
+    const std::string& f1 = d->flank1[d->flank_idx[c]];
+    const std::string& f2 = d->flank2[d->flank_idx[c]];
+    r1buf += f1;
+    r2buf += f2;
+    rdbuf += d->reads[c];
+    r1off[i + 1] = (int64_t)r1buf.size();
+    r2off[i + 1] = (int64_t)r2buf.size();
+    rdoff[i + 1] = (int64_t)rdbuf.size();
+  }
+  std::vector<int32_t> rows;
+  rows.resize(16 * sel.size() + 64);
+  long total = dt_split_realign(
+      (const uint8_t*)r1buf.data(), r1off.data(),
+      (const uint8_t*)r2buf.data(), r2off.data(),
+      (const uint8_t*)rdbuf.data(), rdoff.data(), (int)sel.size(),
+      n_threads, rows.data(), (long)(rows.size() / 5));
+  if (total * 5 > (long)rows.size()) {
+    rows.resize(total * 5);
+    dt_split_realign((const uint8_t*)r1buf.data(), r1off.data(),
+                     (const uint8_t*)r2buf.data(), r2off.data(),
+                     (const uint8_t*)rdbuf.data(), rdoff.data(),
+                     (int)sel.size(), n_threads, rows.data(), total);
+  }
+
+  std::ofstream out(out_path);
+  if (!out.good()) return -1;
+  char buf[256];
+  for (long t = 0; t < total; t++) {
+    int32_t ci = rows[5 * t], i1 = rows[5 * t + 1], j2 = rows[5 * t + 2],
+            k = rows[5 * t + 3], score = rows[5 * t + 4];
+    int32_t c = sel[ci];
+    int ln = (int)d->reads[c].size();
+    snprintf(buf, sizeof(buf),
+             "%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t\n", d->cand[4 * c],
+             d->cand[4 * c + 1], d->cand[4 * c + 2], d->cand[4 * c + 3],
+             i1, j2, k, ln - k, score);
+    out << buf;
+  }
+  return total;
+}
+
+void dt_driver_free(void* handle) { delete (RealignDriver*)handle; }
 
 }  // extern "C"
