@@ -61,9 +61,11 @@ def load_library(build_if_missing: bool = True):
         ctypes.c_long, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
         ctypes.c_long]
+    lib.dt_reads_load.restype = ctypes.c_void_p
+    lib.dt_reads_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.dt_driver_new.restype = ctypes.c_void_p
     lib.dt_driver_new.argtypes = [
-        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_char_p,
@@ -269,6 +271,14 @@ def collect_candidates(sam_path: str, binned) -> np.ndarray:
         cap = int(total)
 
 
+def load_reads_async(fastq1: str, fastq2: str):
+    """Start loading the paired fastqs in native threads; the returned
+    handle is consumed (joined + freed) by :class:`RealignDriver`.
+    Call early so IO/parse overlaps the clustering stage."""
+    lib = load_library()
+    return lib.dt_reads_load(str(fastq1).encode(), str(fastq2).encode())
+
+
 class RealignDriver:
     """Two-phase native realign driver.
 
@@ -280,9 +290,13 @@ class RealignDriver:
     Byte-identical output to the Python
     ``collect_candidates``/``realign_candidates`` chain."""
 
-    def __init__(self, improper_sam, fastq1, fastq2, binned, cluster_ids,
+    def __init__(self, improper_sam, reads, binned, cluster_ids,
                  flank1s, flank2s):
+        """``reads``: a handle from :func:`load_reads_async`, or a
+        ``(fastq1, fastq2)`` tuple to load synchronously."""
         self._lib = load_library()
+        if isinstance(reads, tuple):
+            reads = load_reads_async(*reads)
         n = len(binned.ids)
         ids = np.asarray(binned.ids, dtype=np.uint32)
         starts = np.array([r[0] for r in binned.regions], dtype=np.int32)
@@ -301,8 +315,8 @@ class RealignDriver:
             return a.ctypes.data_as(ctypes.POINTER(t))
 
         self._h = self._lib.dt_driver_new(
-            str(improper_sam).encode(), str(fastq1).encode(),
-            str(fastq2).encode(), _p(ids, ctypes.c_uint32),
+            str(improper_sam).encode(), ctypes.c_void_p(reads),
+            _p(ids, ctypes.c_uint32),
             _p(refs, ctypes.c_int32), _p(strands, ctypes.c_int8),
             _p(starts, ctypes.c_int32), _p(ends, ctypes.c_int32), n,
             names_buf.ctypes.data_as(ctypes.c_char_p),

@@ -38,6 +38,10 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     # --- clustering -----------------------------------------------------
     clusters_path = out / "clusters"
     from ..cluster import native
+    reads_handle = None
+    if native.available():
+        # fastq loading (native threads) overlaps the clustering stage
+        reads_handle = native.load_reads_async(fastq1, fastq2)
     if em_mode in ("auto", "native") and native.available():
         # full native file->file driver: parse + bin + filter + EM + emit
         # all in C++ (byte-identical; test_cluster_parity pins it)
@@ -106,7 +110,8 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
         flank1s = [tasks[cid].split_align_seq[0] for cid in cluster_ids]
         flank2s = [tasks[cid].split_align_seq[1] for cid in cluster_ids]
         driver = native_lib.RealignDriver(
-            improper, fastq1, fastq2, realigner.binned, cluster_ids,
+            improper, reads_handle if reads_handle is not None
+            else (fastq1, fastq2), realigner.binned, cluster_ids,
             flank1s, flank2s)
         survivors = None
         if use_device and driver.n_candidates and cluster_ids:

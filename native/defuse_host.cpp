@@ -1460,6 +1460,14 @@ struct RealignDriver {
   std::vector<std::string> flank1, flank2;
 };
 
+// async fastq read store: one loader thread per file (the /1 and /2 key
+// spaces are disjoint), overlapping IO/parse with the clustering stage
+struct ReadStoreHandle {
+  std::thread th1, th2;
+  std::unordered_map<uint32_t, std::string> reads1, reads2;
+  bool ok1 = false, ok2 = false;
+};
+
 bool LoadFastqReads(const char* path,
                     std::unordered_map<uint32_t, std::string>& reads) {
   std::ifstream in(path);
@@ -1504,8 +1512,18 @@ extern "C" {
 
 // cluster_ids: n_clusters sorted ascending unique cluster ids, with
 // flank sequences per cluster in the same order.
-void* dt_driver_new(const char* sam_path, const char* fastq1,
-                    const char* fastq2, const uint32_t* region_ids,
+void* dt_reads_load(const char* fastq1, const char* fastq2) {
+  auto* h = new ReadStoreHandle();
+  std::string f1 = fastq1, f2 = fastq2;
+  h->th1 = std::thread(
+      [h, f1]() { h->ok1 = LoadFastqReads(f1.c_str(), h->reads1); });
+  h->th2 = std::thread(
+      [h, f2]() { h->ok2 = LoadFastqReads(f2.c_str(), h->reads2); });
+  return h;
+}
+
+void* dt_driver_new(const char* sam_path, void* reads_handle,
+                    const uint32_t* region_ids,
                     const int32_t* region_ref,
                     const int8_t* region_strand,
                     const int32_t* region_start,
@@ -1517,9 +1535,11 @@ void* dt_driver_new(const char* sam_path, const char* fastq1,
                     const int64_t* flank1_off, const char* flank2_concat,
                     const int64_t* flank2_off) {
   auto* d = new RealignDriver();
-  std::unordered_map<uint32_t, std::string> read_store;
-  if (!LoadFastqReads(fastq1, read_store) ||
-      !LoadFastqReads(fastq2, read_store)) {
+  auto* rh = (ReadStoreHandle*)reads_handle;
+  rh->th1.join();
+  rh->th2.join();
+  if (!rh->ok1 || !rh->ok2) {
+    delete rh;
     delete d;
     return nullptr;
   }
@@ -1527,6 +1547,7 @@ void* dt_driver_new(const char* sam_path, const char* fastq1,
                             region_strand, region_start, region_end,
                             n_regions, ref_names_concat, ref_name_off,
                             n_refs, bin_spacing, d->cand) < 0) {
+    delete rh;
     delete d;
     return nullptr;
   }
@@ -1547,15 +1568,23 @@ void* dt_driver_new(const char* sam_path, const char* fastq1,
     uint32_t fragment = (uint32_t)d->cand[4 * c + 1];
     uint32_t read_end = (uint32_t)d->cand[4 * c + 2];
     int rev_comp = d->cand[4 * c + 3];
-    auto it = read_store.find(fragment | (read_end << 31));
-    const std::string& seq = (it == read_store.end()) ? kEmpty : it->second;
-    d->reads.push_back(rev_comp ? RevComp(seq) : seq);
+    uint32_t read_id = fragment | (read_end << 31);
+    const std::string* seq = &kEmpty;
+    auto it2 = rh->reads2.find(read_id);
+    if (it2 != rh->reads2.end()) {
+      seq = &it2->second;
+    } else {
+      auto it1 = rh->reads1.find(read_id);
+      if (it1 != rh->reads1.end()) seq = &it1->second;
+    }
+    d->reads.push_back(rev_comp ? RevComp(*seq) : *seq);
     const uint32_t* lo = cluster_ids;
     const uint32_t* hi = cluster_ids + n_clusters;
     const uint32_t* pos = std::lower_bound(lo, hi, cluster_id);
     d->flank_idx.push_back(
         (pos != hi && *pos == cluster_id) ? (int32_t)(pos - lo) : -1);
   }
+  delete rh;  // reads consumed into the driver
   return d;
 }
 
