@@ -29,6 +29,7 @@ MINREAD = MAXREAD = 50
 N_FUSIONS = 96
 FRAGS_PER_FUSION = 150
 N_BACKGROUND = 40000
+DECOYS_PER_FUSION = 400
 
 # measured on this image when the reference toolchain cannot be rebuilt
 FALLBACK_BASELINE_PAIRS_S = None
@@ -105,6 +106,24 @@ def build_dataset(tmp):
             elif r2_start + 49 <= break_a:
                 emit(frag_id, 1, r2_start, ga, r2, False)
             frag_id += 1
+
+    # decoy improper reads: mismapped/chimeric-artifact noise at the
+    # fusion loci — nominated as split candidates by both toolchains,
+    # rejected by the DP accept threshold (realistic candidate accept
+    # rates are low; this is where the device screen pays off).  One
+    # read end only, so they never enter the spanning/clustering input.
+    for di in range(N_FUSIONS * DECOYS_PER_FUSION):
+        ga, gb, break_a, break_b, _fseq = fusions[di % N_FUSIONS]
+        gene, brk = (ga, break_a) if di % 2 == 0 else (gb, break_b)
+        cdna_len = len(gene.cdna(genome))
+        pos = min(max(1, brk + rng.randint(-int(MEAN), int(MEAN))),
+                  max(1, cdna_len - 49))
+        junk = random_seq(rng, 50)
+        reads1.append(junk)
+        reads2.append(random_seq(rng, 50))
+        sam_rows.append((frag_id, 0, f"{gene.name}|{gene.transcript}",
+                         di % 2, pos, junk))
+        frag_id += 1
 
     for _ in range(N_BACKGROUND):
         gene = rng.choice(genes)
