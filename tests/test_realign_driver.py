@@ -1,0 +1,116 @@
+"""Native two-phase realign driver vs the Python collect/realign chain.
+
+The end-to-end discover goldens already cover the driver; this pins the
+module-level contract: identical candidate nomination and identical
+split-row bytes, with and without a survivors mask.
+"""
+
+import numpy as np
+import pytest
+
+from defuse_tpu.align.batch_realign import (collect_candidates,
+                                            realign_candidates)
+from defuse_tpu.align.tasks import (SplitReadRealigner, create_tasks,
+                                    read_align_region_pairs)
+from defuse_tpu.cluster.setcover import run_setcover_file
+from defuse_tpu.core.exons import ExonRegions
+from defuse_tpu.io.fasta import FastaStore
+from defuse_tpu.io.sam import iter_sam
+from defuse_tpu.ops.split_dp_batch import dp_row_maxima
+from defuse_tpu.pipeline.regions import align_regions_lines
+
+from synthdata import make_dataset, write_dataset
+
+MEAN, STD = 200.0, 20.0
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from defuse_tpu.cluster import native
+    if not native.available():
+        pytest.skip("native library not built")
+    from defuse_tpu.cluster.discordant import cluster_alignments, \
+        write_clusters
+    from defuse_tpu.cluster.matepair_em import EMParams
+    from defuse_tpu.io.sam import iter_compact, load_alignments
+
+    tmp = tmp_path_factory.mktemp("driver")
+    ds = make_dataset(seed=11)
+    paths = write_dataset(ds, tmp)
+    params = EMParams(MEAN, STD, 0.95, 3)
+    table = load_alignments(iter_compact(paths["spanning"]))
+    rows = cluster_alignments(table, params, em_mode="native")
+    write_clusters(rows, str(tmp / "clusters"))
+    run_setcover_file(str(tmp / "clusters"), str(tmp / "sc"), 3)
+    (tmp / "regions").write_text("\n".join(align_regions_lines(
+        (tmp / "sc").read_text().splitlines())) + "\n")
+
+    reference = FastaStore.from_file(str(paths["reference"]))
+    exons = ExonRegions.from_file(str(paths["exons"]))
+    tasks = create_tasks(reference, exons, MEAN, STD, 50, 50,
+                         read_align_region_pairs(str(tmp / "regions")))
+    realigner = SplitReadRealigner()
+    for task in tasks.values():
+        realigner.add_task(task)
+    realigner.add_reads_fastq(str(paths["fastq1"]))
+    realigner.add_reads_fastq(str(paths["fastq2"]))
+    return tmp, paths, tasks, realigner
+
+
+def _python_rows(realigner, improper):
+    candidates = collect_candidates(realigner, iter_sam(improper))
+    rows = realign_candidates(realigner, candidates, dp_row_maxima)
+    return candidates, "".join(r.format() + "\n" for r in rows)
+
+
+def _make_driver(native, paths, tasks, realigner):
+    cluster_ids = sorted(tasks)
+    return native.RealignDriver(
+        str(paths["improper"]),
+        (str(paths["fastq1"]), str(paths["fastq2"])), realigner.binned,
+        cluster_ids,
+        [tasks[c].split_align_seq[0] for c in cluster_ids],
+        [tasks[c].split_align_seq[1] for c in cluster_ids])
+
+
+def test_driver_rows_match_python(setup, tmp_path):
+    from defuse_tpu.cluster import native
+    tmp, paths, tasks, realigner = setup
+    candidates, py_text = _python_rows(realigner, str(paths["improper"]))
+    assert py_text, "fixture produced no split rows"
+
+    driver = _make_driver(native, paths, tasks, realigner)
+    assert driver.n_candidates == len(candidates)
+    out = tmp_path / "rows.native"
+    driver.emit(out)
+    assert out.read_text() == py_text
+    driver.close()
+
+
+def test_driver_survivors_mask(setup, tmp_path):
+    from defuse_tpu.cluster import native
+    tmp, paths, tasks, realigner = setup
+    candidates, py_text = _python_rows(realigner, str(paths["improper"]))
+
+    driver = _make_driver(native, paths, tasks, realigner)
+    B = driver.n_candidates
+    reads_p, lens, fidx = driver.read_matrix(64)
+    # reads round-trip exactly (incl. revcomp) through the native store
+    for i, c in enumerate(candidates[:50]):
+        assert bytes(reads_p[i, :lens[i]]).decode() == c.read_seq
+        assert fidx[i] == sorted(tasks).index(c.cluster_id)
+
+    # an all-ones mask must reproduce the full output
+    out = tmp_path / "rows.mask"
+    driver.emit(out, survivors=np.ones(B, dtype=bool))
+    assert out.read_text() == py_text
+
+    # masking out every candidate of one cluster drops exactly its rows
+    drop = candidates[0].cluster_id
+    mask = np.array([c.cluster_id != drop for c in candidates])
+    driver.emit(out, survivors=mask)
+    expected = "".join(line + "\n"
+                       for line in py_text.splitlines()
+                       if int(line.split("\t", 1)[0]) != drop)
+    assert out.read_text() == expected
+    driver.close()
