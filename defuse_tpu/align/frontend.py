@@ -356,6 +356,10 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
 
     verify_fn = None
     if use_device:
+        # a dead device link must not hang the aligner (bounded probe)
+        from ..core.devices import tpu_backend_available
+        use_device = tpu_backend_available()
+    if use_device:
         from ..ops.verify_batch import DeviceVerifier
         verify_fn = DeviceVerifier()
     res = align_job(

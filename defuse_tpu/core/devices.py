@@ -1,0 +1,63 @@
+"""Device availability probing.
+
+JAX backend initialization can block indefinitely when an accelerator
+sits behind a dead link (observed with tunneled plugin platforms) — and
+it blocks while holding the GIL, so an in-process watchdog thread cannot
+time it out.  The probe therefore runs an actual tiny computation in a
+*subprocess*.  ``start_probe`` launches it without waiting (call at
+pipeline entry so it overlaps host-side stages); ``tpu_backend_available``
+collects the verdict with a bounded wait and caches it for the process.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import threading
+
+_LOCK = threading.Lock()
+_STATE: dict = {}
+
+_PROBE_SRC = ("import jax, numpy; "
+              "x = float(numpy.asarray(jax.numpy.ones(4).sum())); "
+              "print(jax.default_backend() if x == 4.0 else 'bad')")
+
+
+def start_probe() -> None:
+    """Launch the device probe subprocess without blocking."""
+    import os
+    with _LOCK:
+        if "verdict" not in _STATE:
+            # test/deployment override: skip probing entirely
+            assume = os.environ.get("DEFUSE_ASSUME_BACKEND")
+            if assume:
+                _STATE["verdict"] = assume == "tpu"
+        if "verdict" in _STATE or "proc" in _STATE:
+            return
+        try:
+            _STATE["proc"] = subprocess.Popen(
+                [sys.executable, "-c", _PROBE_SRC],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True)
+        except Exception:
+            _STATE["verdict"] = False
+
+
+def tpu_backend_available(timeout_s: float = 45.0) -> bool:
+    """True when a compiled TPU backend is up and answering.  Waits up to
+    ``timeout_s`` for the probe (started here if not already running)."""
+    start_probe()
+    with _LOCK:
+        if "verdict" in _STATE:
+            return _STATE["verdict"]
+        proc = _STATE.pop("proc")
+        try:
+            out, _ = proc.communicate(timeout=timeout_s)
+            verdict = proc.returncode == 0 and out.strip() == "tpu"
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            verdict = False
+        except Exception:
+            verdict = False
+        _STATE["verdict"] = verdict
+        return verdict

@@ -30,6 +30,17 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                      outdir, use_device=True, em_mode="auto",
                      gene_models=None, mt_chromosome="MT",
                      dna_concordant_length=2000):
+    import os as _os_t
+    import time as _time_t
+    _t_last = [_time_t.time()]
+
+    def _mark(stage):
+        if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
+            now = _time_t.time()
+            print(f"[discover] {stage}: {now - _t_last[0]:.2f}s",
+                  flush=True)
+            _t_last[0] = now
+
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     params = EMParams(fragment_mean, fragment_stddev, precision,
@@ -52,6 +63,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                                   em_mode=em_mode)
         write_clusters(rows, str(clusters_path))
 
+    _mark("cluster")
     ref_store = None
     if gene_models is not None:
         # mitochondrial segregation runs before setcover
@@ -63,10 +75,12 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
         lines = segregate_mitochondrial(lines, gene_models, mt_chromosome)
         clusters_path.write_text("".join(lines))
 
+    _mark("segregate_mt")
     # --- set cover ------------------------------------------------------
     sc_path = out / "clusters.sc"
     run_setcover_file(str(clusters_path), str(sc_path), min_cluster_size)
 
+    _mark("setcover")
     if gene_models is not None:
         from ..filters.cluster_filters import apply_post_setcover_filters
         with open(sc_path) as fh:
@@ -77,12 +91,14 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             min_cluster_size=min_cluster_size)
         sc_path.write_text("".join(lines))
 
+    _mark("post_setcover_filters")
     # --- align regions --------------------------------------------------
     regions_path = out / "clusters.sc.regions"
     regions_path.write_text(
         "\n".join(align_regions_lines(sc_path.read_text().splitlines()))
         + "\n")
 
+    _mark("regions")
     # --- split alignment ------------------------------------------------
     ref_store = FastaStore.from_file(reference)
     exon_regions = ExonRegions.from_file(exons)
@@ -94,6 +110,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     for task in tasks.values():
         realigner.add_task(task)
 
+    _mark("tasks_build")
     split_path = out / "splitreads.alignments"
     from ..cluster import native as native_lib
     have_native = native_lib.available()
@@ -113,7 +130,22 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             improper, reads_handle if reads_handle is not None
             else (fastq1, fastq2), realigner.binned, cluster_ids,
             flank1s, flank2s)
+        if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
+            mx = max((max(len(a), len(b))
+                      for a, b in zip(flank1s, flank2s)), default=0)
+            print(f"[discover] candidates={driver.n_candidates} "
+                  f"clusters={len(cluster_ids)} max_flank={mx}",
+                  flush=True)
         survivors = None
+        if use_device and driver.n_candidates and cluster_ids:
+            # only a compiled TPU kernel earns the screen: interpret-mode
+            # Pallas is slower than realigning natively, and backend init
+            # can hang behind a dead device link (bounded probe).
+            # DEFUSE_DEVICE_SCREEN=force keeps it on for parity tests.
+            from ..core.devices import tpu_backend_available
+            if os.environ.get("DEFUSE_DEVICE_SCREEN") != "force" \
+                    and not tpu_backend_available():
+                use_device = False
         if use_device and driver.n_candidates and cluster_ids:
             from ..ops.split_dp_batch import pad_batch
             from ..ops.split_dp_pallas import screen_candidates_pallas
@@ -151,6 +183,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             for row in split_rows:
                 fh.write(row.format() + "\n")
 
+    _mark("realign")
     # --- sort -n equivalent --------------------------------------------
     sorted_path = out / "splitreads.alignments.sorted"
     with open(split_path) as fh:
@@ -159,6 +192,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     with open(sorted_path, "w") as fh:
         fh.writelines(lines)
 
+    _mark("sort")
     # --- evaluate -------------------------------------------------------
     outs = {name: out / f"splitreads.{name}" for name in
             ("seq", "break", "predalign")}
@@ -167,6 +201,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             open(outs["predalign"], "w") as pred_out:
         evaluate_file(tasks, str(sorted_path), seq_out, break_out, pred_out)
 
+    _mark("evaluate")
     return {name: str(path) for name, path in outs.items()} | {
         "clusters": str(clusters_path), "clusters_sc": str(sc_path),
         "regions": str(regions_path), "split": str(split_path)}

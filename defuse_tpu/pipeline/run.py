@@ -57,6 +57,12 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     out.mkdir(parents=True, exist_ok=True)
     runner = Runner(str(out / "log"), "defuse-tpu")
 
+    if use_device:
+        # launch the device probe now so it overlaps the host-side
+        # stages; discover collects the verdict before the screen
+        from ..core.devices import start_probe
+        start_probe()
+
     reference_fasta = reference_fasta or config.get_value("reference_fasta")
     cdna_regions = cdna_regions or config.get_value("cdna_regions")
 
@@ -106,6 +112,16 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                    outputs=[cov_paths["span"], cov_paths["pos"],
                             cov_paths["min"]])
 
+    import os as _os_t
+    import time as _time_t
+    _t_last = [_time_t.time()]
+
+    def _mark(stage):
+        if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
+            now = _time_t.time()
+            print(f"[stage] {stage}: {now - _t_last[0]:.2f}s", flush=True)
+            _t_last[0] = now
+
     # --- cluster + split chain -----------------------------------------
     gm = GeneModels(gene_models_gtf) if gene_models_gtf else None
     discover_outs = discover_fusions(
@@ -121,6 +137,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
         mt_chromosome=config.get_value("mt_chromosome"),
         dna_concordant_length=config.get_int("dna_concordant_length"))
 
+    _mark("discover")
     # --- p-values -------------------------------------------------------
     covariances = {}
     for n in ("span", "pos", "min"):
@@ -158,6 +175,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                              covariances["span"], stats.readlength_max)
         span_p[cid] = f"{sp:.15g}"
 
+    _mark("pvalues")
     # --- breakpoint sequence alignment (gmap/blat stage) ----------------
     psl_paths: dict[str, str] = {}
     if genome_fasta:
@@ -184,6 +202,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                         FastaStore.from_file(path)._seqs)
         psl_paths = align_breakpoints(breakseqs, targets, str(out))
 
+    _mark("breakseq")
     # --- annotation -----------------------------------------------------
     annotations: dict[int, dict] = {}
     if gm is not None and genome_fasta:
@@ -251,6 +270,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             cid_s, key, value = r.split("\t", 2)
             annotations.setdefault(int(cid_s), {})[key] = value
 
+    _mark("annotation")
     # --- collate + classify + filter -----------------------------------
     results = out / "results.tsv"
     with open(results, "w") as fh:
@@ -262,6 +282,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
         filtered = out / "results.filtered.tsv"
         filter_by_probability(str(classified), str(filtered),
                               config.get_float("probability_threshold"))
+    _mark("collate+classify")
     return {"results": str(results), "classified": str(classified)}
 
 

@@ -8,6 +8,7 @@ enabled for parity tests.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["DEFUSE_ASSUME_BACKEND"] = "cpu"  # skip device probe subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -15,11 +15,15 @@ from test_split_chain_parity import (MEAN, STD, PREC, MINCL, MINREAD,
 @pytest.mark.parametrize("use_device,em_mode", [
     (False, "oracle"), (True, "device"), (False, "native")])
 def test_discover_matches_golden(ref_binaries, tmp_path, use_device,
-                                 em_mode):
+                                 em_mode, monkeypatch):
     if em_mode == "native":
         from defuse_tpu.cluster import native
         if not native.available():
             pytest.skip("native library not built")
+    if use_device:
+        # keep the device screen on under the CPU test backend (it would
+        # otherwise be skipped as interpret-mode-too-slow)
+        monkeypatch.setenv("DEFUSE_DEVICE_SCREEN", "force")
     ds = make_dataset(seed=31, fusion_pair=("TA", "TD"), break_a=2400,
                       break_b=1000)
     paths = write_dataset(ds, tmp_path)
