@@ -62,7 +62,14 @@ class SeedIndex:
         # build sorted k-mer table over all positions (valid ACGT windows)
         n = len(self.codes)
         k = seed_len
+        built = None
         if n >= k:
+            from ..cluster import native
+            if native.available():
+                built = native.build_seed_index(self.codes, self.offsets, k)
+        if built is not None:
+            self.keys, self.positions = built
+        elif n >= k:
             codes_u = self.codes.astype(np.uint64)  # one conversion
             m = n - k + 1
             keys = np.zeros(m, dtype=np.uint64)

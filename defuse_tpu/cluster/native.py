@@ -86,6 +86,11 @@ def load_library(build_if_missing: bool = True):
         ctypes.c_int]
     lib.dt_driver_free.restype = None
     lib.dt_driver_free.argtypes = [ctypes.c_void_p]
+    lib.dt_build_seed_index.restype = ctypes.c_long
+    lib.dt_build_seed_index.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
     _lib = lib
     return lib
 
@@ -367,6 +372,34 @@ class RealignDriver:
             self.close()
         except Exception:
             pass
+
+
+def build_seed_index(codes: np.ndarray, offsets: np.ndarray, k: int,
+                     n_threads: int = 0):
+    """Sorted seed table (keys uint64, positions int64) for the aligner —
+    same ordering as the numpy stable-argsort build in
+    ``align.seedindex.SeedIndex``.  Returns None when unsupported
+    (k > 16)."""
+    if k > 16:
+        return None
+    lib = load_library()
+    if n_threads <= 0:
+        import os
+        n_threads = max(1, os.cpu_count() or 2)
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.empty(max(1, len(codes)), dtype=np.uint64)
+    count = lib.dt_build_seed_index(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(codes),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets) - 1, k, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    if count < 0:
+        return None
+    combined = out[:count]
+    keys = combined >> np.uint64(32)
+    positions = (combined & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    return keys, positions
 
 
 def set_cover(clusters: list[list[int]]) -> list[list[int]]:

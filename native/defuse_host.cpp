@@ -12,6 +12,7 @@
 // Build: ./build.sh -> libdefuse_host.so
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -1668,5 +1669,123 @@ long dt_driver_emit(void* handle, const uint8_t* survivors,
 }
 
 void dt_driver_free(void* handle) { delete (RealignDriver*)handle; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Seed-table build for the seed-and-extend aligner: packed (key<<32|pos)
+// values for every valid intra-sequence k-mer window, sorted — identical
+// ordering to the numpy stable-argsort build in align/seedindex.py
+// (key ascending, position ascending within key; k <= 16 so the 2-bit
+// key fits 32 bits and one uint64 sort gives both orders).
+// ---------------------------------------------------------------------
+
+namespace {
+
+void MergeSortU64(std::vector<uint64_t>& v, int n_threads) {
+  // chunked parallel std::sort + buffered pairwise std::merge passes
+  size_t n = v.size();
+  if (n_threads < 2 || n < (1u << 16)) {
+    std::sort(v.begin(), v.end());
+    return;
+  }
+  int chunks = n_threads;
+  std::vector<size_t> bounds(chunks + 1);
+  for (int c = 0; c <= chunks; c++) bounds[c] = n * c / chunks;
+  {
+    std::vector<std::thread> ts;
+    for (int c = 0; c < chunks; c++)
+      ts.emplace_back([&, c]() {
+        std::sort(v.begin() + bounds[c], v.begin() + bounds[c + 1]);
+      });
+    for (auto& t : ts) t.join();
+  }
+  std::vector<uint64_t> tmp(n);
+  uint64_t* cur = v.data();
+  uint64_t* other = tmp.data();
+  while (chunks > 1) {
+    std::vector<std::thread> ts;
+    std::vector<size_t> nb;
+    for (int c = 0; c < chunks; c += 2) {
+      if (c + 1 < chunks) {
+        ts.emplace_back([&, c, cur, other]() {
+          std::merge(cur + bounds[c], cur + bounds[c + 1],
+                     cur + bounds[c + 1], cur + bounds[c + 2],
+                     other + bounds[c]);
+        });
+      } else {
+        ts.emplace_back([&, c, cur, other]() {
+          std::copy(cur + bounds[c], cur + bounds[c + 1],
+                    other + bounds[c]);
+        });
+      }
+      nb.push_back(bounds[c]);
+    }
+    for (auto& t : ts) t.join();
+    nb.push_back(n);
+    bounds = nb;
+    chunks = (int)bounds.size() - 1;
+    std::swap(cur, other);
+  }
+  if (cur != v.data()) std::copy(cur, cur + n, v.data());
+}
+
+}  // namespace
+
+extern "C" {
+
+// codes: int8 (0..3 = ACGT, 4 = other), offsets: per-sequence bounds.
+// out: capacity n (upper bound on window count).  Returns the number of
+// valid windows written, sorted.
+long dt_build_seed_index(const int8_t* codes, long n,
+                         const int64_t* offsets, int n_seqs, int k,
+                         int n_threads, uint64_t* out) {
+  if (k < 1 || k > 16) return -1;
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::vector<uint64_t>> parts(n_seqs);
+  {
+    std::vector<std::thread> ts;
+    std::atomic<int> next{0};
+    for (int t = 0; t < n_threads; t++)
+      ts.emplace_back([&]() {
+        for (;;) {
+          int s = next.fetch_add(1);
+          if (s >= n_seqs) return;
+          int64_t lo = offsets[s], hi = offsets[s + 1];
+          if (hi - lo < k) continue;
+          auto& part = parts[s];
+          part.reserve(hi - lo - k + 1);
+          uint64_t key = 0;
+          int run = 0;  // consecutive ACGT codes ending here
+          const uint64_t mask =
+              (k == 16) ? ~0ull >> 32 : ((1ull << (2 * k)) - 1);
+          for (int64_t i = lo; i < hi; i++) {
+            int8_t c = codes[i];
+            if (c >= 4) {
+              run = 0;
+              key = 0;
+              continue;
+            }
+            key = ((key << 2) | (uint64_t)c) & mask;
+            if (++run >= k)
+              part.push_back((key << 32) | (uint64_t)(i - k + 1));
+          }
+        }
+      });
+    for (auto& t : ts) t.join();
+  }
+  std::vector<uint64_t> all;
+  size_t total = 0;
+  for (auto& p : parts) total += p.size();
+  all.reserve(total);
+  for (auto& p : parts) {
+    all.insert(all.end(), p.begin(), p.end());
+    p.clear();
+    p.shrink_to_fit();
+  }
+  MergeSortU64(all, n_threads);
+  std::copy(all.begin(), all.end(), out);
+  return (long)all.size();
+}
 
 }  // extern "C"
