@@ -21,6 +21,7 @@ DEFAULTS = {
     "dna_concordant_length": "2000",
     "discord_read_trim": "50",
     "calculate_extra_annotations": "no",
+    "denovo_assembly": "no",
     "clustering_precision": "0.95",
     "span_count_threshold": "5",
     "percent_identity_threshold": "0.90",

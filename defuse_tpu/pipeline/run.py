@@ -271,6 +271,46 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             annotations.setdefault(int(cid_s), {})[key] = value
 
     _mark("annotation")
+    # --- optional de novo assembly (separate outputs; results.tsv keeps
+    # reference-schema parity) ------------------------------------------
+    denovo_outs = {}
+    if config.get_bool("denovo_assembly"):
+        from ..align.tasks import SplitReadRealigner
+        from ..cluster import native as native_lib
+        from .denovo_stage import assemble_clusters, write_denovo_outputs
+
+        dn_realigner = SplitReadRealigner()
+        # reuse the split tasks' binned mate regions for nomination
+        from ..align.tasks import create_tasks as _create_tasks
+        from ..align.tasks import read_align_region_pairs as _rarp
+        dn_tasks = _create_tasks(
+            FastaStore.from_file(reference_fasta),
+            ExonRegions.from_file(cdna_regions), frag_mean, frag_std,
+            stats.readlength_min, stats.readlength_max,
+            _rarp(discover_outs["regions"]))
+        for task in dn_tasks.values():
+            dn_realigner.add_task(task)
+        dn_realigner.add_reads_fastq(fastq1)
+        dn_realigner.add_reads_fastq(fastq2)
+        if native_lib.available():
+            cand_rows = native_lib.collect_candidates(
+                improper, dn_realigner.binned).tolist()
+        else:
+            from ..align.batch_realign import collect_candidates as _cc
+            from ..io.sam import iter_sam as _isam
+            cand_rows = [(c.cluster_id, c.fragment, c.read_end,
+                          c.rev_comp) for c in _cc(dn_realigner,
+                                                   _isam(improper))]
+
+        def _lookup(fragment, read_end):
+            return dn_realigner.reads.get(fragment | (read_end << 31), "")
+
+        assemblies = assemble_clusters(cand_rows, _lookup)
+        denovo_outs = write_denovo_outputs(
+            assemblies, {cid: float(p) for cid, p in span_p.items()},
+            str(out))
+    _mark("denovo")
+
     # --- collate + classify + filter -----------------------------------
     results = out / "results.tsv"
     with open(results, "w") as fh:
@@ -283,7 +323,8 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
         filter_by_probability(str(classified), str(filtered),
                               config.get_float("probability_threshold"))
     _mark("collate+classify")
-    return {"results": str(results), "classified": str(classified)}
+    return {"results": str(results), "classified": str(classified),
+            **denovo_outs}
 
 
 def _read_stats_file(path) -> ReadStats:

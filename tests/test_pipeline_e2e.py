@@ -71,3 +71,44 @@ def test_run_pipeline_e2e(tmp_path):
         expression={g.name: "100" for g in ds.genes},
         use_device=False)
     assert open(outs2["results"]).read() == "\n".join(results) + "\n"
+
+
+def test_run_pipeline_denovo_stage(tmp_path):
+    """denovo_assembly=yes produces per-cluster assemblies that span the
+    breakpoint, without touching the results.tsv schema."""
+    ds = make_dataset(seed=63)
+    paths = write_dataset(ds, tmp_path)
+    concordant = tmp_path / "concordant.sam"
+    _make_concordant_sam(ds, concordant, n_pairs=500)
+
+    config = Config.defaults(
+        reference_fasta=str(paths["reference"]),
+        cdna_regions=str(paths["exons"]),
+        span_count_threshold=3,
+        denovo_assembly="yes",
+    )
+
+    outs = run_pipeline(
+        config=config, output_dir=str(tmp_path / "out"),
+        library_name="denovo",
+        spanning=str(paths["spanning"]), improper=str(paths["improper"]),
+        fastq1=str(paths["fastq1"]), fastq2=str(paths["fastq2"]),
+        concordant_sam=str(concordant),
+        use_device=False)
+
+    assert "denovo_seq" in outs
+    rows = [l.split("\t") for l in open(outs["denovo_seq"])]
+    assert rows, "no denovo assemblies"
+    # the true fusion junction sequence must appear in an assembly
+    _ta, break_a, _tb, _bb = ds.fusion
+    junction = ds.fusion_seq[break_a - 20:break_a + 20]
+    assert any(junction in r[1] or junction in _rc(r[1]) for r in rows), \
+        "no assembly spans the breakpoint junction"
+    predict = dict(l.split("\t") for l in
+                   open(outs["denovo_predict"]).read().splitlines())
+    assert set(predict.values()) <= {"splitr", "denovo"}
+
+
+def _rc(seq):
+    from defuse_tpu.core.types import revcomp
+    return revcomp(seq)
