@@ -1,0 +1,110 @@
+"""Multi-host launch + artifact merge — the distribution layer.
+
+The reference scales with cmdrunner submitters (SGE/PBS/LSF fork jobs
+per fastq shard, ``cmdrunner.pm:161-292``) and merges shard artifacts
+with dedicated Perl mergers.  The TPU-native equivalent is SPMD: every
+host runs the same program over its fastq shard, device compute runs
+under one global ``jax.sharding.Mesh`` (ICI/DCN collectives), and the
+order-sensitive tail stages run replicated from merged host artifacts.
+
+``init_distributed`` wraps ``jax.distributed.initialize`` with
+environment-based wiring (JAX_COORDINATOR, JAX_NUM_PROCESSES,
+JAX_PROCESS_ID — or single-process when unset).  ``merge_artifacts``
+implements the shard-merge contracts (tested single-host in
+tests/test_sharding.py; the contracts are associative so host count
+does not change results):
+
+- spanning/improper/concordant files: concatenation in shard order
+  (fragment ids are disjoint by construction of ``split_fastq``);
+- read stats: additive merge via ``stats.readstats.merge_read_stats``;
+- clusters: re-cluster per chr-pair partition then renumber
+  (``cluster.setcover.merge_clusters`` equivalence with whole-input
+  clustering is pinned by tests).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+
+def init_distributed() -> tuple[int, int]:
+    """Initialize multi-host JAX from the environment.
+
+    Returns (process_id, num_processes).  With no coordinator in the
+    environment this is a no-op single-process setup, so the same entry
+    point serves laptops and pods (``jax.distributed.initialize`` picks
+    up TPU pod metadata automatically when present).
+    """
+    coordinator = os.environ.get("JAX_COORDINATOR")
+    n_proc = os.environ.get("JAX_NUM_PROCESSES")
+    proc_id = os.environ.get("JAX_PROCESS_ID")
+    if coordinator and n_proc and proc_id:
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(n_proc),
+            process_id=int(proc_id))
+        return int(proc_id), int(n_proc)
+    if os.environ.get("JAX_AUTO_DISTRIBUTED"):
+        # TPU pod: runtime metadata provides the topology
+        import jax
+        jax.distributed.initialize()
+        return jax.process_index(), jax.process_count()
+    return 0, 1
+
+
+def global_mesh(data_axis: str = "data", inst_axis: str = "inst",
+                inst_size: int = 1):
+    """Global device mesh over all hosts' devices: outer data-parallel
+    axis, inner instance axis for batched-EM/DP sharding (the dryrun in
+    ``__graft_entry__.py`` exercises the same layout)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices())
+    n = devices.size
+    if n % inst_size:
+        raise ValueError(f"{n} devices not divisible by inst={inst_size}")
+    return Mesh(devices.reshape(n // inst_size, inst_size),
+                (data_axis, inst_axis))
+
+
+def merge_artifacts(shard_dirs, outdir, filenames=("spanning.compact",
+                                                   "improper.sam")):
+    """Concatenate per-shard alignment artifacts in shard order (shard
+    fragment-id spaces are disjoint; see ``parallel.shard.split_fastq``).
+    Returns {filename: merged_path}."""
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    merged = {}
+    for name in filenames:
+        dst = out / name
+        with open(dst, "wb") as fh:
+            for shard in shard_dirs:
+                src = pathlib.Path(shard) / name
+                if src.exists():
+                    fh.write(src.read_bytes())
+        merged[name] = str(dst)
+    return merged
+
+
+def merge_stats_files(paths, out_path):
+    """Additive merge of per-shard read-stats files
+    (``merge_read_stats.pl`` contract; associative — the same math runs
+    as a ``psum`` on device in the SPMD path)."""
+    from ..stats.readstats import ReadStats, merge_read_stats
+
+    stats = []
+    for path in paths:
+        with open(path) as fh:
+            fh.readline()  # header
+            f = fh.readline().rstrip("\n").split("\t")
+        stats.append(ReadStats(
+            int(f[0]), float(f[1]), float(f[2]), int(f[3]), int(f[4]),
+            tuple(int(x) for x in f[5].split(",") if x)))
+    merged = merge_read_stats(stats)
+    with open(out_path, "w") as fh:
+        fh.write(merged.format())
+    return out_path

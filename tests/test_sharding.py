@@ -125,3 +125,46 @@ def test_fastq_shards_concatenate(tmp_path):
                - whole_stats.fraglength_mean) < 1e-9
     assert abs(merged_stats.fraglength_stddev
                - whole_stats.fraglength_stddev) < 1e-9
+
+
+def test_launch_merge_artifacts(tmp_path):
+    """Shard-order artifact concatenation + read-stats file merge
+    (parallel.launch contracts)."""
+    from defuse_tpu.parallel.launch import (init_distributed,
+                                            merge_artifacts,
+                                            merge_stats_files)
+    from defuse_tpu.stats.readstats import ReadStats
+
+    # single-process degenerate init (no coordinator in env)
+    assert init_distributed() == (0, 1)
+
+    shards = []
+    for i in range(3):
+        d = tmp_path / f"shard{i}"
+        d.mkdir()
+        (d / "spanning.compact").write_text(f"{i}\t0\tchr1\t+\t1\t50\n")
+        (d / "improper.sam").write_text(f"row{i}\n")
+        shards.append(str(d))
+    merged = merge_artifacts(shards, str(tmp_path / "merged"))
+    assert open(merged["spanning.compact"]).read() == (
+        "0\t0\tchr1\t+\t1\t50\n1\t0\tchr1\t+\t1\t50\n"
+        "2\t0\tchr1\t+\t1\t50\n")
+    assert open(merged["improper.sam"]).read() == "row0\nrow1\nrow2\n"
+
+    stats_paths = []
+    for i, (n, mean, std) in enumerate([(100, 200.0, 20.0),
+                                        (300, 210.0, 25.0)]):
+        p = tmp_path / f"stats{i}"
+        p.write_text(ReadStats(n, mean, std, 50, 50, (50,)).format())
+        stats_paths.append(str(p))
+    out = merge_stats_files(stats_paths, str(tmp_path / "stats.merged"))
+    f = open(out).read().splitlines()[1].split("\t")
+    assert int(f[0]) == 400
+    assert abs(float(f[1]) - (100 * 200.0 + 300 * 210.0) / 400) < 1e-9
+
+
+def test_launch_global_mesh():
+    from defuse_tpu.parallel.launch import global_mesh
+    mesh = global_mesh(inst_size=2)
+    assert mesh.axis_names == ("data", "inst")
+    assert mesh.devices.shape[1] == 2
