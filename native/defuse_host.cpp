@@ -13,6 +13,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -949,6 +950,15 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
                         double frag_mean, double frag_std,
                         double precision, int min_cluster_size,
                         int n_threads) {
+  const bool timing = getenv("DT_TIMING") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto mark = [&](const char* stage) {
+    if (!timing) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "[dt_cluster] %s: %.3fs\n", stage,
+            std::chrono::duration<double>(now - tick).count());
+    tick = now;
+  };
   const int min_fusion_range = (int)(frag_mean + 10.0 * frag_std);
   std::ifstream in(in_path);
   if (!in.good()) return 1;
@@ -981,6 +991,7 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
                     (int32_t)start, (int32_t)end});
   }
 
+  mark("parse");
   // group rows by fragment (stream order)
   std::vector<size_t> group_starts;
   for (size_t i = 0; i < rows.size();) {
@@ -1093,6 +1104,7 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
     for (auto& th : acc_workers) th.join();
   }
 
+  mark("accumulate");
   // merge thread accumulators in chunk order (ascending fragment order
   // within every bucket is preserved)
   std::map<std::pair<uint32_t, uint32_t>, BinPairData> bin_pairs;
@@ -1107,6 +1119,7 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
     acc.clear();
   }
 
+  mark("merge");
   // process bin pairs (threaded, canonical order preserved on output)
   std::vector<const std::pair<const std::pair<uint32_t, uint32_t>,
                               BinPairData>*> items;
@@ -1130,6 +1143,7 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
   }
   for (auto& th : threads) th.join();
 
+  mark("em");
   std::ofstream out(out_path);
   if (!out.good()) return 2;
   int cluster_id = 0;
@@ -1151,6 +1165,7 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
       cluster_id++;
     }
   }
+  mark("output");
   return 0;
 }
 
