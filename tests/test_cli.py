@@ -72,3 +72,56 @@ def test_cli_end_to_end(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "Split Reads:" in proc.stdout
     assert "Spanning Reads:" in proc.stdout
+
+def test_cli_run_device_requested_host_fallback(tmp_path):
+    """`run` WITHOUT --no-device on a host with no usable TPU: the
+    bounded probe must fall back to the native path and still produce
+    results (no hang, no crash)."""
+    ds = make_dataset(seed=9)
+    paths = write_dataset(ds, tmp_path)
+    gtf = tmp_path / "genes.gtf"
+    write_gtf(ds, gtf)
+    genome_fa = tmp_path / "genome.fa"
+    write_genome_fasta(ds, genome_fa)
+    write_repeats(ds, tmp_path / "repeats.regions")
+
+    dataset = tmp_path / "dataset"
+    config = tmp_path / "config.txt"
+    config.write_text("\n".join([
+        f"genome_fasta = {genome_fa}",
+        f"gene_models = {gtf}",
+        "gene_biotypes = synth",
+        "chromosomes = 1,2",
+        "span_count_threshold = 3",
+        f"repeats_regions = {tmp_path}/repeats.regions",
+        "dataset_prefix = $(dataset_directory)/defuse",
+        "cdna_regions = $(dataset_prefix).cdna.regions",
+        "cdna_fasta = $(dataset_prefix).cdna.fa",
+        "exons_fasta = $(dataset_prefix).exons.fa",
+        "cds_fasta = $(dataset_prefix).cds.fa",
+        "reference_fasta = $(dataset_prefix).reference.fa",
+        "rrna_fasta = $(dataset_prefix).rrna.fa",
+        "ig_gene_list = $(dataset_prefix).ig.gene.list",
+    ]) + "\n")
+
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root",
+           # the probe must see a non-TPU verdict without spawning jax
+           "DEFUSE_ASSUME_BACKEND": "cpu"}
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "defuse_tpu", "create-ref",
+         "-c", str(config), "-d", str(dataset)],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr
+
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "defuse_tpu", "run",
+         "-c", str(config), "-d", str(dataset), "-o", str(out),
+         "-1", str(paths["fastq1"]), "-2", str(paths["fastq2"]),
+         "-n", "cli-dev"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (out / "results.tsv").exists()
