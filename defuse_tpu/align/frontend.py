@@ -71,6 +71,10 @@ def index_paired_fastq(fastq1: str, fastq2: str, outdir: str):
         with open(out / f"reads.{end + 1}.fastq", "w") as fh:
             for i, seq in enumerate(reads[end]):
                 fh.write(f"@{i}/{end + 1}\n{seq}\n+\n{'I' * len(seq)}\n")
+    # O(1)-seek read index for the evidence viewer (ReadIndex.cpp format)
+    from ..io.readindex import ReadIndex
+    ReadIndex.build(str(out / "reads.1.fastq"),
+                    str(out / "reads.2.fastq"), str(out / "reads.fqi"))
     return reads[0], reads[1], names
 
 

@@ -78,20 +78,30 @@ def get_reads(config, output_directory: str, cluster_id: int,
                 rows.append(row)
 
     reads: dict[int, str] = {}
-    for end in (1, 2):
-        path = outdir / "reads" / f"reads.{end}.fastq"
-        if not path.exists():
-            continue
-        with open(path) as fh:
-            while True:
-                header = fh.readline()
-                if not header:
-                    break
-                seq = fh.readline().rstrip("\n")
-                fh.readline()
-                fh.readline()
-                frag = int(header[1:].rsplit("/", 1)[0])
-                reads[frag | ((end - 1) << 31)] = seq
+    prefix = outdir / "reads" / "reads"
+    if (outdir / "reads" / "reads.fqi").exists():
+        # O(1) seeks for just the rows' reads (ReadIndex.cpp contract)
+        from ..io.readindex import ReadIndex
+        with ReadIndex(str(prefix)) as ridx:
+            for row in rows:
+                rid = row.fragment | (row.read_end << 31)
+                if rid not in reads:
+                    reads[rid] = ridx.get(row.fragment, row.read_end)
+    else:
+        for end in (1, 2):
+            path = outdir / "reads" / f"reads.{end}.fastq"
+            if not path.exists():
+                continue
+            with open(path) as fh:
+                while True:
+                    header = fh.readline()
+                    if not header:
+                        break
+                    seq = fh.readline().rstrip("\n")
+                    fh.readline()
+                    fh.readline()
+                    frag = int(header[1:].rsplit("/", 1)[0])
+                    reads[frag | ((end - 1) << 31)] = seq
 
     out.write("Split Reads:\n")
     splitseq_text(task, rows, reads, out)
