@@ -122,7 +122,10 @@ def interrupted(breaks, gene_models: GeneModels, sam_by_ref,
                 size_before, size_after = size_after, size_before
             sizes[(cid, cend)] = (size_before, size_after)
             genes[(cid, cend)] = gene_id
-            strands[(cid, cend)] = strand
+            # the output-time swap keys on the GENE strand (the break
+            # strand only biases the genomic breakpos),
+            # calc_interrupted.pl:94,221
+            strands[(cid, cend)] = gene_models.genes[gene_id].strand
 
     counts_before: dict[tuple[int, int], int] = {}
     counts_after: dict[tuple[int, int], int] = {}
