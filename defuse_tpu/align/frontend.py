@@ -345,14 +345,19 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     reads1, reads2, _names = index_paired_fastq(fastq1, fastq2,
                                                 str(out / "reads"))
     gene_models = GeneModels(config.get_value("gene_models"))
-    cdna = FastaStore.from_file(config.get_value("cdna_fasta"))
-    genome = FastaStore.from_file(config.get_value("genome_fasta"))
-    cdna_index = SeedIndex(cdna._seqs)
-    genome_index = SeedIndex(genome._seqs)
+    cdna_index = SeedIndex.load_or_build(config.get_value("cdna_fasta"))
+    genome_prefix = None
+    if config.has_value("dataset_prefix"):
+        genome_prefix = config.get_value("dataset_prefix") \
+            + ".genome.seedidx"
+        if not SeedIndex.saved_exists(genome_prefix):
+            genome_prefix = None
+    genome_index = SeedIndex.load_or_build(
+        config.get_value("genome_fasta"), prefix=genome_prefix)
     rrna_index = None
     if config.has_value("rrna_fasta"):
-        rrna = FastaStore.from_file(config.get_value("rrna_fasta"))
-        rrna_index = SeedIndex(rrna._seqs)
+        rrna_index = SeedIndex.load_or_build(
+            config.get_value("rrna_fasta"))
     ig_genes = set()
     if config.has_value("ig_gene_list"):
         with open(config.get_value("ig_gene_list")) as fh:

@@ -93,6 +93,57 @@ class SeedIndex:
             self.keys = np.zeros(0, np.uint64)
             self.positions = np.zeros(0, np.int64)
 
+    # -- persistence (bowtie-build equivalence: build once at create-ref,
+    #    mmap-load at run; arrays stay on-disk until touched) ------------
+
+    def save(self, prefix: str) -> None:
+        import json
+
+        import numpy as _np
+        _np.save(prefix + ".codes.npy", self.codes)
+        _np.save(prefix + ".offsets.npy", self.offsets)
+        _np.save(prefix + ".keys.npy", self.keys)
+        _np.save(prefix + ".positions.npy", self.positions)
+        with open(prefix + ".meta.json", "w") as fh:
+            json.dump({"names": self.names, "seed_len": self.seed_len},
+                      fh)
+
+    @classmethod
+    def load(cls, prefix: str) -> "SeedIndex":
+        import json
+
+        import numpy as _np
+        self = cls.__new__(cls)
+        with open(prefix + ".meta.json") as fh:
+            meta = json.load(fh)
+        self.names = meta["names"]
+        self.seed_len = meta["seed_len"]
+        self.codes = _np.load(prefix + ".codes.npy", mmap_mode="r")
+        self.offsets = _np.load(prefix + ".offsets.npy")
+        self.keys = _np.load(prefix + ".keys.npy", mmap_mode="r")
+        self.positions = _np.load(prefix + ".positions.npy",
+                                  mmap_mode="r")
+        self.seq_lens = np.diff(self.offsets)
+        return self
+
+    @classmethod
+    def saved_exists(cls, prefix: str) -> bool:
+        import os
+        return all(os.path.exists(prefix + s) for s in
+                   (".codes.npy", ".offsets.npy", ".keys.npy",
+                    ".positions.npy", ".meta.json"))
+
+    @classmethod
+    def load_or_build(cls, fasta_path: str, prefix: str | None = None
+                      ) -> "SeedIndex":
+        """Load the saved index beside ``fasta_path`` (or at ``prefix``)
+        when present; otherwise build from the fasta."""
+        from ..io.fasta import FastaStore
+        prefix = prefix or (str(fasta_path) + ".seedidx")
+        if cls.saved_exists(prefix):
+            return cls.load(prefix)
+        return cls(FastaStore.from_file(str(fasta_path))._seqs)
+
     # -- queries ---------------------------------------------------------
 
     def _seed_keys(self, reads_codes: np.ndarray, offsets):

@@ -12,7 +12,8 @@ dataset files the pipeline consumes (``defuse_create_ref.pl:274-629``):
 * ``rrna.fa`` — spliced rRNA-biotype transcripts
 * ``ig.gene.list`` — IG-biotype gene ids
 * ``reference.fa`` (+ .fai) — genome + cdna concatenated
-* seed indices for the aligner frontend (built lazily at run time)
+* seed indices for the aligner frontend (.seedidx arrays, mmap-loaded
+  at run — the bowtie-build equivalent)
 """
 
 from __future__ import annotations
@@ -153,6 +154,17 @@ def create_reference(config, dataset_directory: str) -> dict:
     ref_seqs = dict(genome._seqs)
     ref_seqs.update(cdna_seqs)
     write_fasta(reference_path, ref_seqs)
+
+    # --- seed indices (bowtie-build equivalent: build once here,
+    # mmap-load at run) -------------------------------------------------
+    from ..align.seedindex import SeedIndex
+    for fasta in (cdna_path, rrna_path):
+        SeedIndex(FastaStore.from_file(fasta)._seqs).save(
+            fasta + ".seedidx")
+    # the genome fasta lives outside the dataset dir; cache its index
+    # under the dataset prefix
+    SeedIndex(FastaStore.from_file(genome_fasta)._seqs).save(
+        str(prefix) + ".genome.seedidx")
 
     return {
         "cdna_fasta": cdna_path, "cdna_regions": regions_path,

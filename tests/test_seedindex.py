@@ -65,3 +65,43 @@ def test_multimap_cap():
     read = ("ACGTACGTAC" * 6)[:50]
     out = index.align_batch([read], max_alignments=100)
     assert out[0] is None  # discarded like bowtie -m
+
+
+def test_seedindex_save_load_roundtrip(tmp_path):
+    """Persisted index (create-ref artifact) aligns identically to a
+    freshly built one."""
+    import random
+
+    import numpy as np
+
+    from defuse_tpu.io.fasta import write_fasta
+
+    rng = random.Random(4)
+    seqs = {"A": "".join(rng.choice("ACGT") for _ in range(6000)),
+            "B": "".join(rng.choice("ACGTN") for _ in range(4000))}
+    fasta = tmp_path / "ref.fa"
+    write_fasta(str(fasta), seqs)
+
+    built = SeedIndex(seqs)
+    built.save(str(tmp_path / "idx"))
+    loaded = SeedIndex.load(str(tmp_path / "idx"))
+    assert np.array_equal(built.keys, loaded.keys)
+    assert np.array_equal(built.positions, loaded.positions)
+    assert loaded.names == built.names
+
+    reads = []
+    for _ in range(30):
+        src = seqs[rng.choice("AB")]
+        p = rng.randint(0, len(src) - 50)
+        reads.append(src[p:p + 50])
+    def norm(res):
+        return [sorted((a.ref, a.pos, a.strand, a.mismatches)
+                       for a in hits) for hits in res]
+    assert norm(built.align_batch(reads)) == norm(loaded.align_batch(reads))
+
+    # load_or_build prefers the saved index, falls back to building
+    assert SeedIndex.saved_exists(str(tmp_path / "idx"))
+    via = SeedIndex.load_or_build(str(fasta), prefix=str(tmp_path / "idx"))
+    assert np.array_equal(via.keys, built.keys)
+    fresh = SeedIndex.load_or_build(str(fasta))
+    assert np.array_equal(fresh.keys, built.keys)
