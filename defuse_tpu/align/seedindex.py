@@ -246,6 +246,24 @@ class SeedIndex:
             lens[i] = len(c)
 
         out: list = [[] for _ in range(B)]
+        if verify_fn is None and self.seed_len <= 16 and B:
+            from ..cluster import native
+            if native.available():
+                # native seed+verify fast path (identical hit sets/order)
+                k = self.seed_len
+                seed_offs = [0, k, 2 * k] if L >= 3 * k else \
+                    list(range(0, L - k + 1, k))
+                rows = native.align_batch(
+                    self, fwd.astype(np.uint8), lens.astype(np.int32),
+                    seed_offs, 256, max_mismatch)
+                for r, s, p, strand, m in rows.tolist():
+                    out[r].append(Alignment(int(s), int(p) + 1,
+                                            int(strand), int(m)))
+                if max_alignments is not None:
+                    for i in range(B):
+                        if len(out[i]) > max_alignments:
+                            out[i] = None
+                return out
         for strand, codes in ((0, fwd), (1, rev)):
             ridx, cpos = self.candidates(codes)
             ridx, cpos, seq_i, mm = self.verify(codes, lens, ridx, cpos,

@@ -91,6 +91,16 @@ def load_library(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_int8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
+    lib.dt_align_batch.restype = ctypes.c_long
+    lib.dt_align_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long]
     _lib = lib
     return lib
 
@@ -230,6 +240,46 @@ def split_realign(ref1s, ref2s, reads, n_threads: int = 0) -> np.ndarray:
         total = lib.dt_split_realign(
             _u8(r1buf), _i64(r1off), _u8(r2buf), _i64(r2off),
             _u8(rdbuf), _i64(rdoff), len(reads), n_threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        if total <= cap:
+            return out[:total]
+        cap = int(total)
+
+
+def align_batch(index, reads_codes: np.ndarray, read_lens: np.ndarray,
+                seed_offs, max_per_seed: int, max_mismatch: int,
+                n_threads: int = 0) -> np.ndarray:
+    """Native seed-and-extend alignment over a SeedIndex.  Returns an
+    (N, 5) int32 array (read_idx, seq_i, pos0, strand, mismatches) in
+    the canonical per-read order (same contract as
+    ``SeedIndex.align_batch``; positions 0-based here)."""
+    lib = load_library()
+    if n_threads <= 0:
+        import os
+        n_threads = max(1, os.cpu_count() or 2)
+    codes = np.ascontiguousarray(index.codes, dtype=np.int8)
+    offs = np.ascontiguousarray(index.offsets, dtype=np.int64)
+    keys = np.ascontiguousarray(index.keys, dtype=np.uint64)
+    positions = np.ascontiguousarray(index.positions, dtype=np.int64)
+    reads_codes = np.ascontiguousarray(reads_codes, dtype=np.uint8)
+    read_lens = np.ascontiguousarray(read_lens, dtype=np.int32)
+    soffs = np.ascontiguousarray(seed_offs, dtype=np.int32)
+
+    def _p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    B, width = reads_codes.shape
+    cap = max(1024, 8 * B)
+    while True:
+        out = np.empty((cap, 5), dtype=np.int32)
+        total = lib.dt_align_batch(
+            _p(codes, ctypes.c_int8), len(codes),
+            _p(offs, ctypes.c_int64), len(offs) - 1,
+            _p(keys, ctypes.c_uint64), _p(positions, ctypes.c_int64),
+            len(keys), index.seed_len, _p(soffs, ctypes.c_int32),
+            len(soffs), _p(reads_codes, ctypes.c_uint8),
+            _p(read_lens, ctypes.c_int32), B, width, max_per_seed,
+            max_mismatch, n_threads,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
         if total <= cap:
             return out[:total]

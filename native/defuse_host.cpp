@@ -1804,3 +1804,105 @@ long dt_build_seed_index(const int8_t* codes, long n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Seed-and-extend read alignment: 3-seed pigeonhole candidates from the
+// sorted seed table + end-to-end mismatch verification, both strands.
+// Exact contract of align/seedindex.SeedIndex.align_batch (candidate
+// cap per seed, sorted-unique candidate order, bounds checks); the
+// bowtie -m sentinel is applied by the Python caller.
+// ---------------------------------------------------------------------
+
+extern "C" {
+
+// out rows: (read_idx, seq_i, pos0, strand, mismatches) int32 x5,
+// grouped by read ascending, per read: fwd hits (pos ascending) then
+// rev hits.  Returns total rows (caller retries if > cap).
+long dt_align_batch(const int8_t* codes, long n_codes,
+                    const int64_t* seq_offsets, int n_seqs,
+                    const uint64_t* keys, const int64_t* positions,
+                    long n_keys, int k, const int32_t* seed_offs,
+                    int n_seed_offs, const uint8_t* reads,
+                    const int32_t* read_lens, long n_reads, int width,
+                    int max_per_seed, int max_mismatch, int n_threads,
+                    int32_t* out, long cap) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::vector<int32_t>> results(n_reads);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; t++) {
+    ts.emplace_back([&, t]() {
+      std::vector<int8_t> q[2];
+      std::vector<int64_t> cands;
+      static const int8_t comp[5] = {3, 2, 1, 0, 4};
+      for (long r = t; r < n_reads; r += n_threads) {
+        int len = read_lens[r];
+        const uint8_t* row = reads + (size_t)r * width;
+        q[0].assign(row, row + len);
+        q[1].resize(len);
+        for (int i = 0; i < len; i++)
+          q[1][i] = comp[(int)row[len - 1 - i]];
+        auto& res = results[r];
+        for (int strand = 0; strand < 2; strand++) {
+          const int8_t* rc = q[strand].data();
+          cands.clear();
+          for (int si = 0; si < n_seed_offs; si++) {
+            int off = seed_offs[si];
+            if (off + k > len) continue;  // padded window = invalid
+            uint64_t key = 0;
+            bool valid = true;
+            for (int j = 0; j < k; j++) {
+              int8_t c = rc[off + j];
+              if (c >= 4) {
+                valid = false;
+                break;
+              }
+              key = (key << 2) | (uint64_t)c;
+            }
+            if (!valid) continue;
+            const uint64_t* lo =
+                std::lower_bound(keys, keys + n_keys, key);
+            const uint64_t* hi = std::upper_bound(lo, keys + n_keys, key);
+            long count = std::min<long>(hi - lo, max_per_seed);
+            long base = lo - keys;
+            for (long c = 0; c < count; c++)
+              cands.push_back(positions[base + c] - off);
+          }
+          std::sort(cands.begin(), cands.end());
+          cands.erase(std::unique(cands.begin(), cands.end()),
+                      cands.end());
+          for (int64_t cand : cands) {
+            if (cand < 0) continue;
+            // containing sequence + bounds
+            const int64_t* s = std::upper_bound(
+                seq_offsets, seq_offsets + n_seqs + 1, cand) - 1;
+            int seq_i = (int)(s - seq_offsets);
+            if (seq_i < 0 || seq_i >= n_seqs) continue;
+            if (cand + len > seq_offsets[seq_i + 1]) continue;
+            int mm = 0;
+            const int8_t* win = codes + cand;
+            for (int j = 0; j < len; j++) mm += (win[j] != rc[j]);
+            if (mm > max_mismatch) continue;
+            res.push_back((int32_t)r);
+            res.push_back(seq_i);
+            res.push_back((int32_t)(cand - seq_offsets[seq_i]));
+            res.push_back(strand);
+            res.push_back(mm);
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  long total = 0;
+  for (const auto& res : results) total += (long)(res.size() / 5);
+  if (total <= cap) {
+    int32_t* p = out;
+    for (const auto& res : results) {
+      std::copy(res.begin(), res.end(), p);
+      p += res.size();
+    }
+  }
+  return total;
+}
+
+}  // extern "C"

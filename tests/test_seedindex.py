@@ -105,3 +105,55 @@ def test_seedindex_save_load_roundtrip(tmp_path):
     assert np.array_equal(via.keys, built.keys)
     fresh = SeedIndex.load_or_build(str(fasta))
     assert np.array_equal(fresh.keys, built.keys)
+
+
+def test_native_align_batch_parity():
+    """Native seed+verify path returns identical per-read hit lists
+    (order included) to the numpy path."""
+    import random
+
+    from defuse_tpu.cluster import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+
+    rng = random.Random(77)
+    seqs = {"A": "".join(rng.choice("ACGT") for _ in range(9000)),
+            "B": "".join(rng.choice("ACGTN") for _ in range(5000)),
+            # repeat-heavy sequence to exercise multi-hit caps
+            "R": "ACGT" * 800}
+    index = SeedIndex(seqs)
+    reads = []
+    for _ in range(120):
+        kind = rng.random()
+        if kind < 0.5:
+            src = seqs[rng.choice("AB")]
+            p = rng.randint(0, len(src) - 50)
+            read = list(src[p:p + 50])
+            for _ in range(rng.randint(0, 2)):
+                i = rng.randrange(50)
+                read[i] = rng.choice("ACGTN")
+            reads.append("".join(read))
+        elif kind < 0.7:
+            reads.append("ACGT" * 12 + "AC")   # repeat multi-mapper
+        elif kind < 0.9:
+            reads.append("".join(rng.choice("ACGT") for _ in range(50)))
+        else:
+            reads.append("".join(rng.choice("ACGT")
+                                 for _ in range(rng.randint(20, 45))))
+
+    from defuse_tpu.cluster import native as native_mod
+    nat = index.align_batch(reads, max_alignments=100)
+    avail = native_mod.available
+    native_mod.available = lambda: False
+    try:
+        ref = index.align_batch(reads, max_alignments=100)
+    finally:
+        native_mod.available = avail
+
+    def norm(res):
+        return [None if hits is None else
+                [(a.ref, a.pos, a.strand, a.mismatches) for a in hits]
+                for hits in res]
+
+    assert norm(nat) == norm(ref)
