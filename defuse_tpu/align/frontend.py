@@ -23,6 +23,7 @@ byte-parity chain is unaffected.
 from __future__ import annotations
 
 import dataclasses
+import typing
 import pathlib
 
 import numpy as np
@@ -34,8 +35,8 @@ from .seedindex import SeedIndex
 UNMAPPABLE_BIN = 200000
 
 
-@dataclasses.dataclass
-class SingleAlignment:
+class SingleAlignment(typing.NamedTuple):
+    # NamedTuple: constructed in the millions on the frontend hot path
     ref_name: str
     strand: int
     start: int
@@ -82,6 +83,13 @@ def _align_all(index: SeedIndex, reads, max_mismatch=2,
                max_alignments=None, verify_fn=None):
     """Per-read alignment lists as SingleAlignment (1-based, fwd coords).
     """
+    if verify_fn is None and index.seed_len <= 16 and reads:
+        from ..cluster import native
+        if native.available():
+            # native rows -> SingleAlignment directly (skips the
+            # intermediate Alignment object layer)
+            return _align_all_native(index, reads, max_mismatch,
+                                     max_alignments)
     raw = index.align_batch(reads, max_mismatch=max_mismatch,
                             max_alignments=max_alignments,
                             verify_fn=verify_fn)
@@ -96,6 +104,38 @@ def _align_all(index: SeedIndex, reads, max_mismatch=2,
                                        a.pos, a.pos + len(read) - 1,
                                        a.mismatches))
         out.append(row)
+    return out
+
+
+def _align_all_native(index, reads, max_mismatch, max_alignments):
+    import numpy as np
+
+    from ..cluster import native
+    from .seedindex import encode
+
+    B = len(reads)
+    L = max(len(r) for r in reads)
+    fwd = np.full((B, L), 4, dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, r in enumerate(reads):
+        c = encode(r)
+        fwd[i, :len(c)] = c.view(np.uint8)
+        lens[i] = len(c)
+    k = index.seed_len
+    seed_offs = [0, k, 2 * k] if L >= 3 * k else \
+        list(range(0, L - k + 1, k))
+    rows = native.align_batch(index, fwd, lens, seed_offs, 256,
+                              max_mismatch)
+    names = index.names
+    lens_l = lens.tolist()
+    out = [[] for _ in range(B)]
+    for r, s, p, strand, m in rows.tolist():
+        out[r].append(SingleAlignment(names[s], strand, p + 1,
+                                      p + lens_l[r], m))
+    if max_alignments is not None:
+        for i in range(B):
+            if len(out[i]) > max_alignments:
+                out[i] = None
     return out
 
 
