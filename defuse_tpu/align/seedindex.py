@@ -37,6 +37,39 @@ def encode(seq: str) -> np.ndarray:
     return _CODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
 
 
+_warned_short_reads = False
+
+
+def seed_offsets(read_len: int, k: int) -> list[int]:
+    """Seed start offsets for a read of ``read_len`` with seed length ``k``.
+
+    For reads >= 3k, three disjoint seeds give the full 2-mismatch
+    pigeonhole guarantee.  Shorter reads cannot fit 3 disjoint k-mers, so
+    we fall back to three *staggered* seeds [0, (L-k)//2, L-k] covering
+    the whole read (better sensitivity than k-strided offsets, which leave
+    the suffix uncovered) — but two mismatches can still corrupt all three
+    overlapping seeds, so full -v 2 sensitivity is not guaranteed; a
+    one-time warning is emitted from ``candidates``/``align_batch``.
+    """
+    if read_len >= 3 * k:
+        return [0, k, 2 * k]
+    if read_len >= k:
+        return sorted({0, (read_len - k) // 2, read_len - k})
+    return []
+
+
+def _warn_short(read_len: int, k: int) -> None:
+    global _warned_short_reads
+    if not _warned_short_reads and read_len < 3 * k:
+        import sys
+        print(f"WARNING: read length {read_len} < 3*seed_len ({3 * k}); "
+              "staggered overlapping seeds in use — full 2-mismatch "
+              "alignment sensitivity is not guaranteed for this library "
+              "(bowtie -v 2 would find more hits). Consider a smaller "
+              "seed length index for <48bp libraries.", file=sys.stderr)
+        _warned_short_reads = True
+
+
 @dataclasses.dataclass
 class Alignment:
     ref: int        # sequence index
@@ -168,8 +201,8 @@ class SeedIndex:
         """
         B, L = reads_codes.shape
         k = self.seed_len
-        offsets = [0, k, 2 * k] if L >= 3 * k else \
-            list(range(0, L - k + 1, k))
+        offsets = seed_offsets(L, k)
+        _warn_short(L, k)
         keys, valid = self._seed_keys(reads_codes, offsets)
 
         lo = np.searchsorted(self.keys, keys.ravel(), side="left")
@@ -251,8 +284,8 @@ class SeedIndex:
             if native.available():
                 # native seed+verify fast path (identical hit sets/order)
                 k = self.seed_len
-                seed_offs = [0, k, 2 * k] if L >= 3 * k else \
-                    list(range(0, L - k + 1, k))
+                seed_offs = seed_offsets(L, k)
+                _warn_short(L, k)
                 rows = native.align_batch(
                     self, fwd.astype(np.uint8), lens.astype(np.int32),
                     seed_offs, 256, max_mismatch)

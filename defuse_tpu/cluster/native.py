@@ -429,8 +429,9 @@ def build_seed_index(codes: np.ndarray, offsets: np.ndarray, k: int,
     """Sorted seed table (keys uint64, positions int64) for the aligner —
     same ordering as the numpy stable-argsort build in
     ``align.seedindex.SeedIndex``.  Returns None when unsupported
-    (k > 16)."""
-    if k > 16:
+    (k > 16, or references >= 2^32 bp whose positions would not fit the
+    packed low-32 position field)."""
+    if k > 16 or len(codes) >= (1 << 32):
         return None
     lib = load_library()
     if n_threads <= 0:

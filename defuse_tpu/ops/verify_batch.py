@@ -41,14 +41,20 @@ class DeviceVerifier:
 
     def __init__(self, batch: int = 1 << 16):
         self.batch = batch
-        self._resident = {}
+        # id(codes) alone is unsafe as a cache key (a GC'd array's address
+        # can be reused): hold a strong reference to the host array next to
+        # its device buffer and verify identity on hit.  One entry per
+        # distinct reference so alternating cdna/genome batches don't
+        # re-upload the genome every call.
+        self._resident: dict[int, tuple] = {}
 
     def __call__(self, codes, gather_idx, reads_codes, lens):
         key = id(codes)
-        if key not in self._resident:
-            self._resident = {key: jax.device_put(
-                jnp.asarray(codes, jnp.int8))}
-        ref_dev = self._resident[key]
+        entry = self._resident.get(key)
+        if entry is None or entry[0] is not codes:
+            entry = (codes, jax.device_put(jnp.asarray(codes, jnp.int8)))
+            self._resident[key] = entry
+        ref_dev = entry[1]
         starts = np.ascontiguousarray(gather_idx[:, 0])
         L = reads_codes.shape[1]
         out = np.empty(len(starts), dtype=np.int32)

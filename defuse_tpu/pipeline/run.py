@@ -149,7 +149,19 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                 samples.setdefault(int(f[0]), []).append(float(f[1]))
             try:
                 covariances[n] = cov_samples_merge(samples)[1]
-            except ValueError:
+            except ValueError as e:
+                # The reference hard-aborts here (merge_cov_samples.pl:38
+                # "not enough concordant read samples").  We degrade to
+                # covariance 0.0 so tiny test datasets still run, but
+                # loudly: every spanning/split p-value shifts when the
+                # covariance term is dropped.
+                import sys as _sys
+                print(f"WARNING: {n} covariance merge failed ({e}); "
+                      "falling back to covariance 0.0 — p-values will "
+                      "deviate from a full-size run. Check that "
+                      "multi_exon_transcripts covered enough concordant "
+                      "pairs (reference aborts here).",
+                      file=_sys.stderr)
                 covariances[n] = 0.0
         else:
             covariances[n] = 0.0
@@ -169,10 +181,16 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
 
     span_stats = _span_stats(out / "clusters.sc", discover_outs["break"],
                              discover_outs["seq"])
+    # evaluate_fraglength_mean.R clamps the read length by the discordant
+    # trim (defuse_run.pl:557 passes $discord_read_trim; the R script takes
+    # min(readlength_max, trim)) — reads longer than the trim must not
+    # trigger the fat-fragment correction branch spuriously.
+    span_readlen = min(stats.readlength_max,
+                       config.get_int("discord_read_trim"))
     for cid in seqs:
         mean, n = span_stats.get(cid, (frag_mean, 1))
         sp = spanning_pvalue(mean, n, frag_mean, frag_std,
-                             covariances["span"], stats.readlength_max)
+                             covariances["span"], span_readlen)
         span_p[cid] = f"{sp:.15g}"
 
     _mark("pvalues")

@@ -1756,6 +1756,9 @@ long dt_build_seed_index(const int8_t* codes, long n,
                          const int64_t* offsets, int n_seqs, int k,
                          int n_threads, uint64_t* out) {
   if (k < 1 || k > 16) return -1;
+  // positions are packed into the low 32 bits of (key<<32)|pos: a
+  // concatenated reference >= 2^32 bp would silently corrupt both halves.
+  if (n >= (1L << 32)) return -1;
   if (n_threads < 1) n_threads = 1;
   std::vector<std::vector<uint64_t>> parts(n_seqs);
   {
