@@ -212,22 +212,35 @@ def run_ours(paths, regions_file, tmp, use_tpu=True):
 
 def tpu_alive(timeout_s: int = 300) -> bool:
     """Probe the device in a subprocess so a hung TPU tunnel can't hang
-    the benchmark itself."""
+    the benchmark itself.  The dev chip sits behind a flaky relay that
+    flaps for minutes at a time, so the probe retries with a pause
+    (bounded: DEFUSE_BENCH_TPU_RETRIES attempts, default 4)."""
     probe = ("import numpy, jax, jax.numpy as jnp;"
+             "assert jax.default_backend() == 'tpu', jax.default_backend();"
              "print(float(numpy.asarray(jnp.ones(4).sum())))")
-    try:
-        proc = subprocess.run([sys.executable, "-c", probe],
-                              capture_output=True, timeout=timeout_s)
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    attempts = int(os.environ.get("DEFUSE_BENCH_TPU_RETRIES", "4"))
+    pause = float(os.environ.get("DEFUSE_BENCH_TPU_RETRY_SLEEP", "45"))
+    for attempt in range(max(1, attempts)):
+        if attempt:
+            print(f"bench: TPU probe retry {attempt} in {pause:.0f}s",
+                  file=sys.stderr)
+            time.sleep(pause)
+        try:
+            proc = subprocess.run([sys.executable, "-c", probe],
+                                  capture_output=True, timeout=timeout_s)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def run_ours_subprocess(tmpdir, device, timeout_s=480):
     """Run the 'ours' measurement isolated in a subprocess so a flapping
-    device link cannot hang the benchmark; returns elapsed seconds or
-    None."""
+    device link cannot hang the benchmark; returns (elapsed_s, extras)
+    or (None, {})."""
     proc_env = dict(os.environ)
+    proc_env["DEFUSE_STAGE_TIMING"] = "1"
     if device == "cpu":
         proc_env["DEFUSE_BENCH_FORCE_CPU"] = "1"
     try:
@@ -236,14 +249,31 @@ def run_ours_subprocess(tmpdir, device, timeout_s=480):
             capture_output=True, text=True, timeout=timeout_s,
             env=proc_env)
     except subprocess.TimeoutExpired:
-        return None
+        return None, {}
     if proc.returncode != 0:
         print(proc.stderr[-2000:], file=sys.stderr)
-        return None
-    for line in proc.stdout.splitlines()[::-1]:
+        return None, {}
+    elapsed = None
+    extras = {}
+    stage_times = {}
+    for line in proc.stdout.splitlines():
         if line.startswith("OURS_ELAPSED"):
-            return float(line.split()[1])
-    return None
+            elapsed = float(line.split()[1])
+            # stage lines from the timed (second) run overwrite the
+            # warm-up run's values key by key — keep what's accumulated
+        elif line.startswith("EM_ABLATION"):
+            parts = dict(p.split("=") for p in line.split()[1:])
+            extras["em_ablation_s"] = {k: float(v)
+                                       for k, v in parts.items()}
+        elif line.startswith("[discover] ") and line.rstrip().endswith("s"):
+            try:
+                stage, val = line[len("[discover] "):].rsplit(": ", 1)
+                stage_times[stage] = float(val.rstrip("s"))
+            except ValueError:
+                pass
+    if stage_times:
+        extras["stage_times_s"] = stage_times
+    return elapsed, extras
 
 
 def ours_only(tmpdir):
@@ -253,9 +283,37 @@ def ours_only(tmpdir):
         jax.config.update("jax_platforms", "cpu")
     ds, paths, n_pairs = build_dataset(tmpdir)
     use_tpu = not os.environ.get("DEFUSE_BENCH_FORCE_CPU")
-    run_ours(paths, None, tmpdir, use_tpu=use_tpu)
+    run_ours(paths, None, tmpdir, use_tpu=use_tpu)  # warm-up compile
+    # stage timing prints from this second run are the ones recorded
     elapsed, _outs = run_ours(paths, None, tmpdir, use_tpu=use_tpu)
     print(f"OURS_ELAPSED {elapsed}")
+    em_ablation(paths)
+
+
+def em_ablation(paths):
+    """Time the EM stage native-C++ vs batched-device on the bench
+    dataset (clustering only), recording why the production path routes
+    EM to the host (VERDICT r1 item 1): thousands of small EM instances
+    lose to dispatch+transfer overheads on device."""
+    from defuse_tpu.cluster import native
+    from defuse_tpu.cluster.discordant import cluster_alignments
+    from defuse_tpu.cluster.matepair_em import EMParams
+    from defuse_tpu.io.sam import iter_compact, load_alignments
+    if not native.available():
+        return
+    params = EMParams(MEAN, STD, PREC, MINCL)
+    table = load_alignments(iter_compact(paths["spanning"]))
+    timings = {}
+    for mode in ("native", "device"):
+        try:
+            t0 = time.time()
+            cluster_alignments(table, params, em_mode=mode)
+            timings[mode] = round(time.time() - t0, 3)
+        except Exception as e:  # device mode needs jax; never fatal
+            print(f"em ablation {mode} failed: {e}", file=sys.stderr)
+    if timings:
+        print("EM_ABLATION " +
+              " ".join(f"{k}={v}" for k, v in timings.items()))
 
 
 def main():
@@ -281,15 +339,16 @@ def main():
             paths, ref_bin, tmpdir)
         baseline_pairs_s = n_pairs / ref_elapsed
 
-    ours_elapsed = None
+    ours_elapsed, run_extras = None, {}
     if use_tpu:
-        ours_elapsed = run_ours_subprocess(tmpdir, "tpu")
+        ours_elapsed, run_extras = run_ours_subprocess(tmpdir, "tpu")
         if ours_elapsed is None:
             print("WARNING: TPU bench run failed/hung; CPU fallback",
                   file=sys.stderr)
             use_tpu = False
     if ours_elapsed is None:
-        ours_elapsed = run_ours_subprocess(tmpdir, "cpu", timeout_s=900)
+        ours_elapsed, run_extras = run_ours_subprocess(
+            tmpdir, "cpu", timeout_s=900)
     if ours_elapsed is None:
         raise RuntimeError("benchmark runs failed")
     # verification pass in-process on CPU (deterministic, no hang risk)
@@ -315,6 +374,7 @@ def main():
             "baseline_pairs_s": (round(baseline_pairs_s, 1)
                                  if baseline_pairs_s else None),
             "exact_match_vs_reference": exact_match,
+            **run_extras,
         },
     }
     print(json.dumps(result))

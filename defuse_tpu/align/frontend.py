@@ -121,9 +121,10 @@ def _align_all_native(index, reads, max_mismatch, max_alignments):
         c = encode(r)
         fwd[i, :len(c)] = c.view(np.uint8)
         lens[i] = len(c)
+    from .seedindex import _warn_short, seed_offsets
     k = index.seed_len
-    seed_offs = [0, k, 2 * k] if L >= 3 * k else \
-        list(range(0, L - k + 1, k))
+    seed_offs = seed_offsets(L, k)
+    _warn_short(L, k)
     rows = native.align_batch(index, fwd, lens, seed_offs, 256,
                               max_mismatch)
     names = index.names
@@ -223,11 +224,41 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
               reads1, reads2, outdir: str, max_insert_size: int = 500,
               discord_read_trim: int = 50, max_paired_alignments: int = 10,
               dna_concordant_length: int = 2000, max_alignments: int = 100,
-              ig_genes: set[str] | None = None, verify_fn=None):
-    """Run the full alignjob flow.  Returns paths dict."""
+              ig_genes: set[str] | None = None, verify_fn=None,
+              prefilter_index: SeedIndex | None = None,
+              force_python: bool = False):
+    """Run the full alignjob flow.  Returns paths dict.
+
+    The hot path is the native C++ driver (``dt_align_job``): the whole
+    flow — paired concordant screens, trimmed multimap alignment,
+    concordance re-screens, rRNA / unigene-prefilter / IG screens and
+    file emission — runs in threaded C++ against the shared seed
+    indices.  The Python implementation below is the byte-contract
+    oracle (``tests/test_frontend_native.py``) and the fallback when the
+    native library is unavailable or a custom ``verify_fn`` routes
+    candidate verification through the device.
+    """
+    import os as _os
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     n_frags = len(reads1)
+
+    if (not force_python and verify_fn is None
+            and _os.environ.get("DEFUSE_FRONTEND") != "python"):
+        from ..cluster import native
+        if native.available():
+            res = _align_job_native(
+                cdna_index=cdna_index, genome_index=genome_index,
+                rrna_index=rrna_index, prefilter_index=prefilter_index,
+                gene_models=gene_models, ig_genes=ig_genes,
+                reads1=reads1, reads2=reads2, out=out,
+                max_insert_size=max_insert_size,
+                discord_read_trim=discord_read_trim,
+                max_paired_alignments=max_paired_alignments,
+                dna_concordant_length=dna_concordant_length,
+                max_alignments=max_alignments)
+            if res is not None:
+                return res
 
     # 1. paired concordant screens
     cdna_al1 = _align_all(cdna_index, reads1, verify_fn=verify_fn)
@@ -319,7 +350,7 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
         if region_bins[0] & region_bins[1]:
             blacklist.add(frag)
 
-    # 6. rRNA screen (untrimmed) + IG pairs
+    # 6. rRNA screen (untrimmed) + unigene prefilter + IG pairs
     if rrna_index is not None:
         for end_reads in (reads1, reads2):
             sub = [end_reads[f] for f in candidates]
@@ -327,6 +358,17 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
             for f, hits in zip(candidates, res):
                 if hits:
                     blacklist.add(f)
+    if prefilter_index is not None:
+        # paired concordant screen vs the unigene prefilter fasta
+        # (alignjob.pl:289-305): untrimmed reads, proper-pair model;
+        # concordant fragments blacklisted from the improper set
+        sub1 = [reads1[f] for f in candidates]
+        sub2 = [reads2[f] for f in candidates]
+        pre1 = _align_all(prefilter_index, sub1, verify_fn=verify_fn)
+        pre2 = _align_all(prefilter_index, sub2, verify_fn=verify_fn)
+        pre_pairs = _best_proper_pairs(pre1, pre2, max_insert_size)
+        for i_pos in pre_pairs:
+            blacklist.add(candidates[i_pos])
     if ig_genes:
         for frag in candidates:
             ig_hit = [False, False]
@@ -375,6 +417,51 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
     }
 
 
+def _align_job_native(*, cdna_index, genome_index, rrna_index,
+                      prefilter_index, gene_models, ig_genes, reads1,
+                      reads2, out, max_insert_size, discord_read_trim,
+                      max_paired_alignments, dna_concordant_length,
+                      max_alignments):
+    """Native C++ alignjob driver glue (byte-identical outputs to the
+    Python path; pinned by tests/test_frontend_native.py)."""
+    from ..cluster import native
+
+    improper_sam = out / "improper.sam"
+    spanning = out / "spanning.compact"
+    cdna_pair_sam = out / "cdna.pair.sam"
+    res = native.align_job_native(
+        cdna_index=cdna_index, genome_index=genome_index,
+        rrna_index=rrna_index, prefilter_index=prefilter_index,
+        gene_models=gene_models, ig_genes=ig_genes,
+        reads1=reads1, reads2=reads2,
+        improper_path=improper_sam, spanning_path=spanning,
+        pair_sam_path=cdna_pair_sam,
+        trim_len=discord_read_trim, max_insert=max_insert_size,
+        max_paired=max_paired_alignments,
+        concord_len=dna_concordant_length,
+        max_alignments=max_alignments)
+    if res is None:
+        return None
+    (n_pairs, sum_isize, sumsq_isize), concordant, blacklist = res
+    readlengths = sorted({len(r) for r in reads1} | {len(r)
+                                                     for r in reads2})
+    if n_pairs:
+        mean = sum_isize / n_pairs
+        var = sumsq_isize / n_pairs - mean ** 2
+        stats = ReadStats(n_pairs, mean, var ** 0.5, readlengths[0],
+                          readlengths[-1], tuple(readlengths))
+    else:
+        stats = ReadStats(0, 0.0, 0.0, 0, 0, ())
+    return {
+        "spanning": str(spanning),
+        "improper": str(improper_sam),
+        "concordant_sam": str(cdna_pair_sam),
+        "stats": stats,
+        "concordant_fragments": concordant,
+        "blacklist": blacklist,
+    }
+
+
 def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     """CLI helper: build indices from config-named references and run the
     frontend; returns run_pipeline keyword inputs.  ``use_device`` routes
@@ -398,19 +485,36 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     if config.has_value("rrna_fasta"):
         rrna_index = SeedIndex.load_or_build(
             config.get_value("rrna_fasta"))
+    # unigene prefilter fastas (config `prefilter1..N`, alignjob.pl:83);
+    # multiple fastas merge into one index — the screen only asks
+    # whether a proper pair exists on any single prefilter sequence
+    prefilter_index = None
+    prefilter_paths = [p for p in config.get_list("prefilter")
+                       if p and pathlib.Path(p).exists()]
+    if prefilter_paths:
+        if len(prefilter_paths) == 1:
+            prefilter_index = SeedIndex.load_or_build(prefilter_paths[0])
+        else:
+            from ..io.fasta import FastaStore as _FS
+            merged: dict[str, str] = {}
+            for p in prefilter_paths:
+                merged.update(_FS.from_file(p)._seqs)
+            prefilter_index = SeedIndex(merged)
     ig_genes = set()
     if config.has_value("ig_gene_list"):
         with open(config.get_value("ig_gene_list")) as fh:
             ig_genes = {line.strip() for line in fh if line.strip()}
 
     verify_fn = None
-    if use_device:
-        # a dead device link must not hang the aligner (bounded probe)
+    from ..cluster import native as _native
+    if use_device and not _native.available():
+        # the native driver beats device-verify over the tunnel; the
+        # DeviceVerifier only carries the no-native fallback.  A dead
+        # device link must not hang the aligner (bounded probe).
         from ..core.devices import tpu_backend_available
-        use_device = tpu_backend_available()
-    if use_device:
-        from ..ops.verify_batch import DeviceVerifier
-        verify_fn = DeviceVerifier()
+        if tpu_backend_available():
+            from ..ops.verify_batch import DeviceVerifier
+            verify_fn = DeviceVerifier()
     res = align_job(
         cdna_index=cdna_index, genome_index=genome_index,
         rrna_index=rrna_index, gene_models=gene_models,
@@ -419,7 +523,8 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
         discord_read_trim=config.get_int("discord_read_trim"),
         max_paired_alignments=config.get_int("max_paired_alignments"),
         dna_concordant_length=config.get_int("dna_concordant_length"),
-        ig_genes=ig_genes, verify_fn=verify_fn)
+        ig_genes=ig_genes, verify_fn=verify_fn,
+        prefilter_index=prefilter_index)
     return {
         "spanning": res["spanning"], "improper": res["improper"],
         "fastq1": str(out / "reads" / "reads.1.fastq"),

@@ -474,3 +474,227 @@ def set_cover(clusters: list[list[int]]) -> list[list[int]]:
         sl = slice(int(offsets[i]), int(offsets[i + 1]))
         out.append(members[sl][keep[sl] == 1].tolist())
     return out
+
+
+# ---------------------------------------------------------------------
+# Native alignment frontend (dt_align_job): the full alignjob flow in
+# C++ (align/frontend.py::align_job byte contract; alignjob.pl:216-331).
+# ---------------------------------------------------------------------
+
+def _index_group(index):
+    """(codes, n, offsets, n_seqs, keys, positions, n_keys, k) ctypes
+    arg tuple for one SeedIndex (or 8 nulls for None)."""
+    if index is None:
+        return (None, ctypes.c_long(0), None, ctypes.c_int(0), None,
+                None, ctypes.c_long(0), ctypes.c_int(16))
+    codes = np.ascontiguousarray(index.codes, dtype=np.int8)
+    offsets = np.ascontiguousarray(index.offsets, dtype=np.int64)
+    keys = np.ascontiguousarray(index.keys, dtype=np.uint64)
+    positions = np.ascontiguousarray(index.positions, dtype=np.int64)
+    # hold refs on the index to keep arrays alive for the call
+    index._native_refs = (codes, offsets, keys, positions)
+    return (codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_long(len(codes)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int(len(index.names)),
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            positions.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_long(len(keys)), ctypes.c_int(index.seed_len))
+
+
+def _names_blob(names):
+    blob = "".join(names).encode()
+    off = np.zeros(len(names) + 1, dtype=np.int64)
+    for i, n in enumerate(names):
+        off[i + 1] = off[i] + len(n.encode())
+    return blob, off
+
+
+def build_align_job_tables(cdna_index, genome_index, gene_models,
+                           ig_genes):
+    """Flattened gene-model tables for dt_align_job (cached on the
+    gene_models object keyed by the two indices)."""
+    key = (id(cdna_index), id(genome_index),
+           tuple(sorted(ig_genes)) if ig_genes else ())
+    cache = getattr(gene_models, "_native_tables", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+
+    chrom_intern: dict[str, int] = {}
+
+    def cid(name):
+        v = chrom_intern.get(name)
+        if v is None:
+            v = chrom_intern[name] = len(chrom_intern)
+        return v
+
+    n_c = len(cdna_index.names)
+    c_chrom = np.zeros(n_c, np.int32)
+    c_strand = np.zeros(n_c, np.int8)
+    c_txlen = np.zeros(n_c, np.int32)
+    c_known = np.zeros(n_c, np.uint8)
+    c_is_ig = np.zeros(n_c, np.uint8)
+    c_eoff = np.zeros(n_c + 1, np.int64)
+    egs: list[int] = []
+    ege: list[int] = []
+    for i, name in enumerate(cdna_index.names):
+        t = gene_models.transcripts.get(name)
+        if t is not None:
+            c_known[i] = 1
+            c_chrom[i] = cid(t.chromosome)
+            c_strand[i] = 1 if t.strand == "-" else 0
+            c_txlen[i] = t.length
+            for es, ee in t.exons:
+                egs.append(es)
+                ege.append(ee)
+        else:
+            c_known[i] = 1 if gene_models.is_chromosome(name) else 0
+            c_chrom[i] = cid(name)
+        c_eoff[i + 1] = len(egs)
+        if ig_genes and name.split("|", 1)[0] in ig_genes:
+            c_is_ig[i] = 1
+
+    n_g = len(genome_index.names)
+    g_chrom = np.zeros(n_g, np.int32)
+    g_known = np.zeros(n_g, np.uint8)
+    for i, name in enumerate(genome_index.names):
+        g_chrom[i] = cid(name)
+        g_known[i] = 1 if (gene_models.is_chromosome(name)
+                           or gene_models.is_transcript(name)) else 0
+
+    # gene table + binned interval index ((chrom<<32|bin) sorted keys)
+    from ..annotate.gene_models import BIN_SPACING
+    gene_ids = sorted(gene_models.genes)
+    gene_rs = np.zeros(len(gene_ids), np.int64)
+    gene_re = np.zeros(len(gene_ids), np.int64)
+    bin_map: dict[int, list[int]] = {}
+    for gi, gid_str in enumerate(gene_ids):
+        g = gene_models.genes[gid_str]
+        rs, re_ = g.region
+        gene_rs[gi] = rs
+        gene_re[gi] = re_
+        ch = cid(g.chromosome)
+        for b in range(rs // BIN_SPACING, re_ // BIN_SPACING + 1):
+            bin_map.setdefault((ch << 32) | b, []).append(gi)
+    gb_keys = np.array(sorted(bin_map), dtype=np.int64)
+    gb_off = np.zeros(len(gb_keys) + 1, np.int64)
+    genes_flat: list[int] = []
+    for j, k in enumerate(gb_keys.tolist()):
+        genes_flat.extend(bin_map[k])
+        gb_off[j + 1] = len(genes_flat)
+    gb_genes = np.asarray(genes_flat, dtype=np.int32) if genes_flat \
+        else np.zeros(0, np.int32)
+
+    c_blob, c_noff = _names_blob(cdna_index.names)
+    g_blob, g_noff = _names_blob(genome_index.names)
+
+    tables = dict(
+        c_chrom=c_chrom, c_strand=c_strand, c_txlen=c_txlen,
+        c_known=c_known, c_is_ig=c_is_ig, c_eoff=c_eoff,
+        c_egs=np.asarray(egs, np.int64) if egs else np.zeros(0, np.int64),
+        c_ege=np.asarray(ege, np.int64) if ege else np.zeros(0, np.int64),
+        g_chrom=g_chrom, g_known=g_known,
+        gene_rs=gene_rs, gene_re=gene_re, n_genes=len(gene_ids),
+        gb_keys=gb_keys, gb_off=gb_off, gb_genes=gb_genes,
+        c_blob=c_blob, c_noff=c_noff, g_blob=g_blob, g_noff=g_noff)
+    gene_models._native_tables = (key, tables)
+    return tables
+
+
+def reads_matrix(reads):
+    """(B, W) uint8 char matrix + int32 lens from a list of read
+    strings."""
+    B = len(reads)
+    W = max((len(r) for r in reads), default=0)
+    arr = np.zeros((B, max(1, W)), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, r in enumerate(reads):
+        b = r.encode()
+        arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    return arr, lens
+
+
+def align_job_native(*, cdna_index, genome_index, rrna_index,
+                     prefilter_index, gene_models, ig_genes, reads1,
+                     reads2, improper_path, spanning_path, pair_sam_path,
+                     trim_len, max_insert, max_paired, concord_len,
+                     max_alignments, max_mismatch=2, max_per_seed=256,
+                     n_threads=0):
+    """Full alignjob flow in C++.  Returns (stats, concordant set,
+    blacklist set) or None when the native path cannot run (then the
+    caller uses the Python path)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    for ix in (cdna_index, genome_index, rrna_index, prefilter_index):
+        if ix is not None and (ix.seed_len != cdna_index.seed_len
+                               or ix.seed_len > 16):
+            return None
+    if n_threads <= 0:
+        import os
+        n_threads = max(1, os.cpu_count() or 2)
+
+    r1, lens1 = reads_matrix(reads1)
+    r2, lens2 = reads_matrix(reads2)
+    width = max(r1.shape[1], r2.shape[1])
+    if r1.shape[1] != width:
+        r1 = np.ascontiguousarray(
+            np.pad(r1, ((0, 0), (0, width - r1.shape[1]))))
+    if r2.shape[1] != width:
+        r2 = np.ascontiguousarray(
+            np.pad(r2, ((0, 0), (0, width - r2.shape[1]))))
+    n_frags = len(reads1)
+
+    t = build_align_job_tables(cdna_index, genome_index, gene_models,
+                               ig_genes)
+    concordant = np.zeros(max(1, n_frags), np.uint8)
+    blacklist = np.zeros(max(1, n_frags), np.uint8)
+    stats = np.zeros(3, np.int64)
+
+    def i64p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def i32p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    fn = lib.dt_align_job
+    fn.restype = ctypes.c_long
+    rc = fn(
+        r1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        r2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        i32p(lens1), i32p(lens2),
+        ctypes.c_long(n_frags), ctypes.c_int(width),
+        *_index_group(cdna_index), *_index_group(genome_index),
+        *_index_group(rrna_index), *_index_group(prefilter_index),
+        i32p(np.zeros(max(1, len(cdna_index.names)), np.int32)),  # c_gene
+        i32p(t["c_chrom"]),
+        t["c_strand"].ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        i32p(t["c_txlen"]), i64p(t["c_eoff"]), i64p(t["c_egs"]),
+        i64p(t["c_ege"]),
+        t["c_known"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t["c_is_ig"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        i32p(t["g_chrom"]),
+        t["g_known"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        i64p(t["gene_rs"]), i64p(t["gene_re"]),
+        ctypes.c_int(t["n_genes"]),
+        i64p(t["gb_keys"]), i64p(t["gb_off"]), i32p(t["gb_genes"]),
+        ctypes.c_long(len(t["gb_keys"])),
+        ctypes.c_char_p(t["c_blob"]), i64p(t["c_noff"]),
+        ctypes.c_char_p(t["g_blob"]), i64p(t["g_noff"]),
+        ctypes.c_int(trim_len), ctypes.c_long(max_insert),
+        ctypes.c_long(max_paired), ctypes.c_long(concord_len),
+        ctypes.c_int(max_alignments), ctypes.c_int(max_mismatch),
+        ctypes.c_int(max_per_seed), ctypes.c_int(n_threads),
+        ctypes.c_char_p(str(improper_path).encode()),
+        ctypes.c_char_p(str(spanning_path).encode()),
+        ctypes.c_char_p(str(pair_sam_path).encode()),
+        concordant.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        blacklist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        i64p(stats))
+    if rc < 0:
+        return None
+    return (
+        (int(stats[0]), int(stats[1]), int(stats[2])),
+        set(np.nonzero(concordant[:n_frags])[0].tolist()),
+        set(np.nonzero(blacklist[:n_frags])[0].tolist()))

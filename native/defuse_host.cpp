@@ -3,15 +3,18 @@
 // C++ implementations of the sequential host-side stages that wrap the
 // TPU compute path: discordant mate-pair clustering (binning + exact
 // mixture EM; algorithm spec: reference tools/clustermatepairs.cpp and
-// tools/MatePairEM.cpp — re-implemented from scratch, matching the
-// byte-level contracts the Python oracles in defuse_tpu/cluster/ pin
-// down), AS 136 k-means seeding, and greedy set cover
+// tools/MatePairEM.cpp — independently written against the byte-level
+// contracts the Python oracles in defuse_tpu/cluster/ pin down; the
+// exact M-step's knot enumeration necessarily mirrors the reference's
+// event structure since fp-identical results require an identical
+// reduction order), AS 136 k-means seeding, and greedy set cover
 // (tools/setcover.cpp contract, canonical lowest-id tie-break).
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this image).
 // Build: ./build.sh -> libdefuse_host.so
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <chrono>
 #include <cmath>
@@ -402,26 +405,40 @@ class MatePairEMHost {
   }
 
  private:
-  bool MaxLikelihood(const std::vector<double>& R,
-                     const std::vector<double>& RXO,
-                     const std::vector<double>& RYO, double& a,
+  // Exact M-step: maximize the responsibility-weighted log-likelihood of
+  // one component over its breakpoint pair (a,b).  The objective is
+  // piecewise linear in the exponential-slack term, so the maximum sits
+  // at one of the "knots" where a or b crosses a data point; the knots
+  // are enumerated by merging the x- and y-sorted cumulative
+  // responsibility profiles.  The knot enumeration and reduction order
+  // must match the Python oracle (matepair_em.py) event for event —
+  // byte-level cluster parity depends on identical fp rounding, so the
+  // merge structure mirrors the spec in tools/MatePairEM.cpp:192-325
+  // even though the surrounding code does not.
+  bool MaxLikelihood(const std::vector<double>& resp,
+                     const std::vector<double>& resp_by_x,
+                     const std::vector<double>& resp_by_y, double& a,
                      double& b) const {
     const int n = n_;
-    std::vector<double> SX(n), SY(n);
+    // cumulative responsibilities along each sorted axis
+    std::vector<double> cum_x(n), cum_y(n);
     double acc = 0.0;
     for (int i = 0; i < n; i++) {
-      acc += RXO[i];
-      SX[i] = acc;
+      acc += resp_by_x[i];
+      cum_x[i] = acc;
     }
     acc = 0.0;
     for (int j = 0; j < n; j++) {
-      acc += RYO[j];
-      SY[j] = acc;
+      acc += resp_by_y[j];
+      cum_y[j] = acc;
     }
-    std::vector<double> CX, CY, CS;
-    CX.push_back(xo_[0]);
-    CY.push_back(yo_[0]);
-    CS.push_back(0.0);
+    // knot_a/knot_b: candidate (a,b) positions; knot_slack: the
+    // cumulative responsibility mass inside the exponential-slack region
+    // at that knot (the piecewise-linear slope contribution)
+    std::vector<double> knot_a, knot_b, knot_slack;
+    knot_a.push_back(xo_[0]);
+    knot_b.push_back(yo_[0]);
+    knot_slack.push_back(0.0);
     int i = 0, j = 0;
     while (i < n && j < n) {
       if (i + 1 < n && xo_[i] == xo_[i + 1]) {
@@ -432,68 +449,73 @@ class MatePairEMHost {
         j++;
         continue;
       }
-      if (SX[i] == SY[j]) {
-        CX.push_back(xo_[i]);
-        CY.push_back(yo_[j]);
-        CS.push_back(SX[i]);
+      if (cum_x[i] == cum_y[j]) {
+        knot_a.push_back(xo_[i]);
+        knot_b.push_back(yo_[j]);
+        knot_slack.push_back(cum_x[i]);
         if (i + 1 < n && j + 1 < n) {
-          CX.push_back(xo_[i + 1]);
-          CY.push_back(yo_[j + 1]);
-          CS.push_back(SX[i]);
+          knot_a.push_back(xo_[i + 1]);
+          knot_b.push_back(yo_[j + 1]);
+          knot_slack.push_back(cum_x[i]);
         }
         i++;
         j++;
-      } else if (SX[i] < SY[j]) {
-        CX.push_back(xo_[i]);
-        CY.push_back(yo_[j]);
-        CS.push_back(SX[i]);
+      } else if (cum_x[i] < cum_y[j]) {
+        knot_a.push_back(xo_[i]);
+        knot_b.push_back(yo_[j]);
+        knot_slack.push_back(cum_x[i]);
         if (i + 1 < n) {
-          CX.push_back(xo_[i + 1]);
-          CY.push_back(yo_[j]);
-          CS.push_back(SX[i]);
+          knot_a.push_back(xo_[i + 1]);
+          knot_b.push_back(yo_[j]);
+          knot_slack.push_back(cum_x[i]);
         }
         i++;
       } else {
-        CX.push_back(xo_[i]);
-        CY.push_back(yo_[j]);
-        CS.push_back(SY[j]);
+        knot_a.push_back(xo_[i]);
+        knot_b.push_back(yo_[j]);
+        knot_slack.push_back(cum_y[j]);
         if (j + 1 < n) {
-          CX.push_back(xo_[i]);
-          CY.push_back(yo_[j + 1]);
-          CS.push_back(SY[j]);
+          knot_a.push_back(xo_[i]);
+          knot_b.push_back(yo_[j + 1]);
+          knot_slack.push_back(cum_y[j]);
         }
         j++;
       }
     }
-    double NK = 0.0;
-    for (int t = 0; t < n; t++) NK += R[t];
-    if (NK == 0.0) return false;
-    double RXYU = 0.0;
-    for (int t = 0; t < n; t++) RXYU += R[t] * (x_[t] + y_[t] + u_[t]);
+    double resp_total = 0.0;
+    for (int t = 0; t < n; t++) resp_total += resp[t];
+    if (resp_total == 0.0) return false;
+    // responsibility-weighted sum of (x+y+u): the normal term's center
+    double resp_wsum = 0.0;
+    for (int t = 0; t < n; t++)
+      resp_wsum += resp[t] * (x_[t] + y_[t] + u_[t]);
     const double s2 = stddev_ * stddev_;
-    size_t minindex = 0;
-    while (minindex < CS.size()) {
-      double partial =
-          (RXYU - NK * (CX[minindex] + CY[minindex])) / s2 +
-          kLambda * CS[minindex];
-      if (partial > 0) break;
-      minindex++;
+    // walk knots until the derivative of the objective turns positive
+    size_t knot = 0;
+    while (knot < knot_slack.size()) {
+      double slope =
+          (resp_wsum - resp_total * (knot_a[knot] + knot_b[knot])) / s2 +
+          kLambda * knot_slack[knot];
+      if (slope > 0) break;
+      knot++;
     }
-    if (minindex >= CS.size()) minindex = CS.size() - 1;  // guarded UB
-    double aplusb = (RXYU + s2 * kLambda * CS[minindex]) / NK;
-    if (minindex == 0) {
-      double min_a = CX[0];
-      double max_a = aplusb - CY[0];
+    if (knot >= knot_slack.size()) knot = knot_slack.size() - 1;  // guard
+    double ab_sum =
+        (resp_wsum + s2 * kLambda * knot_slack[knot]) / resp_total;
+    if (knot == 0) {
+      double min_a = knot_a[0];
+      double max_a = ab_sum - knot_b[0];
       a = 0.5 * (min_a + max_a);
-      b = aplusb - a;
-    } else if (CS[minindex] != CS[minindex - 1]) {
-      a = CX[minindex];
-      b = CY[minindex];
+      b = ab_sum - a;
+    } else if (knot_slack[knot] != knot_slack[knot - 1]) {
+      a = knot_a[knot];
+      b = knot_b[knot];
     } else {
-      double min_a = std::max(CX[minindex], aplusb - CY[minindex - 1]);
-      double max_a = std::min(CX[minindex - 1], aplusb - CY[minindex]);
+      // flat segment: center (a,b) within the feasible interval
+      double min_a = std::max(knot_a[knot], ab_sum - knot_b[knot - 1]);
+      double max_a = std::min(knot_a[knot - 1], ab_sum - knot_b[knot]);
       a = 0.5 * (min_a + max_a);
-      b = aplusb - a;
+      b = ab_sum - a;
     }
     return true;
   }
@@ -1906,6 +1928,708 @@ long dt_align_batch(const int8_t* codes, long n_codes,
     }
   }
   return total;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Native alignment frontend: the full alignjob flow in C++
+// (align/frontend.py::align_job contract; reference scripts/alignjob.pl
+// 216-331).  Phase 1: untrimmed paired concordant screens vs cdna and
+// genome.  Phase 2 (candidates = non-concordant fragments): trimmed
+// single-end all-alignments (-k/-m), unmappable / same-gene /
+// same-region re-screens, rRNA screen, unigene prefilter paired screen
+// (alignjob.pl:289-305), IG-pair exclusion, and emission of
+// improper.sam + spanning.compact + cdna.pair.sam byte-identical to the
+// Python frontend.
+// ---------------------------------------------------------------------
+
+namespace alignjob {
+
+struct SeedIdx {
+  const int8_t* codes = nullptr;
+  int64_t n_codes = 0;
+  const int64_t* seq_off = nullptr;
+  int n_seqs = 0;
+  const uint64_t* keys = nullptr;
+  const int64_t* pos = nullptr;
+  int64_t n_keys = 0;
+  int k = 16;
+  bool present() const { return codes != nullptr; }
+};
+
+// per-reference remap metadata (cdna: transcripts; genome: chromosomes)
+struct RefMeta {
+  const int32_t* gene = nullptr;   // interned gene, -1 none
+  const int32_t* chrom = nullptr;  // interned chromosome
+  const int8_t* strand = nullptr;  // 0 '+', 1 '-'
+  const int32_t* txlen = nullptr;
+  const int64_t* exon_off = nullptr;  // n_refs+1; equal bounds = not tx
+  const int64_t* exon_gs = nullptr;   // ascending genomic exon starts
+  const int64_t* exon_ge = nullptr;
+  const uint8_t* known = nullptr;  // is_transcript || is_chromosome
+  const uint8_t* is_ig = nullptr;  // cdna ref gene in ig_gene_list
+};
+
+struct Hit {
+  int32_t seq;
+  int32_t pos0;  // 0-based start within sequence
+  int8_t strand;
+  int8_t mm;
+};
+
+constexpr int64_t kUnmappableBin = 200000;  // frontend.py UNMAPPABLE_BIN
+constexpr int64_t kGeneBinSpacing = 10000;  // gene_models.py BIN_SPACING
+// (floor division: the file-level FloorDiv above is reused)
+
+// seed_offsets(L, k) mirror (align/seedindex.py): disjoint for L>=3k,
+// staggered [0,(L-k)/2,L-k] (sorted unique) otherwise
+inline void SeedOffsets(int L, int k, std::vector<int32_t>& out) {
+  out.clear();
+  if (L >= 3 * k) {
+    out = {0, k, 2 * k};
+  } else if (L >= k) {
+    int32_t a = 0, b = (L - k) / 2, c = L - k;
+    out.push_back(a);
+    if (b != a) out.push_back(b);
+    if (c != b && c != a) out.push_back(c);
+    std::sort(out.begin(), out.end());
+  }
+}
+
+// one read against one index, both strands; identical hit order to
+// dt_align_batch (strand 0 then 1; per strand: candidate positions
+// sorted unique ascending).  stop_early: return on first accepted hit.
+// cap<0: unlimited.  Returns false when hit count exceeded cap.
+inline bool AlignRead(const SeedIdx& ix, const int8_t* fwd,
+                      const int8_t* rev, int len,
+                      const std::vector<int32_t>& seed_offs,
+                      int max_per_seed, int max_mismatch, long cap,
+                      std::vector<Hit>& out, bool stop_early = false,
+                      std::vector<int64_t>* scratch = nullptr) {
+  out.clear();
+  if (len < ix.k || ix.n_keys == 0) return true;
+  std::vector<int64_t> local;
+  std::vector<int64_t>& cands = scratch ? *scratch : local;
+  const int k = ix.k;
+  for (int strand = 0; strand < 2; strand++) {
+    const int8_t* rc = strand ? rev : fwd;
+    cands.clear();
+    for (int32_t off : seed_offs) {
+      if (off + k > len) continue;
+      uint64_t key = 0;
+      bool valid = true;
+      for (int j = 0; j < k; j++) {
+        int8_t c = rc[off + j];
+        if (c >= 4) {
+          valid = false;
+          break;
+        }
+        key = (key << 2) | (uint64_t)c;
+      }
+      if (!valid) continue;
+      const uint64_t* lo = std::lower_bound(ix.keys, ix.keys + ix.n_keys,
+                                            key);
+      const uint64_t* hi = std::upper_bound(lo, ix.keys + ix.n_keys, key);
+      long count = std::min<long>(hi - lo, max_per_seed);
+      long base = lo - ix.keys;
+      for (long c = 0; c < count; c++)
+        cands.push_back(ix.pos[base + c] - off);
+    }
+    std::sort(cands.begin(), cands.end());
+    cands.erase(std::unique(cands.begin(), cands.end()), cands.end());
+    for (int64_t cand : cands) {
+      if (cand < 0) continue;
+      const int64_t* s = std::upper_bound(ix.seq_off,
+                                          ix.seq_off + ix.n_seqs + 1,
+                                          cand) - 1;
+      int seq_i = (int)(s - ix.seq_off);
+      if (seq_i < 0 || seq_i >= ix.n_seqs) continue;
+      if (cand + len > ix.seq_off[seq_i + 1]) continue;
+      int mm = 0;
+      const int8_t* win = ix.codes + cand;
+      for (int j = 0; j < len; j++) mm += (win[j] != rc[j]);
+      if (mm > max_mismatch) continue;
+      out.push_back({seq_i, (int32_t)(cand - ix.seq_off[seq_i]),
+                     (int8_t)strand, (int8_t)mm});
+      if (stop_early) return true;
+      if (cap >= 0 && (long)out.size() > cap) return false;
+    }
+  }
+  return true;
+}
+
+// gene_models.calc_genomic_position (gene_models.pm:372-412)
+inline int64_t GenomicPos(const RefMeta& m, int ref, int64_t position) {
+  int64_t e0 = m.exon_off ? m.exon_off[ref] : 0;
+  int64_t e1 = m.exon_off ? m.exon_off[ref + 1] : 0;
+  if (e0 == e1) return position;
+  if (m.strand[ref]) position = (int64_t)m.txlen[ref] - position + 1;
+  if (position < 1) return m.exon_gs[e0] + position - 1;
+  int64_t local = 0;
+  for (int64_t e = e0; e < e1; e++) {
+    int64_t size = m.exon_ge[e] - m.exon_gs[e] + 1;
+    if (position <= local + size) return position - local - 1 + m.exon_gs[e];
+    local += size;
+  }
+  return position - local + m.exon_ge[e1 - 1];
+}
+
+// gene_models.calc_genomic_regions (gene_models.pm:415-469)
+inline void GenomicRegions(const RefMeta& m, int ref, int64_t lo,
+                           int64_t hi,
+                           std::vector<std::pair<int64_t, int64_t>>& out) {
+  out.clear();
+  int64_t e0 = m.exon_off ? m.exon_off[ref] : 0;
+  int64_t e1 = m.exon_off ? m.exon_off[ref + 1] : 0;
+  if (e0 == e1) {
+    out.emplace_back(lo, hi);
+    return;
+  }
+  int64_t length = m.txlen[ref];
+  if (m.strand[ref]) {
+    int64_t nlo = length - hi + 1, nhi = length - lo + 1;
+    lo = nlo;
+    hi = nhi;
+  }
+  if (lo < 1) lo = 1;
+  if (hi > length) hi = length;
+  int64_t local = 0;
+  for (int64_t e = e0; e < e1; e++) {
+    int64_t es = m.exon_gs[e], ee = m.exon_ge[e];
+    int64_t size = ee - es + 1;
+    int64_t local_start = lo - local;
+    int64_t local_end = hi - local;
+    int64_t ov_start = std::max<int64_t>(1, local_start) + es - 1;
+    int64_t ov_end = std::min<int64_t>(size, local_end) + es - 1;
+    if (ov_start <= ov_end) out.emplace_back(ov_start, ov_end);
+    local += size;
+  }
+}
+
+// binned gene interval index: sorted (chrom<<32|bin) keys
+struct GeneBins {
+  const int64_t* keys = nullptr;
+  const int64_t* off = nullptr;
+  const int32_t* genes = nullptr;
+  int64_t n = 0;
+  const int64_t* gene_rs = nullptr;
+  const int64_t* gene_re = nullptr;
+};
+
+// gene_models.calc_overlapping_genes: collect interned gene ids whose
+// region overlaps any genomic region of (ref, lo..hi)
+inline void OverlappingGenes(const RefMeta& m, const GeneBins& gb, int ref,
+                             int64_t lo, int64_t hi,
+                             std::vector<std::pair<int64_t, int64_t>>& rbuf,
+                             std::vector<int32_t>& out) {
+  if (!m.known || !m.known[ref]) return;
+  int32_t chrom = m.chrom[ref];
+  GenomicRegions(m, ref, lo, hi, rbuf);
+  for (auto& gr : rbuf) {
+    int64_t b0 = FloorDiv(gr.first, kGeneBinSpacing);
+    int64_t b1 = FloorDiv(gr.second, kGeneBinSpacing);
+    for (int64_t b = b0; b <= b1; b++) {
+      int64_t key = ((int64_t)chrom << 32) | (b & 0xFFFFFFFFLL);
+      const int64_t* it = std::lower_bound(gb.keys, gb.keys + gb.n, key);
+      if (it == gb.keys + gb.n || *it != key) continue;
+      int64_t bi = it - gb.keys;
+      for (int64_t gi = gb.off[bi]; gi < gb.off[bi + 1]; gi++) {
+        int32_t g = gb.genes[gi];
+        if (!(gr.second < gb.gene_rs[g] || gr.first > gb.gene_re[g]))
+          out.push_back(g);
+      }
+    }
+  }
+}
+
+// frontend._genomic_loci_count: overlap-group count over the remapped
+// alignments (ascending-index greedy removal; overlap via shared
+// 200kb-bin membership == plain interval overlap)
+inline int LociCount(const std::vector<std::array<int64_t, 3>>& positions) {
+  int n = (int)positions.size();
+  if (n == 0) return 0;
+  std::vector<char> removed(n, 0);
+  int count = 0;
+  for (int i = 0; i < n; i++) {
+    if (removed[i]) continue;
+    count++;
+    for (int j = 0; j < n; j++) {
+      if (positions[i][0] != positions[j][0]) continue;  // chrom
+      if (positions[i][2] < positions[j][1] ||
+          positions[i][1] > positions[j][2])
+        continue;
+      removed[j] = 1;
+    }
+  }
+  return count;
+}
+
+struct PairBest {
+  bool found = false;
+  Hit a1, a2;
+  int64_t isize = 0;
+};
+
+// frontend._best_proper_pairs inner: best (mm sum, fwd start) strict-<
+// over al1 x al2 in iteration order, same ref, opposite strand,
+// fwd.start <= rev.start, insert within bound
+inline PairBest BestProperPair(const std::vector<Hit>& al1,
+                               const std::vector<Hit>& al2, int len1,
+                               int len2, int64_t max_insert) {
+  PairBest best;
+  int64_t bk0 = 0, bk1 = 0;
+  for (const Hit& a1 : al1) {
+    for (const Hit& a2 : al2) {
+      if (a1.seq != a2.seq || a1.strand == a2.strand) continue;
+      int64_t fwd_start, rev_end;
+      if (a1.strand == 0) {
+        fwd_start = a1.pos0 + 1;
+        rev_end = a2.pos0 + len2;
+        if (fwd_start > a2.pos0 + 1) continue;
+      } else {
+        fwd_start = a2.pos0 + 1;
+        rev_end = a1.pos0 + len1;
+        if (fwd_start > a1.pos0 + 1) continue;
+      }
+      int64_t isize = rev_end - fwd_start + 1;
+      if (isize > max_insert) continue;
+      int64_t k0 = a1.mm + a2.mm, k1 = fwd_start;
+      if (!best.found || k0 < bk0 || (k0 == bk0 && k1 < bk1)) {
+        best.found = true;
+        best.a1 = a1;
+        best.a2 = a2;
+        best.isize = isize;
+        bk0 = k0;
+        bk1 = k1;
+      }
+    }
+  }
+  return best;
+}
+
+}  // namespace alignjob
+
+extern "C" {
+
+// Full alignjob flow (align/frontend.py::align_job byte contract).
+// Index groups: cdna, genome required; rrna, prefilter optional (null
+// codes pointer = absent).  Names are concatenated blobs with offsets.
+// Outputs: the three files plus concordant/blacklist bitmaps and
+// int64 stats_out[3] = {n_pairs, sum_isize, sumsq_isize}.
+long dt_align_job(
+    const uint8_t* reads1, const uint8_t* reads2, const int32_t* lens1,
+    const int32_t* lens2, long n_frags, int width,
+    // cdna index
+    const int8_t* c_codes, long c_ncodes, const int64_t* c_soff,
+    int c_nseqs, const uint64_t* c_keys, const int64_t* c_posn,
+    long c_nkeys, int c_k,
+    // genome index
+    const int8_t* g_codes, long g_ncodes, const int64_t* g_soff,
+    int g_nseqs, const uint64_t* g_keys, const int64_t* g_posn,
+    long g_nkeys, int g_k,
+    // rrna index (nullable)
+    const int8_t* r_codes, long r_ncodes, const int64_t* r_soff,
+    int r_nseqs, const uint64_t* r_keys, const int64_t* r_posn,
+    long r_nkeys, int r_k,
+    // prefilter index (nullable)
+    const int8_t* p_codes, long p_ncodes, const int64_t* p_soff,
+    int p_nseqs, const uint64_t* p_keys, const int64_t* p_posn,
+    long p_nkeys, int p_k,
+    // cdna ref meta
+    const int32_t* c_gene, const int32_t* c_chrom, const int8_t* c_strand,
+    const int32_t* c_txlen, const int64_t* c_eoff, const int64_t* c_egs,
+    const int64_t* c_ege, const uint8_t* c_known, const uint8_t* c_is_ig,
+    // genome ref meta
+    const int32_t* g_chrom, const uint8_t* g_known,
+    // gene tables
+    const int64_t* gene_rs, const int64_t* gene_re, int n_genes,
+    const int64_t* gb_keys, const int64_t* gb_off, const int32_t* gb_genes,
+    long n_gb,
+    // names
+    const char* c_names, const int64_t* c_name_off, const char* g_names,
+    const int64_t* g_name_off,
+    // params
+    int trim_len, long max_insert, long max_paired, long concord_len,
+    int max_alignments, int max_mismatch, int max_per_seed, int n_threads,
+    // outputs
+    const char* improper_path, const char* spanning_path,
+    const char* pair_sam_path, uint8_t* concordant_out,
+    uint8_t* blacklist_out, int64_t* stats_out) {
+  using namespace alignjob;
+  if (n_threads < 1) n_threads = 1;
+  SeedIdx cdna{c_codes, c_ncodes, c_soff, c_nseqs, c_keys, c_posn,
+               c_nkeys, c_k};
+  SeedIdx genome{g_codes, g_ncodes, g_soff, g_nseqs, g_keys, g_posn,
+                 g_nkeys, g_k};
+  SeedIdx rrna{r_codes, r_ncodes, r_soff, r_nseqs, r_keys, r_posn,
+               r_nkeys, r_k};
+  SeedIdx prefilter{p_codes, p_ncodes, p_soff, p_nseqs, p_keys, p_posn,
+                    p_nkeys, p_k};
+  RefMeta cmeta{c_gene, c_chrom, c_strand, c_txlen, c_eoff,
+                c_egs,  c_ege,   c_known,  c_is_ig};
+  RefMeta gmeta;
+  gmeta.chrom = g_chrom;
+  gmeta.known = g_known;
+  GeneBins gb{gb_keys, gb_off, gb_genes, n_gb, gene_rs, gene_re};
+  (void)n_genes;
+
+  static const int8_t comp[5] = {3, 2, 1, 0, 4};
+  static const int8_t code_of[256] = {/* zero-init, filled below */};
+  // build a local code table (A/C/G/T upper+lower, else 4)
+  int8_t codeof[256];
+  std::fill(codeof, codeof + 256, (int8_t)4);
+  codeof['A'] = codeof['a'] = 0;
+  codeof['C'] = codeof['c'] = 1;
+  codeof['G'] = codeof['g'] = 2;
+  codeof['T'] = codeof['t'] = 3;
+  (void)code_of;
+
+  // --- batch-max lengths and seed offsets (phase 1) -------------------
+  int lmax1 = 0, lmax2 = 0;
+  for (long f = 0; f < n_frags; f++) {
+    lmax1 = std::max(lmax1, (int)lens1[f]);
+    lmax2 = std::max(lmax2, (int)lens2[f]);
+  }
+  std::vector<int32_t> offs_full_1, offs_full_2;
+  SeedOffsets(lmax1, cdna.k, offs_full_1);
+  SeedOffsets(lmax2, cdna.k, offs_full_2);
+
+  struct FragPhase1 {
+    PairBest cdna_pair;
+    bool concordant = false;
+  };
+  std::vector<FragPhase1> p1(n_frags);
+
+  auto encode_read = [&](const uint8_t* row, int len, std::vector<int8_t>& f,
+                         std::vector<int8_t>& r) {
+    f.resize(len);
+    r.resize(len);
+    for (int i = 0; i < len; i++) f[i] = codeof[row[i]];
+    for (int i = 0; i < len; i++) r[i] = comp[(int)f[len - 1 - i]];
+  };
+
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++)
+      ts.emplace_back([&, t]() {
+        std::vector<int8_t> f1, r1, f2, r2;
+        std::vector<Hit> ca1, ca2, ga1, ga2;
+        std::vector<int64_t> scratch;
+        for (long f = t; f < n_frags; f += n_threads) {
+          int len1 = lens1[f], len2 = lens2[f];
+          encode_read(reads1 + (size_t)f * width, len1, f1, r1);
+          encode_read(reads2 + (size_t)f * width, len2, f2, r2);
+          AlignRead(cdna, f1.data(), r1.data(), len1, offs_full_1,
+                    max_per_seed, max_mismatch, -1, ca1, false, &scratch);
+          AlignRead(cdna, f2.data(), r2.data(), len2, offs_full_2,
+                    max_per_seed, max_mismatch, -1, ca2, false, &scratch);
+          PairBest cp = BestProperPair(ca1, ca2, len1, len2, max_insert);
+          p1[f].cdna_pair = cp;
+          bool conc = cp.found;
+          if (!conc) {
+            AlignRead(genome, f1.data(), r1.data(), len1, offs_full_1,
+                      max_per_seed, max_mismatch, -1, ga1, false,
+                      &scratch);
+            AlignRead(genome, f2.data(), r2.data(), len2, offs_full_2,
+                      max_per_seed, max_mismatch, -1, ga2, false,
+                      &scratch);
+            conc = BestProperPair(ga1, ga2, len1, len2, max_insert).found;
+          } else {
+            // genome pair result irrelevant once cdna-concordant
+          }
+          p1[f].concordant = conc;
+        }
+      });
+    for (auto& th : ts) th.join();
+  }
+
+  // --- cdna.pair.sam + stats -----------------------------------------
+  int64_t n_pairs = 0, sum_isize = 0, sumsq_isize = 0;
+  {
+    FILE* out = fopen(pair_sam_path, "w");
+    if (!out) return -1;
+    std::string buf;
+    buf.reserve(1 << 20);
+    char tmp[256];
+    for (long f = 0; f < n_frags; f++) {
+      const PairBest& cp = p1[f].cdna_pair;
+      if (!cp.found) continue;
+      n_pairs++;
+      sum_isize += cp.isize;
+      sumsq_isize += cp.isize * cp.isize;
+      for (int end = 0; end < 2; end++) {
+        const Hit& a = end == 0 ? cp.a1 : cp.a2;
+        const Hit& mate = end == 0 ? cp.a2 : cp.a1;
+        int len = end == 0 ? lens1[f] : lens2[f];
+        const uint8_t* seq =
+            (end == 0 ? reads1 : reads2) + (size_t)f * width;
+        int flag = 0x1 | 0x2 | (end == 0 ? 0x40 : 0x80);
+        if (a.strand) flag |= 0x10;
+        if (mate.strand) flag |= 0x20;
+        long sign = (a.pos0 <= mate.pos0) ? 1 : -1;
+        snprintf(tmp, sizeof tmp, "%ld\t%d\t", f, flag);
+        buf += tmp;
+        buf.append(c_names + c_name_off[a.seq],
+                   c_name_off[a.seq + 1] - c_name_off[a.seq]);
+        snprintf(tmp, sizeof tmp, "\t%d\t255\t%dM\t=\t%d\t%ld\t",
+                 a.pos0 + 1, len, mate.pos0 + 1, sign * cp.isize);
+        buf += tmp;
+        buf.append((const char*)seq, len);
+        buf += '\t';
+        buf.append(len, 'I');
+        buf += '\n';
+        if (buf.size() > (1 << 20) - 4096) {
+          fwrite(buf.data(), 1, buf.size(), out);
+          buf.clear();
+        }
+      }
+    }
+    fwrite(buf.data(), 1, buf.size(), out);
+    fclose(out);
+  }
+  stats_out[0] = n_pairs;
+  stats_out[1] = sum_isize;
+  stats_out[2] = sumsq_isize;
+
+  // --- candidates + phase-2 batch maxima ------------------------------
+  std::vector<long> cand;
+  cand.reserve(n_frags);
+  int tmax1 = 0, tmax2 = 0, umax1 = 0, umax2 = 0;
+  for (long f = 0; f < n_frags; f++) {
+    concordant_out[f] = p1[f].concordant ? 1 : 0;
+    blacklist_out[f] = 0;
+    if (p1[f].concordant) continue;
+    cand.push_back(f);
+    tmax1 = std::max(tmax1, std::min((int)lens1[f], trim_len));
+    tmax2 = std::max(tmax2, std::min((int)lens2[f], trim_len));
+    umax1 = std::max(umax1, (int)lens1[f]);
+    umax2 = std::max(umax2, (int)lens2[f]);
+  }
+  std::vector<int32_t> offs_trim_1, offs_trim_2, offs_cand_1, offs_cand_2;
+  SeedOffsets(tmax1, cdna.k, offs_trim_1);
+  SeedOffsets(tmax2, cdna.k, offs_trim_2);
+  SeedOffsets(umax1, rrna.present() ? rrna.k : cdna.k, offs_cand_1);
+  SeedOffsets(umax2, rrna.present() ? rrna.k : cdna.k, offs_cand_2);
+  std::vector<int32_t> offs_pre_1, offs_pre_2;
+  SeedOffsets(umax1, prefilter.present() ? prefilter.k : cdna.k,
+              offs_pre_1);
+  SeedOffsets(umax2, prefilter.present() ? prefilter.k : cdna.k,
+              offs_pre_2);
+
+  const int64_t ext = concord_len / 2;
+  FILE* improper = fopen(improper_path, "w");
+  FILE* spanning = fopen(spanning_path, "w");
+  if (!improper || !spanning) {
+    if (improper) fclose(improper);
+    if (spanning) fclose(spanning);
+    return -1;
+  }
+
+  const long kChunk = 8192;
+  std::vector<std::string> frag_improper(kChunk), frag_spanning(kChunk);
+  for (long chunk = 0; chunk < (long)cand.size(); chunk += kChunk) {
+    long hi = std::min<long>(chunk + kChunk, cand.size());
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++)
+      ts.emplace_back([&, t, chunk, hi]() {
+        std::vector<int8_t> f1, r1, f2, r2, tf1, tr1, tf2, tr2;
+        std::vector<Hit> dna[2], cdna_h[2], hits;
+        bool over_cap[2][2];  // [end][0=dna,1=cdna]
+        std::vector<int64_t> scratch;
+        std::vector<std::pair<int64_t, int64_t>> rbuf;
+        std::vector<std::array<int64_t, 3>> positions;
+        std::vector<int32_t> genes[2];
+        std::vector<int64_t> rbins[2];
+        char tmp[256];
+        for (long ci = chunk + t; ci < hi; ci += n_threads) {
+          long f = cand[ci];
+          int len1 = lens1[f], len2 = lens2[f];
+          int tl1 = std::min(len1, trim_len), tl2 = std::min(len2, trim_len);
+          encode_read(reads1 + (size_t)f * width, len1, f1, r1);
+          encode_read(reads2 + (size_t)f * width, len2, f2, r2);
+          // trimmed codes: prefix of fwd, suffix-reverse recomputed
+          tf1.assign(f1.begin(), f1.begin() + tl1);
+          tf2.assign(f2.begin(), f2.begin() + tl2);
+          tr1.resize(tl1);
+          for (int i = 0; i < tl1; i++) tr1[i] = comp[(int)tf1[tl1 - 1 - i]];
+          tr2.resize(tl2);
+          for (int i = 0; i < tl2; i++) tr2[i] = comp[(int)tf2[tl2 - 1 - i]];
+
+          over_cap[0][0] = !AlignRead(genome, tf1.data(), tr1.data(), tl1,
+                                      offs_trim_1, max_per_seed,
+                                      max_mismatch, max_alignments, dna[0],
+                                      false, &scratch);
+          over_cap[1][0] = !AlignRead(genome, tf2.data(), tr2.data(), tl2,
+                                      offs_trim_2, max_per_seed,
+                                      max_mismatch, max_alignments, dna[1],
+                                      false, &scratch);
+          over_cap[0][1] = !AlignRead(cdna, tf1.data(), tr1.data(), tl1,
+                                      offs_trim_1, max_per_seed,
+                                      max_mismatch, max_alignments,
+                                      cdna_h[0], false, &scratch);
+          over_cap[1][1] = !AlignRead(cdna, tf2.data(), tr2.data(), tl2,
+                                      offs_trim_2, max_per_seed,
+                                      max_mismatch, max_alignments,
+                                      cdna_h[1], false, &scratch);
+
+          bool black = false;
+          long counts[2] = {1, 1};
+          bool over_cap_any = false;
+          for (int end = 0; end < 2; end++) {
+            if (over_cap[end][0]) dna[end].clear();
+            if (over_cap[end][1]) cdna_h[end].clear();
+            over_cap_any |= over_cap[end][0] | over_cap[end][1];
+            int tl = end == 0 ? tl1 : tl2;
+            positions.clear();
+            genes[end].clear();
+            rbins[end].clear();
+            for (int src = 0; src < 2; src++) {
+              const RefMeta& m = src == 0 ? gmeta : cmeta;
+              for (const Hit& a : (src == 0 ? dna[end] : cdna_h[end])) {
+                int64_t s0 = a.pos0 + 1, e0 = a.pos0 + tl;
+                int64_t gs = GenomicPos(m, a.seq, s0);
+                int64_t ge = GenomicPos(m, a.seq, e0);
+                if (gs > ge) std::swap(gs, ge);
+                positions.push_back({(int64_t)m.chrom[a.seq], gs, ge});
+                OverlappingGenes(m, gb, a.seq, s0, e0, rbuf, genes[end]);
+                GenomicRegions(m, a.seq, s0 - ext, e0 + ext, rbuf);
+                if (!rbuf.empty()) {
+                  int64_t sp0 = rbuf.front().first,
+                          sp1 = rbuf.back().second;
+                  int64_t b0 = FloorDiv(sp0, ext), b1 = FloorDiv(sp1, ext);
+                  for (int64_t b = b0; b <= b1; b++)
+                    rbins[end].push_back(
+                        ((int64_t)m.chrom[a.seq] << 32) ^
+                        (b & 0xFFFFFFFFLL));
+                }
+              }
+            }
+            if (!positions.empty()) counts[end] = LociCount(positions);
+            std::sort(genes[end].begin(), genes[end].end());
+            genes[end].erase(
+                std::unique(genes[end].begin(), genes[end].end()),
+                genes[end].end());
+            std::sort(rbins[end].begin(), rbins[end].end());
+            rbins[end].erase(
+                std::unique(rbins[end].begin(), rbins[end].end()),
+                rbins[end].end());
+          }
+          if (over_cap_any) black = true;
+          if (counts[0] * counts[1] > max_paired) black = true;
+          if (!black) {
+            // sorted-vector intersections
+            auto intersects = [](const auto& a, const auto& b) {
+              size_t i = 0, j = 0;
+              while (i < a.size() && j < b.size()) {
+                if (a[i] < b[j])
+                  i++;
+                else if (b[j] < a[i])
+                  j++;
+                else
+                  return true;
+              }
+              return false;
+            };
+            if (intersects(genes[0], genes[1])) black = true;
+            if (!black && intersects(rbins[0], rbins[1])) black = true;
+          }
+          if (!black && rrna.present()) {
+            if (AlignRead(rrna, f1.data(), r1.data(), len1, offs_cand_1,
+                          max_per_seed, max_mismatch, -1, hits, true,
+                          &scratch),
+                !hits.empty())
+              black = true;
+            else if (AlignRead(rrna, f2.data(), r2.data(), len2,
+                               offs_cand_2, max_per_seed, max_mismatch, -1,
+                               hits, true, &scratch),
+                     !hits.empty())
+              black = true;
+          }
+          if (!black && prefilter.present()) {
+            std::vector<Hit> pa1, pa2;
+            AlignRead(prefilter, f1.data(), r1.data(), len1, offs_pre_1,
+                      max_per_seed, max_mismatch, -1, pa1, false,
+                      &scratch);
+            AlignRead(prefilter, f2.data(), r2.data(), len2, offs_pre_2,
+                      max_per_seed, max_mismatch, -1, pa2, false,
+                      &scratch);
+            if (BestProperPair(pa1, pa2, len1, len2, max_insert).found)
+              black = true;
+          }
+          if (!black && cmeta.is_ig) {
+            bool ig0 = false, ig1 = false;
+            for (const Hit& a : cdna_h[0])
+              if (cmeta.is_ig[a.seq]) {
+                ig0 = true;
+                break;
+              }
+            if (ig0)
+              for (const Hit& a : cdna_h[1])
+                if (cmeta.is_ig[a.seq]) {
+                  ig1 = true;
+                  break;
+                }
+            if (ig0 && ig1) black = true;
+          }
+
+          std::string& imp = frag_improper[ci - chunk];
+          std::string& spn = frag_spanning[ci - chunk];
+          imp.clear();
+          spn.clear();
+          if (black) {
+            blacklist_out[f] = 1;
+            continue;
+          }
+          int ends_present = 0;
+          for (int end = 0; end < 2; end++)
+            if (!dna[end].empty() || !cdna_h[end].empty()) ends_present++;
+          for (int end = 0; end < 2; end++) {
+            int tl = end == 0 ? tl1 : tl2;
+            const uint8_t* seq =
+                (end == 0 ? reads1 : reads2) + (size_t)f * width;
+            for (int src = 0; src < 2; src++) {
+              const char* names = src == 0 ? g_names : c_names;
+              const int64_t* noff = src == 0 ? g_name_off : c_name_off;
+              for (const Hit& a : (src == 0 ? dna[end] : cdna_h[end])) {
+                int flag = a.strand ? 0x10 : 0;
+                snprintf(tmp, sizeof tmp, "%ld/%d\t%d\t", f, end + 1,
+                         flag);
+                imp += tmp;
+                imp.append(names + noff[a.seq],
+                           noff[a.seq + 1] - noff[a.seq]);
+                snprintf(tmp, sizeof tmp, "\t%d\t255\t%dM\t*\t0\t0\t",
+                         a.pos0 + 1, tl);
+                imp += tmp;
+                imp.append((const char*)seq, tl);
+                imp += '\t';
+                imp.append(tl, 'I');
+                imp += '\n';
+                if (ends_present == 2) {
+                  snprintf(tmp, sizeof tmp, "%ld\t%d\t", f, end);
+                  spn += tmp;
+                  spn.append(names + noff[a.seq],
+                             noff[a.seq + 1] - noff[a.seq]);
+                  snprintf(tmp, sizeof tmp, "\t%c\t%d\t%d\n",
+                           a.strand ? '-' : '+', a.pos0 + 1, a.pos0 + tl);
+                  spn += tmp;
+                }
+              }
+            }
+          }
+        }
+      });
+    for (auto& th : ts) th.join();
+    for (long ci = chunk; ci < hi; ci++) {
+      const std::string& imp = frag_improper[ci - chunk];
+      const std::string& spn = frag_spanning[ci - chunk];
+      if (!imp.empty()) fwrite(imp.data(), 1, imp.size(), improper);
+      if (!spn.empty()) fwrite(spn.data(), 1, spn.size(), spanning);
+    }
+  }
+  fclose(improper);
+  fclose(spanning);
+  return (long)cand.size();
 }
 
 }  // extern "C"

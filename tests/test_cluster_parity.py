@@ -63,3 +63,33 @@ def test_native_clustermatepairs_byte_parity(compact_fixture, tmp_path):
     out = tmp_path / "clusters.native"
     native.clustermatepairs(compact_fixture, out, params, n_threads=3)
     assert out.read_text() == py_text
+
+
+def test_content_parity_checker(ref_binaries, compact_fixture, tmp_path):
+    """tests/parity.py compares cluster *content* irrespective of
+    numbering/row order (for validating against stock deFuse builds)."""
+    from parity import cluster_contents, clusters_content_equal
+
+    golden = tmp_path / "clusters.golden"
+    run_ref_clustermatepairs(ref_binaries, compact_fixture, golden, **PARAMS)
+
+    # identical file -> equal
+    assert clusters_content_equal(str(golden), str(golden))
+
+    # renumber clusters + shuffle rows -> still content-equal
+    import random
+    lines = golden.read_text().splitlines()
+    ids = sorted({l.split("\t", 1)[0] for l in lines}, key=int)
+    remap = {cid: str(len(ids) - 1 - i) for i, cid in enumerate(ids)}
+    shuffled = ["\t".join([remap[l.split("\t", 1)[0]],
+                           l.split("\t", 1)[1]]) for l in lines]
+    random.Random(5).shuffle(shuffled)
+    perm = tmp_path / "clusters.perm"
+    perm.write_text("\n".join(shuffled) + "\n")
+    assert clusters_content_equal(str(golden), str(perm))
+
+    # drop one row -> unequal
+    broken = tmp_path / "clusters.broken"
+    broken.write_text("\n".join(shuffled[1:]) + "\n")
+    assert not clusters_content_equal(str(golden), str(broken))
+    assert cluster_contents(str(golden))

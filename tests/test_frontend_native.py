@@ -1,0 +1,177 @@
+"""Native alignment frontend (dt_align_job) byte-parity vs the Python
+oracle, across every screen: paired concordance, trimmed multimap,
+unmappable / same-gene / same-region, rRNA, unigene prefilter, IG.
+
+The Python ``align_job`` path (force_python=True) is the contract; the
+native driver must produce byte-identical improper.sam /
+spanning.compact / cdna.pair.sam plus equal stats and fragment sets.
+"""
+
+import random
+
+import pytest
+
+from defuse_tpu.align.frontend import align_job, index_paired_fastq
+from defuse_tpu.align.seedindex import SeedIndex
+from defuse_tpu.annotate.gene_models import GeneModels
+
+from synthdata import make_dataset, random_seq, write_dataset, write_gtf
+
+
+def _revcomp(s):
+    return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+@pytest.fixture(scope="module")
+def rich_dataset(tmp_path_factory):
+    """make_dataset base + planted reads exercising every screen."""
+    tmp = tmp_path_factory.mktemp("frontend_native")
+    rng = random.Random(99)
+    ds = make_dataset(seed=42, n_fusion_frags=120, n_background_frags=120)
+
+    rrna_seq = random_seq(rng, 900)
+    prefilter_seq = random_seq(rng, 1400)
+    ig_seq = random_seq(rng, 1600)
+
+    reads1, reads2 = list(ds.reads1), list(ds.reads2)
+
+    def add_pair(r1, r2):
+        reads1.append(r1)
+        reads2.append(r2)
+
+    # rRNA-anchored fragments (either end mapping blacklists)
+    for _ in range(6):
+        p = rng.randrange(0, len(rrna_seq) - 60)
+        add_pair(rrna_seq[p:p + 50], random_seq(rng, 50))
+    # prefilter-concordant fragments (proper pair on the prefilter seq,
+    # absent from cdna/genome)
+    for _ in range(6):
+        p = rng.randrange(0, len(prefilter_seq) - 220)
+        frag = prefilter_seq[p:p + 200]
+        add_pair(frag[:50], _revcomp(frag[-50:]))
+    # IG-discordant fragments: both ends on the IG cdna but same strand
+    # (never a proper pair), far apart
+    for _ in range(5):
+        add_pair(ig_seq[100:150], ig_seq[1200:1250])
+    # multimap/unmappable: reads from a sequence repeated at many loci
+    repeat = random_seq(rng, 80)
+    genome = dict(ds.genome)
+    g2 = genome["2"]
+    # plant the repeat 14 times spread over chromosome 2 (>200kb apart
+    # impossible in 120kb; use chromosome 1 + 2 alternating)
+    g1 = genome["1"]
+    for i in range(7):
+        pos = 5000 + i * 15000
+        g1 = g1[:pos] + repeat + g1[pos + 80:]
+        g2 = g2[:pos] + repeat + g2[pos + 80:]
+    genome["1"], genome["2"] = g1, g2
+    for _ in range(4):
+        add_pair(repeat[:50], _revcomp(repeat[20:70]))
+
+    ds2 = type(ds)(genome, ds.genes, ds.fusion, ds.fusion_seq,
+                   reads1, reads2, ds.sam_rows)
+
+    paths = write_dataset(ds2, tmp)
+    gtf = tmp / "genes.gtf"
+    write_gtf(ds2, gtf)
+    r1, r2, _ = index_paired_fastq(str(paths["fastq1"]),
+                                   str(paths["fastq2"]),
+                                   str(tmp / "reads"))
+    gene_models = GeneModels(str(gtf))
+    cdna_seqs = {f"{g.name}|{g.transcript}": g.cdna(genome) + "A" * 50
+                 for g in ds2.genes}
+    cdna_seqs["IGH|IGH-T"] = ig_seq  # an IG gene transcript
+    cdna_index = SeedIndex(cdna_seqs)
+    genome_index = SeedIndex(genome)
+    rrna_index = SeedIndex({"RRNA": rrna_seq})
+    prefilter_index = SeedIndex({"UG1": prefilter_seq})
+    return dict(tmp=tmp, reads1=r1, reads2=r2, gene_models=gene_models,
+                cdna_index=cdna_index, genome_index=genome_index,
+                rrna_index=rrna_index, prefilter_index=prefilter_index)
+
+
+def _run(d, outdir, force_python, **kw):
+    return align_job(
+        cdna_index=d["cdna_index"], genome_index=d["genome_index"],
+        rrna_index=d["rrna_index"], gene_models=d["gene_models"],
+        reads1=d["reads1"], reads2=d["reads2"], outdir=str(outdir),
+        ig_genes={"IGH"}, prefilter_index=d["prefilter_index"],
+        force_python=force_python, **kw)
+
+
+def test_native_frontend_byte_parity(rich_dataset):
+    from defuse_tpu.cluster import native
+    if not native.available():
+        pytest.skip("native library not built")
+    d = rich_dataset
+    py = _run(d, d["tmp"] / "py", force_python=True)
+    nat = _run(d, d["tmp"] / "nat", force_python=False)
+
+    for key in ("spanning", "improper", "concordant_sam"):
+        a = open(py[key], "rb").read()
+        b = open(nat[key], "rb").read()
+        assert a == b, f"{key} differs (py {len(a)}B vs native {len(b)}B)"
+    assert py["stats"] == nat["stats"]
+    assert py["concordant_fragments"] == nat["concordant_fragments"]
+    assert py["blacklist"] == nat["blacklist"]
+
+    # the screens actually fired on this dataset
+    assert py["blacklist"], "no fragment blacklisted — screens untested"
+    assert len(py["concordant_fragments"]) > 80
+
+
+def test_prefilter_screen_blacklists(rich_dataset):
+    """The unigene prefilter screen kills prefilter-concordant pairs
+    (alignjob.pl:289-305) — with it off they leak into the improper set."""
+    d = rich_dataset
+    with_pre = _run(d, d["tmp"] / "pre_on", force_python=True)
+    no_pre = align_job(
+        cdna_index=d["cdna_index"], genome_index=d["genome_index"],
+        rrna_index=d["rrna_index"], gene_models=d["gene_models"],
+        reads1=d["reads1"], reads2=d["reads2"],
+        outdir=str(d["tmp"] / "pre_off"), ig_genes={"IGH"},
+        force_python=True)
+    gained = with_pre["blacklist"] - no_pre["blacklist"]
+    assert len(gained) >= 6, "prefilter screen blacklisted nothing"
+    assert no_pre["concordant_fragments"] == \
+        with_pre["concordant_fragments"]
+
+
+@pytest.mark.parametrize("seed,kw", [
+    (7, dict(max_insert_size=300)),
+    (13, dict(discord_read_trim=40, max_alignments=3)),
+    (21, dict(max_paired_alignments=1, dna_concordant_length=500)),
+])
+def test_native_frontend_fuzz(tmp_path, seed, kw):
+    """Parameter sweep incl. tight -m caps (over-cap screens) and short
+    trims; also mixes read lengths to exercise per-screen batch maxima."""
+    from defuse_tpu.cluster import native
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = random.Random(seed)
+    ds = make_dataset(seed=seed, n_fusion_frags=60,
+                      n_background_frags=60)
+    reads1 = [r[:rng.choice([46, 50])] for r in ds.reads1]
+    reads2 = [r[:rng.choice([48, 50])] for r in ds.reads2]
+    gtf = tmp_path / "genes.gtf"
+    write_gtf(ds, gtf)
+    gene_models = GeneModels(str(gtf))
+    cdna_index = SeedIndex(
+        {f"{g.name}|{g.transcript}": g.cdna(ds.genome) + "A" * 50
+         for g in ds.genes})
+    genome_index = SeedIndex(ds.genome)
+
+    outs = {}
+    for name, force in (("py", True), ("nat", False)):
+        outs[name] = align_job(
+            cdna_index=cdna_index, genome_index=genome_index,
+            rrna_index=None, gene_models=gene_models, reads1=reads1,
+            reads2=reads2, outdir=str(tmp_path / name),
+            force_python=force, **kw)
+    for key in ("spanning", "improper", "concordant_sam"):
+        assert open(outs["py"][key], "rb").read() == \
+            open(outs["nat"][key], "rb").read(), key
+    assert outs["py"]["stats"] == outs["nat"]["stats"]
+    assert outs["py"]["blacklist"] == outs["nat"]["blacklist"]
+    assert outs["py"]["concordant_fragments"] == \
+        outs["nat"]["concordant_fragments"]
