@@ -261,10 +261,6 @@ def run_ours_subprocess(tmpdir, device, timeout_s=480):
             elapsed = float(line.split()[1])
             # stage lines from the timed (second) run overwrite the
             # warm-up run's values key by key — keep what's accumulated
-        elif line.startswith("EM_ABLATION"):
-            parts = dict(p.split("=") for p in line.split()[1:])
-            extras["em_ablation_s"] = {k: float(v)
-                                       for k, v in parts.items()}
         elif line.startswith("[discover] ") and line.rstrip().endswith("s"):
             try:
                 stage, val = line[len("[discover] "):].rsplit(": ", 1)
@@ -287,20 +283,22 @@ def ours_only(tmpdir):
     # stage timing prints from this second run are the ones recorded
     elapsed, _outs = run_ours(paths, None, tmpdir, use_tpu=use_tpu)
     print(f"OURS_ELAPSED {elapsed}")
-    em_ablation(paths)
 
 
-def em_ablation(paths):
+def em_ablation_only(tmpdir):
     """Time the EM stage native-C++ vs batched-device on the bench
     dataset (clustering only), recording why the production path routes
     EM to the host (VERDICT r1 item 1): thousands of small EM instances
-    lose to dispatch+transfer overheads on device."""
+    lose to dispatch+transfer overheads on device.  Runs in its own
+    subprocess so a device hang cannot lose the main measurement."""
     from defuse_tpu.cluster import native
     from defuse_tpu.cluster.discordant import cluster_alignments
     from defuse_tpu.cluster.matepair_em import EMParams
     from defuse_tpu.io.sam import iter_compact, load_alignments
     if not native.available():
         return
+    tmpdir = pathlib.Path(tmpdir)
+    ds, paths, n_pairs = build_dataset(tmpdir)
     params = EMParams(MEAN, STD, PREC, MINCL)
     table = load_alignments(iter_compact(paths["spanning"]))
     timings = {}
@@ -314,6 +312,21 @@ def em_ablation(paths):
     if timings:
         print("EM_ABLATION " +
               " ".join(f"{k}={v}" for k, v in timings.items()))
+
+
+def run_em_ablation_subprocess(tmpdir, timeout_s=420):
+    """Returns {"native": s, "device": s} or {} — never raises."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--em-ablation", str(tmpdir)],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("EM_ABLATION"):
+            return {k: float(v) for k, v in
+                    (p.split("=") for p in line.split()[1:])}
+    return {}
 
 
 def main():
@@ -351,6 +364,12 @@ def main():
             tmpdir, "cpu", timeout_s=900)
     if ours_elapsed is None:
         raise RuntimeError("benchmark runs failed")
+    if use_tpu:
+        # host-vs-device EM ablation (VERDICT r1 item 1) — only
+        # meaningful against the real chip; isolated subprocess
+        ab = run_em_ablation_subprocess(tmpdir)
+        if ab:
+            run_extras["em_ablation_s"] = ab
     # verification pass in-process on CPU (deterministic, no hang risk)
     _e, our_outs = run_ours(paths, None, tmpdir, use_tpu=False)
     ours_pairs_s = n_pairs / ours_elapsed
@@ -383,5 +402,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ours-only":
         ours_only(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--em-ablation":
+        em_ablation_only(sys.argv[2])
     else:
         main()

@@ -335,14 +335,14 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
         collate(sorted(annotations or seqs), seqs, span_p, split_p,
                 annotations, fh)
     classified = out / "results.classify.tsv"
+    filtered = out / "results.filtered.tsv"
     if annotations:
         classify_results(str(results), str(classified))
-        filtered = out / "results.filtered.tsv"
         filter_by_probability(str(classified), str(filtered),
                               config.get_float("probability_threshold"))
     _mark("collate+classify")
     return {"results": str(results), "classified": str(classified),
-            **denovo_outs}
+            "filtered": str(filtered), **denovo_outs}
 
 
 def _read_stats_file(path) -> ReadStats:

@@ -1,0 +1,144 @@
+"""Full-pipeline shard identity: running the aligner frontend
+data-parallel over N fastq shards and merging (the reference's
+per-shard alignjob + merge contracts, ``defuse_run.pl:315-400``,
+``merge_read_stats.pl``) must produce byte-identical final results to
+the unsharded run.
+"""
+
+import pathlib
+
+import pytest
+
+from defuse_tpu.align.frontend import align_job, index_paired_fastq
+from defuse_tpu.align.seedindex import SeedIndex
+from defuse_tpu.annotate.gene_models import GeneModels
+from defuse_tpu.config import Config
+from defuse_tpu.parallel.shard import split_fastq
+from defuse_tpu.pipeline.run import run_pipeline
+from defuse_tpu.stats.readstats import merge_read_stats
+
+from synthdata import make_dataset, write_dataset, write_genome_fasta, \
+    write_gtf, write_repeats
+
+
+def _reads_of(path):
+    out = []
+    with open(path) as fh:
+        while True:
+            h = fh.readline()
+            if not h:
+                break
+            out.append(fh.readline().rstrip("\n"))
+            fh.readline()
+            fh.readline()
+    return out
+
+
+def _globalize(src, dst, offset, qname_style):
+    """Rewrite shard-local fragment ids to global ids.
+
+    qname_style: 'frag' (spanning first column), 'frag/end' (improper
+    SAM qname), 'sam' (pair SAM qname = frag).
+    """
+    with open(src) as fin, open(dst, "a") as fout:
+        for line in fin:
+            f = line.split("\t")
+            if qname_style == "frag/end":
+                frag, end = f[0].split("/")
+                f[0] = f"{int(frag) + offset}/{end}"
+            else:
+                f[0] = str(int(f[0]) + offset)
+            fout.write("\t".join(f))
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_pipeline_byte_identity(tmp_path, n_shards):
+    ds = make_dataset(seed=31, n_fusion_frags=140, n_background_frags=100)
+    paths = write_dataset(ds, tmp_path)
+    gtf = tmp_path / "genes.gtf"
+    write_gtf(ds, gtf)
+    genome_fa = tmp_path / "genome.fa"
+    write_genome_fasta(ds, genome_fa)
+    repeats = tmp_path / "repeats.regions"
+    write_repeats(ds, repeats)
+
+    reads1, reads2, _ = index_paired_fastq(
+        str(paths["fastq1"]), str(paths["fastq2"]),
+        str(tmp_path / "reads"))
+    gm = GeneModels(str(gtf))
+    cdna_index = SeedIndex(
+        {f"{g.name}|{g.transcript}": g.cdna(ds.genome) + "A" * 50
+         for g in ds.genes})
+    genome_index = SeedIndex(ds.genome)
+
+    def frontend(r1, r2, outdir):
+        return align_job(cdna_index=cdna_index, genome_index=genome_index,
+                         rrna_index=None, gene_models=gm, reads1=r1,
+                         reads2=r2, outdir=str(outdir))
+
+    # --- unsharded ------------------------------------------------------
+    whole = frontend(reads1, reads2, tmp_path / "whole")
+
+    # --- sharded frontend + merge --------------------------------------
+    per_shard = (len(reads1) + n_shards - 1) // n_shards
+    prefixes = split_fastq(str(tmp_path / "reads" / "reads.1.fastq"),
+                           str(tmp_path / "reads" / "reads.2.fastq"),
+                           str(tmp_path / "shards"),
+                           reads_per_job=per_shard)
+    assert len(prefixes) == n_shards
+    merged_dir = tmp_path / "merged"
+    merged_dir.mkdir()
+    merged = {k: merged_dir / n for k, n in
+              (("spanning", "spanning.compact"),
+               ("improper", "improper.sam"),
+               ("concordant_sam", "cdna.pair.sam"))}
+    stats_parts = []
+    for i, prefix in enumerate(prefixes):
+        res = frontend(_reads_of(f"{prefix}.1.fastq"),
+                       _reads_of(f"{prefix}.2.fastq"),
+                       tmp_path / f"shard{i}")
+        offset = i * per_shard
+        _globalize(res["spanning"], merged["spanning"], offset, "frag")
+        _globalize(res["improper"], merged["improper"], offset,
+                   "frag/end")
+        _globalize(res["concordant_sam"], merged["concordant_sam"],
+                   offset, "sam")
+        stats_parts.append(res["stats"])
+
+    # frontend artifacts merge to the unsharded bytes
+    for key in ("spanning", "improper", "concordant_sam"):
+        assert merged[key].read_bytes() == \
+            pathlib.Path(whole[key]).read_bytes(), key
+    ms = merge_read_stats(stats_parts)
+    assert ms.frag_count == whole["stats"].frag_count
+    assert abs(ms.fraglength_mean - whole["stats"].fraglength_mean) < 1e-9
+
+    # --- full pipeline on both -----------------------------------------
+    config = Config.defaults(
+        reference_fasta=str(paths["reference"]),
+        cdna_regions=str(paths["exons"]),
+        span_count_threshold=3,
+    )
+    expression = {g.name: "50" for g in ds.genes}
+    outs = {}
+    for name, inputs in (("whole", whole),
+                         ("sharded", {k: str(v) for k, v in
+                                      merged.items()})):
+        outs[name] = run_pipeline(
+            config=config, output_dir=str(tmp_path / f"out_{name}"),
+            library_name="shard-identity",
+            spanning=inputs["spanning"], improper=inputs["improper"],
+            fastq1=str(tmp_path / "reads" / "reads.1.fastq"),
+            fastq2=str(tmp_path / "reads" / "reads.2.fastq"),
+            concordant_sam=inputs["concordant_sam"],
+            gene_models_gtf=str(gtf), genome_fasta=str(genome_fa),
+            repeats_regions=str(repeats), expression=expression,
+            use_device=False)
+
+    for artifact in ("results", "classified", "filtered"):
+        a = pathlib.Path(outs["whole"][artifact]).read_bytes()
+        b = pathlib.Path(outs["sharded"][artifact]).read_bytes()
+        assert a == b, f"{artifact} differs between 1- and {n_shards}-shard"
+    # the run found real fusions (non-trivial identity)
+    assert len(pathlib.Path(
+        outs["whole"]["results"]).read_text().splitlines()) > 1
