@@ -489,7 +489,7 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     # multiple fastas merge into one index — the screen only asks
     # whether a proper pair exists on any single prefilter sequence
     prefilter_index = None
-    prefilter_paths = [p for p in config.get_list("prefilter")
+    prefilter_paths = [p for p in config.get_indexed("prefilter")
                        if p and pathlib.Path(p).exists()]
     if prefilter_paths:
         if len(prefilter_paths) == 1:

@@ -90,8 +90,20 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "create-ref":
+        import pathlib
+
         from ..pipeline.create_ref import create_reference
         config = Config.read(args.config, args.dataset)
+        # acquisition (defuse_create_ref.pl:134-237): when the raw
+        # inputs are absent but Ensembl/UCSC versions are configured,
+        # download + derive first (resumable; checksums recorded)
+        need_fetch = (
+            config.has_value("ensembl_version")
+            and config.has_value("genome_fasta")
+            and not pathlib.Path(config.get_value("genome_fasta")).exists())
+        if need_fetch:
+            from ..pipeline.acquire import acquire_dataset
+            acquire_dataset(config, args.dataset)
         create_reference(config, args.dataset)
         return 0
 
