@@ -43,21 +43,34 @@ def start_probe() -> None:
             _STATE["verdict"] = False
 
 
-def tpu_backend_available(timeout_s: float = 45.0) -> bool:
+def tpu_backend_available(timeout_s: float = 45.0,
+                          kill_on_timeout: bool = True) -> bool:
     """True when a compiled TPU backend is up and answering.  Waits up to
-    ``timeout_s`` for the probe (started here if not already running)."""
+    ``timeout_s`` for the probe (started here if not already running).
+
+    ``kill_on_timeout=False`` makes the wait non-destructive: a probe
+    that has not answered yet reports False for *this* call but keeps
+    running, so a later call (or a second pipeline pass) can still
+    collect a positive verdict.  Use short non-destructive waits on hot
+    paths where the device is an optimization, not a requirement — a
+    dead tunnel hangs the probe subprocess until killed, and a 45s
+    serial stall in a 5s stage is worse than skipping the device.
+    """
     start_probe()
     with _LOCK:
         if "verdict" in _STATE:
             return _STATE["verdict"]
-        proc = _STATE.pop("proc")
+        proc = _STATE["proc"]
         try:
             out, _ = proc.communicate(timeout=timeout_s)
             verdict = proc.returncode == 0 and out.strip() == "tpu"
         except subprocess.TimeoutExpired:
+            if not kill_on_timeout:
+                return False  # verdict stays pending
             proc.kill()
             verdict = False
         except Exception:
             verdict = False
         _STATE["verdict"] = verdict
+        del _STATE["proc"]
         return verdict

@@ -140,11 +140,15 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
         if use_device and driver.n_candidates and cluster_ids:
             # only a compiled TPU kernel earns the screen: interpret-mode
             # Pallas is slower than realigning natively, and backend init
-            # can hang behind a dead device link (bounded probe).
+            # can hang behind a dead device link.  The probe was launched
+            # at pipeline entry; wait only briefly and non-destructively —
+            # if the verdict isn't in yet, the host path wins this run and
+            # a later stage/run can still collect a positive verdict.
             # DEFUSE_DEVICE_SCREEN=force keeps it on for parity tests.
             from ..core.devices import tpu_backend_available
             if os.environ.get("DEFUSE_DEVICE_SCREEN") != "force" \
-                    and not tpu_backend_available():
+                    and not tpu_backend_available(timeout_s=5.0,
+                                                  kill_on_timeout=False):
                 use_device = False
         if use_device and driver.n_candidates and cluster_ids:
             from ..ops.split_dp_batch import pad_batch
