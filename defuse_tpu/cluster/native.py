@@ -698,3 +698,36 @@ def align_job_native(*, cdna_index, genome_index, rrna_index,
         (int(stats[0]), int(stats[1]), int(stats[2])),
         set(np.nonzero(concordant[:n_frags])[0].tolist()),
         set(np.nonzero(blacklist[:n_frags])[0].tolist()))
+
+
+def calccov_native(sam_path, ref_names, marker_refs, marker_positions,
+                   *, trim_length, anchor, span_path, pos_path,
+                   min_path):
+    """Native calccov sampling pass (stats/calccov.py byte contract).
+    Returns sample count, or None when the native path cannot run
+    (caller falls back to Python); raises ValueError on malformed
+    fragment groups like the Python oracle."""
+    lib = load_library()
+    if lib is None:
+        return None
+    blob, noff = _names_blob(ref_names)
+    mref = np.ascontiguousarray(marker_refs, dtype=np.int32)
+    mpos = np.ascontiguousarray(marker_positions, dtype=np.int64)
+    fn = lib.dt_calccov
+    fn.restype = ctypes.c_long
+    rc = fn(ctypes.c_char_p(str(sam_path).encode()),
+            ctypes.c_char_p(blob),
+            noff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int(len(ref_names)),
+            mref.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_long(len(mref)), ctypes.c_long(trim_length),
+            ctypes.c_long(anchor),
+            ctypes.c_char_p(str(span_path).encode()),
+            ctypes.c_char_p(str(pos_path).encode()),
+            ctypes.c_char_p(str(min_path).encode()))
+    if rc == -2:
+        raise ValueError("expected 2 alignments per fragment")
+    if rc < 0:
+        return None
+    return int(rc)

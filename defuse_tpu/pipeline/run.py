@@ -97,12 +97,33 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     if concordant_sam and cdna_regions:
         def stage_calccov(tmp_outputs):
             er = ExonRegions.from_file(cdna_regions)
+            trim = config.get_int("discord_read_trim")
+            anchor = config.get_int("split_min_anchor")
+            density = config.get_float("covariance_sampling_density")
+            multi = config.get_bool("multi_exon_transcripts_stats")
+            # native sampling pass (byte-identical; the glibc marker
+            # stream stays in Python, the hot SAM scan runs in C++)
+            from ..cluster import native
+            from ..stats.calccov import sample_positions
+            if native.available():
+                ref_index, positions = sample_positions(er, density,
+                                                        multi)
+                names = [""] * len(ref_index)
+                for tid, idx in ref_index.items():
+                    names[idx] = tid
+                rc = native.calccov_native(
+                    concordant_sam, names,
+                    [r for r, _p in positions],
+                    [p for _r, p in positions],
+                    trim_length=trim, anchor=anchor,
+                    span_path=tmp_outputs[0], pos_path=tmp_outputs[1],
+                    min_path=tmp_outputs[2])
+                if rc is not None:
+                    return
             span, spos, smin = calccov(
-                concordant_sam, er,
-                trim_length=config.get_int("discord_read_trim"),
-                split_min_anchor=config.get_int("split_min_anchor"),
-                density=config.get_float("covariance_sampling_density"),
-                multi_exon=config.get_bool("multi_exon_transcripts_stats"))
+                concordant_sam, er, trim_length=trim,
+                split_min_anchor=anchor, density=density,
+                multi_exon=multi)
             write_samples(span, tmp_outputs[0], float_values=False)
             write_samples(spos, tmp_outputs[1], float_values=True)
             write_samples(smin, tmp_outputs[2], float_values=True)

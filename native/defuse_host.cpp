@@ -2633,3 +2633,162 @@ long dt_align_job(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Native calccov: null-distribution sampling from the concordant pair
+// SAM (stats/calccov.py byte contract; tools/calccov.cpp:116-207).
+// Marker positions (exact glibc rand stream) are sampled Python-side
+// and passed in; this does the hot part — SAM parse, per-pair marker
+// containment and sample emission.
+// ---------------------------------------------------------------------
+
+extern "C" {
+
+// marker_ref/marker_pos: per-marker transcript index + 1-based position.
+// ref name interning: names blob + offsets, index == marker ref index.
+// Returns total samples written, -2 on a fragment group != 2 rows,
+// -1 on IO error.
+long dt_calccov(const char* sam_path, const char* names,
+                const int64_t* name_off, int n_refs,
+                const int32_t* marker_ref, const int64_t* marker_pos,
+                long n_markers, long trim_length, long anchor,
+                const char* span_path, const char* pos_path,
+                const char* min_path) {
+  constexpr int64_t kBin = 10000;  // calccov.py BIN_SPACING
+  std::unordered_map<std::string, int32_t> ref_of;
+  ref_of.reserve(n_refs * 2);
+  for (int i = 0; i < n_refs; i++)
+    ref_of.emplace(std::string(names + name_off[i],
+                               names + name_off[i + 1]), i);
+  // markers binned by (ref, pos/kBin); indices ascend within a bin
+  std::unordered_map<int64_t, std::vector<int32_t>> bins;
+  bins.reserve(n_markers * 2);
+  for (long i = 0; i < n_markers; i++)
+    bins[((int64_t)marker_ref[i] << 32) |
+         (uint32_t)(marker_pos[i] / kBin)]
+        .push_back((int32_t)i);
+
+  std::ifstream in(sam_path);
+  if (!in) return -1;
+  FILE* f_span = fopen(span_path, "w");
+  FILE* f_pos = fopen(pos_path, "w");
+  FILE* f_min = fopen(min_path, "w");
+  if (!f_span || !f_pos || !f_min) {
+    if (f_span) fclose(f_span);
+    if (f_pos) fclose(f_pos);
+    if (f_min) fclose(f_min);
+    return -1;
+  }
+
+  struct Aln {
+    int32_t ref;
+    int64_t start, end;
+    bool known;
+  };
+  std::string line, cur_frag;
+  std::vector<Aln> group;
+  std::vector<int32_t> hits;
+  long total = 0;
+  long rc = 0;
+
+  auto contained = [&](int32_t ref, int64_t lo, int64_t hi) {
+    hits.clear();
+    for (int64_t b = lo / kBin; b <= hi / kBin; b++) {
+      auto it = bins.find(((int64_t)ref << 32) | (uint32_t)b);
+      if (it == bins.end()) continue;
+      hits.insert(hits.end(), it->second.begin(), it->second.end());
+    }
+    std::sort(hits.begin(), hits.end());
+    hits.erase(std::unique(hits.begin(), hits.end()), hits.end());
+  };
+
+  auto flush_group = [&]() -> bool {
+    if (group.empty()) return true;
+    if (group.size() != 2) {
+      rc = -2;
+      return false;
+    }
+    const Aln& a0 = group[0];
+    const Aln& a1 = group[1];
+    if (!a0.known) {
+      group.clear();
+      return true;
+    }
+    int32_t ref = a0.ref;
+    int64_t unseq_start =
+        std::min(a0.start + trim_length, a1.start + trim_length);
+    int64_t unseq_end =
+        std::max(a0.end - trim_length, a1.end - trim_length);
+    int64_t frag_len =
+        std::max(a0.end, a1.end) - std::min(a0.start, a1.start);
+    contained(ref, unseq_start, unseq_end);
+    for (int32_t i : hits) {
+      int64_t pos = marker_pos[i];
+      if (unseq_start <= pos && pos <= unseq_end) {
+        fprintf(f_span, "%d\t%ld\n", i, frag_len);
+        total++;
+      }
+    }
+    for (const Aln& a : group) {
+      int64_t a_start = a.start + anchor;
+      int64_t a_end = a.end - anchor + 1;
+      contained(ref, a_start, a_end);
+      for (int32_t i : hits) {
+        int64_t pos = marker_pos[i];
+        if (a_start <= pos && pos <= a_end) {
+          // calccov.py calc_split_pos / calc_split_min (f64 exact)
+          double v1 = std::max(0.0, (double)(pos - a.start - anchor));
+          double r1 = (double)(a.end - a.start) + 1.0 - 2.0 * anchor;
+          fprintf(f_pos, "%d\t%.6g\n", i, v1 / r1);
+          int64_t m = std::min(pos - a.start - anchor,
+                               a.end + 1 - pos - anchor);
+          double v2 = std::max(0.0, (double)m);
+          double r2 = std::floor(
+              0.5 * ((double)(a.end - a.start) + 1.0 - 2.0 * anchor));
+          fprintf(f_min, "%d\t%.6g\n", i, v2 / r2);
+          total += 2;
+        }
+      }
+    }
+    group.clear();
+    return true;
+  };
+
+  while (std::getline(in, line)) {
+    if (line.empty() || line[0] == '@') continue;
+    // fields: qname flag rname pos mapq cigar rnext pnext tlen seq ...
+    const char* p = line.c_str();
+    const char* tabs[10];
+    int nt = 0;
+    for (const char* q = p; *q && nt < 10; q++)
+      if (*q == '\t') tabs[nt++] = q;
+    if (nt < 10) {
+      rc = -1;
+      break;
+    }
+    std::string qname(p, tabs[0] - p);
+    size_t slash = qname.rfind('/');
+    if (slash != std::string::npos) qname.resize(slash);
+    std::string rname(tabs[1] + 1, tabs[2] - tabs[1] - 1);
+    if (rname == "*") continue;
+    if (qname != cur_frag) {
+      if (!flush_group()) break;
+      cur_frag = qname;
+    }
+    Aln a;
+    a.start = atol(tabs[2] + 1);
+    int64_t seq_len = tabs[9] - tabs[8] - 1;
+    a.end = a.start + seq_len - 1;
+    auto it = ref_of.find(rname);
+    a.known = it != ref_of.end();
+    a.ref = a.known ? it->second : -1;
+    group.push_back(a);
+  }
+  if (rc == 0) flush_group();
+  fclose(f_span);
+  fclose(f_pos);
+  fclose(f_min);
+  return rc < 0 ? rc : total;
+}
+
+}  // extern "C"

@@ -183,3 +183,41 @@ def test_pnorm_known_values():
     assert abs(pnorm(0.0) - 0.5) < 1e-15
     assert abs(pnorm(-1.959963984540054) - 0.025) < 1e-12
     assert abs(pnorm(1.6448536269514722) - 0.95) < 1e-12
+
+
+def test_calccov_native_byte_parity(tmp_path):
+    """The native calccov sampling pass (dt_calccov) matches the Python
+    oracle byte for byte (which test_calccov_golden pins to the
+    reference binary)."""
+    from defuse_tpu.cluster import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    ds = make_dataset(seed=23)
+    paths = write_dataset(ds, tmp_path)
+    sam = tmp_path / "concordant.sam"
+    _make_concordant_sam(ds, sam, n_pairs=3000)
+
+    from defuse_tpu.core.exons import ExonRegions
+    from defuse_tpu.stats.calccov import sample_positions
+    er = ExonRegions.from_file(str(paths["exons"]))
+    span, spos, smin = calccov(str(sam), er, trim_length=50,
+                               split_min_anchor=4, density=0.05)
+    py = {n: tmp_path / f"py.{n}" for n in ("span", "pos", "min")}
+    write_samples(span, str(py["span"]), float_values=False)
+    write_samples(spos, str(py["pos"]), float_values=True)
+    write_samples(smin, str(py["min"]), float_values=True)
+
+    ref_index, positions = sample_positions(er, 0.05, False)
+    names = [""] * len(ref_index)
+    for tid, idx in ref_index.items():
+        names[idx] = tid
+    nat = {n: tmp_path / f"nat.{n}" for n in ("span", "pos", "min")}
+    count = native.calccov_native(
+        str(sam), names, [r for r, _ in positions],
+        [p for _, p in positions], trim_length=50, anchor=4,
+        span_path=nat["span"], pos_path=nat["pos"], min_path=nat["min"])
+    assert count is not None and count > 0
+    for n in ("span", "pos", "min"):
+        assert nat[n].read_bytes() == py[n].read_bytes(), n
+    assert py["pos"].read_text(), "empty fixture would prove nothing"
