@@ -603,9 +603,15 @@ def build_align_job_tables(cdna_index, genome_index, gene_models,
 
 def reads_matrix(reads):
     """(B, W) uint8 char matrix + int32 lens from a list of read
-    strings."""
+    strings.  Uniform-length batches (the overwhelmingly common case)
+    take a single join+frombuffer instead of a per-read Python loop."""
     B = len(reads)
     W = max((len(r) for r in reads), default=0)
+    if B and all(len(r) == W for r in reads):
+        arr = np.frombuffer("".join(reads).encode(),
+                            dtype=np.uint8).reshape(B, W).copy()
+        lens = np.full(B, W, dtype=np.int32)
+        return arr, lens
     arr = np.zeros((B, max(1, W)), dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)
     for i, r in enumerate(reads):
