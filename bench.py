@@ -257,7 +257,9 @@ def run_ours_subprocess(tmpdir, device, timeout_s=480):
     extras = {}
     stage_times = {}
     for line in proc.stdout.splitlines():
-        if line.startswith("OURS_ELAPSED"):
+        if line.startswith("OURS_DEVICE"):
+            extras["measured_device"] = line.split()[1]
+        elif line.startswith("OURS_ELAPSED"):
             elapsed = float(line.split()[1])
             # stage lines from the timed (second) run overwrite the
             # warm-up run's values key by key — keep what's accumulated
@@ -279,10 +281,21 @@ def ours_only(tmpdir):
         jax.config.update("jax_platforms", "cpu")
     ds, paths, n_pairs = build_dataset(tmpdir)
     use_tpu = not os.environ.get("DEFUSE_BENCH_FORCE_CPU")
+    if use_tpu:
+        # resolve the device probe verdict up front: backend init over
+        # the tunnel takes ~30s, far longer than discover's bounded
+        # wait — without this the "tpu" measurement silently runs the
+        # host path (plus the probe wait) in both runs
+        from defuse_tpu.core.devices import tpu_backend_available
+        use_tpu = tpu_backend_available(timeout_s=180.0)
+        if not use_tpu:
+            print("ours-only: device probe negative; host path",
+                  file=sys.stderr)
     run_ours(paths, None, tmpdir, use_tpu=use_tpu)  # warm-up compile
     # stage timing prints from this second run are the ones recorded
     elapsed, _outs = run_ours(paths, None, tmpdir, use_tpu=use_tpu)
     print(f"OURS_ELAPSED {elapsed}")
+    print(f"OURS_DEVICE {'tpu' if use_tpu else 'cpu'}")
 
 
 def em_ablation_only(tmpdir):
@@ -380,6 +393,12 @@ def main():
             pathlib.Path(our_outs["break"]).read_text()
             == ref_outs["break"].read_text())
 
+    # the ours subprocess re-probes the device right before measuring (a
+    # flapping link can die between our probe and its run): its own
+    # report of what actually executed wins over our earlier probe
+    measured_device = run_extras.get("measured_device")
+    if measured_device == "cpu":
+        use_tpu = False
     result = {
         "metric": "read-pairs/s/chip (cluster+split-align); "
                   "fusion calls exact-match vs reference",

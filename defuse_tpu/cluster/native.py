@@ -737,3 +737,46 @@ def calccov_native(sam_path, ref_names, marker_refs, marker_positions,
     if rc < 0:
         return None
     return int(rc)
+
+
+def ingest_fastq(fastq1, fastq2, outdir):
+    """Native paired-fastq ingest (index_paired_fastq byte contract):
+    writes renamed fastqs + .fqi + .names into ``outdir`` and returns
+    ((arr1, lens1), (arr2, lens2)) read matrices, or None when the
+    native library is unavailable or IO fails."""
+    lib = load_library()
+    if lib is None:
+        return None
+    import pathlib
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    lib.dt_fastq_ingest.restype = ctypes.c_void_p
+    lib.dt_fastq_matrix.restype = None
+    lib.dt_fastq_free.restype = None
+    dims = np.zeros(3, dtype=np.int64)
+    handle = lib.dt_fastq_ingest(
+        ctypes.c_char_p(str(fastq1).encode()),
+        ctypes.c_char_p(str(fastq2).encode()),
+        ctypes.c_char_p(str(out / "reads.1.fastq").encode()),
+        ctypes.c_char_p(str(out / "reads.2.fastq").encode()),
+        ctypes.c_char_p(str(out / "reads.fqi").encode()),
+        ctypes.c_char_p(str(out / "reads.names").encode()),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if not handle:
+        return None
+    try:
+        n1, n2, width = (int(dims[0]), int(dims[1]), int(dims[2]))
+        width = max(1, width)
+        mats = []
+        for end, n in ((0, n1), (1, n2)):
+            arr = np.zeros((n, width), dtype=np.uint8)
+            lens = np.zeros(max(1, n), dtype=np.int32)
+            lib.dt_fastq_matrix(
+                ctypes.c_void_p(handle), ctypes.c_int(end),
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_long(width))
+            mats.append((arr, lens[:n]))
+        return tuple(mats)
+    finally:
+        lib.dt_fastq_free(ctypes.c_void_p(handle))

@@ -18,9 +18,19 @@ import threading
 _LOCK = threading.Lock()
 _STATE: dict = {}
 
-_PROBE_SRC = ("import jax, numpy; "
-              "x = float(numpy.asarray(jax.numpy.ones(4).sum())); "
-              "print(jax.default_backend() if x == 4.0 else 'bad')")
+_PROBE_SRC = (
+    "import time, jax, numpy;"
+    "x = float(numpy.asarray(jax.numpy.ones(4).sum()));"
+    "t0 = time.time();"
+    "[numpy.asarray(jax.numpy.zeros(1)) for _ in range(4)];"
+    "rtt_ms = (time.time() - t0) / 4 * 1000;"
+    "buf = numpy.zeros(4 << 20, numpy.uint8);"
+    "t0 = time.time();"
+    "d = jax.device_put(buf); d.block_until_ready();"
+    "up_s = time.time() - t0;"
+    "bw = 4.0 / max(up_s, 1e-6);"
+    "print((jax.default_backend() if x == 4.0 else 'bad'),"
+    "      round(bw, 1), round(rtt_ms, 2))")
 
 
 def start_probe() -> None:
@@ -63,7 +73,12 @@ def tpu_backend_available(timeout_s: float = 45.0,
         proc = _STATE["proc"]
         try:
             out, _ = proc.communicate(timeout=timeout_s)
-            verdict = proc.returncode == 0 and out.strip() == "tpu"
+            fields = out.split()
+            verdict = proc.returncode == 0 and bool(fields) \
+                and fields[0] == "tpu"
+            if verdict and len(fields) >= 3:
+                _STATE["link"] = {"bw_MBps": float(fields[1]),
+                                  "rtt_ms": float(fields[2])}
         except subprocess.TimeoutExpired:
             if not kill_on_timeout:
                 return False  # verdict stays pending
@@ -74,3 +89,13 @@ def tpu_backend_available(timeout_s: float = 45.0,
         _STATE["verdict"] = verdict
         del _STATE["proc"]
         return verdict
+
+
+def link_profile() -> dict | None:
+    """Measured host<->device link profile from the probe ({bw_MBps,
+    rtt_ms}), or None before a positive verdict.  A tunneled dev chip
+    measures ~30MB/s / ~25ms; a local chip orders of magnitude better —
+    callers use this to decide whether shipping a workload to the device
+    beats computing it on the host."""
+    with _LOCK:
+        return _STATE.get("link")

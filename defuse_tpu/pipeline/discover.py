@@ -144,17 +144,44 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             # at pipeline entry; wait only briefly and non-destructively —
             # if the verdict isn't in yet, the host path wins this run and
             # a later stage/run can still collect a positive verdict.
-            # DEFUSE_DEVICE_SCREEN=force keeps it on for parity tests.
-            from ..core.devices import tpu_backend_available
-            if os.environ.get("DEFUSE_DEVICE_SCREEN") != "force" \
-                    and not tpu_backend_available(timeout_s=5.0,
-                                                  kill_on_timeout=False):
+            # DEFUSE_DEVICE_SCREEN=force/off overrides the choice.
+            from ..core.devices import link_profile, tpu_backend_available
+            screen_mode = os.environ.get("DEFUSE_DEVICE_SCREEN", "auto")
+            if screen_mode == "off":
                 use_device = False
+            elif screen_mode != "force":
+                if not tpu_backend_available(timeout_s=5.0,
+                                             kill_on_timeout=False):
+                    use_device = False
+                else:
+                    # cost model: the screen pays only when estimated
+                    # device time (3 round trips + reads-matrix upload +
+                    # kernel) beats the measured native realign rate
+                    # (~90k candidate reads/s/core x cores).  On a local
+                    # chip the link terms vanish and the device always
+                    # wins; over a ~30MB/s tunneled dev link small
+                    # candidate sets stay on the host.
+                    link = link_profile() or {}
+                    bw = link.get("bw_MBps", 1000.0) * 1e6
+                    rtt = link.get("rtt_ms", 1.0) / 1e3
+                    B = driver.n_candidates
+                    L = _pad_len(max_read_length, 64)
+                    t_dev = 3 * rtt + (2 * B * L) / bw + B / 700e3
+                    ncpu = os.cpu_count() or 4
+                    t_host = B / (90e3 * ncpu)
+                    if t_dev >= t_host:
+                        if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
+                            print(f"[discover] screen: host wins "
+                                  f"(est dev {t_dev:.2f}s vs host "
+                                  f"{t_host:.2f}s, link {link})",
+                                  flush=True)
+                        use_device = False
         if use_device and driver.n_candidates and cluster_ids:
             from ..ops.split_dp_batch import pad_batch
             from ..ops.split_dp_pallas import screen_candidates_pallas
             L = _pad_len(max_read_length, 64)
             reads_p, read_lens, fidx = driver.read_matrix(L)
+            _mark("screen:read_matrix")
             R = _pad_len(max(max(len(a), len(b))
                              for a, b in zip(flank1s, flank2s)))
             u1p, u1l = pad_batch(flank1s, R)
@@ -162,9 +189,11 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             min_scores = np.array(
                 [accept_threshold(int(l)) for l in read_lens],
                 dtype=np.int32)
+            _mark("screen:pad")
             max_scores = np.asarray(screen_candidates_pallas(
                 u1p, u1l, u2rp, u2l, np.maximum(fidx, 0), reads_p,
                 read_lens, min_scores))
+            _mark("screen:device")
             survivors = max_scores > 0
         driver.emit(split_path, survivors)
         driver.close()

@@ -2792,3 +2792,140 @@ long dt_calccov(const char* sam_path, const char* names,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Native fastq ingest: the index_paired_fastq stage
+// (align/frontend.py::index_paired_fastq byte contract;
+// scripts/index_paired_fastq.pl).  Parses both ends (one thread each),
+// writes integer-renamed fastqs + the binary .fqi offset index
+// (tools/ReadIndex.cpp layout) + the names map, and keeps the read
+// bases resident for a zero-copy handoff into dt_align_job's matrix.
+// ---------------------------------------------------------------------
+
+namespace fastq_ingest {
+struct End {
+  std::vector<char> bases;     // concatenated read bases
+  std::vector<int64_t> off;    // n+1 offsets into bases
+  std::vector<int64_t> rec_off;  // renamed-file byte offset per record
+  std::vector<std::string> names;  // end-1 only
+  bool ok = false;
+};
+
+struct Handle {
+  End ends[2];
+};
+
+inline void ParseAndWrite(const char* in_path, const char* out_path,
+                          int end, End& e) {
+  std::ifstream in(in_path);
+  if (!in) return;
+  FILE* out = fopen(out_path, "w");
+  if (!out) return;
+  std::string h, seq, plus, qual, buf;
+  buf.reserve(1 << 20);
+  e.off.push_back(0);
+  int64_t wpos = 0;
+  long i = 0;
+  char tmp[64];
+  while (std::getline(in, h)) {
+    if (!std::getline(in, seq)) break;
+    std::getline(in, plus);
+    std::getline(in, qual);
+    if (end == 0) {
+      std::string name = h.substr(1);
+      size_t slash = name.rfind('/');
+      if (slash != std::string::npos) name.resize(slash);
+      e.names.push_back(std::move(name));
+    }
+    e.bases.insert(e.bases.end(), seq.begin(), seq.end());
+    e.off.push_back((int64_t)e.bases.size());
+    e.rec_off.push_back(wpos);
+    int n = snprintf(tmp, sizeof tmp, "@%ld/%d\n", i, end + 1);
+    buf.append(tmp, n);
+    wpos += n;
+    buf += seq;
+    buf += "\n+\n";
+    buf.append(seq.size(), 'I');
+    buf += '\n';
+    wpos += (int64_t)seq.size() * 2 + 4;
+    if (buf.size() > (1 << 20) - 4096) {
+      fwrite(buf.data(), 1, buf.size(), out);
+      buf.clear();
+    }
+    i++;
+  }
+  fwrite(buf.data(), 1, buf.size(), out);
+  fclose(out);
+  e.ok = true;
+}
+}  // namespace fastq_ingest
+
+extern "C" {
+
+// dims out: n1, n2, max_width.  Returns handle or null on IO error.
+void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
+                      const char* out2, const char* fqi_path,
+                      const char* names_path, int64_t* dims) {
+  auto* h = new fastq_ingest::Handle();
+  std::thread t1(fastq_ingest::ParseAndWrite, fq1, out1, 0,
+                 std::ref(h->ends[0]));
+  std::thread t2(fastq_ingest::ParseAndWrite, fq2, out2, 1,
+                 std::ref(h->ends[1]));
+  t1.join();
+  t2.join();
+  if (!h->ends[0].ok || !h->ends[1].ok) {
+    delete h;
+    return nullptr;
+  }
+  // names map (end-1 fragment names)
+  FILE* nf = fopen(names_path, "w");
+  if (nf) {
+    for (size_t i = 0; i < h->ends[0].names.size(); i++)
+      fprintf(nf, "%zu\t%s\n", i, h->ends[0].names[i].c_str());
+    fclose(nf);
+  }
+  // .fqi: two packed little-endian int64 offsets per fragment
+  // (ReadIndex.cpp:67-129); 0 for a missing end
+  long n1 = (long)h->ends[0].rec_off.size();
+  long n2 = (long)h->ends[1].rec_off.size();
+  FILE* ff = fopen(fqi_path, "wb");
+  if (ff) {
+    long n = std::max(n1, n2);
+    for (long i = 0; i < n; i++) {
+      int64_t rec[2] = {i < n1 ? h->ends[0].rec_off[i] : 0,
+                        i < n2 ? h->ends[1].rec_off[i] : 0};
+      fwrite(rec, sizeof(int64_t), 2, ff);
+    }
+    fclose(ff);
+  }
+  int64_t w = 0;
+  for (int end = 0; end < 2; end++) {
+    auto& e = h->ends[end];
+    for (size_t i = 0; i + 1 < e.off.size(); i++)
+      w = std::max<int64_t>(w, e.off[i + 1] - e.off[i]);
+  }
+  dims[0] = n1;
+  dims[1] = n2;
+  dims[2] = w;
+  return h;
+}
+
+// copy one end's reads into a (n, width) uint8 char matrix + lens
+void dt_fastq_matrix(void* handle, int end, uint8_t* out, int32_t* lens,
+                     long width) {
+  auto* h = (fastq_ingest::Handle*)handle;
+  auto& e = h->ends[end];
+  long n = (long)e.off.size() - 1;
+  for (long i = 0; i < n; i++) {
+    int64_t lo = e.off[i], hi = e.off[i + 1];
+    int64_t len = std::min<int64_t>(hi - lo, width);
+    memcpy(out + (size_t)i * width, e.bases.data() + lo, len);
+    lens[i] = (int32_t)len;
+  }
+}
+
+void dt_fastq_free(void* handle) {
+  delete (fastq_ingest::Handle*)handle;
+}
+
+}  // extern "C"
