@@ -241,7 +241,6 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
     import os as _os
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
-    n_frags = len(reads1)
 
     if (not force_python and verify_fn is None
             and _os.environ.get("DEFUSE_FRONTEND") != "python"):
@@ -259,6 +258,12 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
                 max_alignments=max_alignments)
             if res is not None:
                 return res
+
+    # Python oracle path operates on read strings; decode matrix-tuple
+    # inputs (native-ingest handoff) when falling back
+    reads1 = _as_read_list(reads1)
+    reads2 = _as_read_list(reads2)
+    n_frags = len(reads1)
 
     # 1. paired concordant screens
     cdna_al1 = _align_all(cdna_index, reads1, verify_fn=verify_fn)
@@ -417,6 +422,13 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
     }
 
 
+def _as_read_list(reads):
+    if not isinstance(reads, tuple):
+        return reads
+    arr, lens = reads
+    return [arr[i, :lens[i]].tobytes().decode() for i in range(len(lens))]
+
+
 def _align_job_native(*, cdna_index, genome_index, rrna_index,
                       prefilter_index, gene_models, ig_genes, reads1,
                       reads2, out, max_insert_size, discord_read_trim,
@@ -443,8 +455,14 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
     if res is None:
         return None
     (n_pairs, sum_isize, sumsq_isize), concordant, blacklist = res
-    readlengths = sorted({len(r) for r in reads1} | {len(r)
-                                                     for r in reads2})
+    import numpy as _np
+
+    def _lenset(reads):
+        if isinstance(reads, tuple):
+            return set(_np.unique(reads[1]).tolist())
+        return {len(r) for r in reads}
+
+    readlengths = sorted(_lenset(reads1) | _lenset(reads2))
     if n_pairs:
         mean = sum_isize / n_pairs
         var = sumsq_isize / n_pairs - mean ** 2
@@ -469,8 +487,17 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     from ..io.fasta import FastaStore
 
     out = pathlib.Path(output_dir)
-    reads1, reads2, _names = index_paired_fastq(fastq1, fastq2,
-                                                str(out / "reads"))
+    from ..cluster import native as _nat
+    ingested = _nat.ingest_fastq(fastq1, fastq2, str(out / "reads")) \
+        if _nat.available() else None
+    if ingested is not None:
+        # native ingest: renamed fastqs + .fqi + names written in C++,
+        # reads handed to the aligner as char matrices (no Python
+        # string layer)
+        reads1, reads2 = ingested
+    else:
+        reads1, reads2, _names = index_paired_fastq(fastq1, fastq2,
+                                                    str(out / "reads"))
     gene_models = GeneModels(config.get_value("gene_models"))
     cdna_index = SeedIndex.load_or_build(config.get_value("cdna_fasta"))
     genome_prefix = None

@@ -641,8 +641,16 @@ def align_job_native(*, cdna_index, genome_index, rrna_index,
         import os
         n_threads = max(1, os.cpu_count() or 2)
 
-    r1, lens1 = reads_matrix(reads1)
-    r2, lens2 = reads_matrix(reads2)
+    # reads may arrive as (char_matrix, lens) tuples (native fastq
+    # ingest handoff) or as lists of strings
+    r1, lens1 = reads1 if isinstance(reads1, tuple) \
+        else reads_matrix(reads1)
+    r2, lens2 = reads2 if isinstance(reads2, tuple) \
+        else reads_matrix(reads2)
+    r1 = np.ascontiguousarray(r1, dtype=np.uint8)
+    r2 = np.ascontiguousarray(r2, dtype=np.uint8)
+    lens1 = np.ascontiguousarray(lens1, dtype=np.int32)
+    lens2 = np.ascontiguousarray(lens2, dtype=np.int32)
     width = max(r1.shape[1], r2.shape[1])
     if r1.shape[1] != width:
         r1 = np.ascontiguousarray(
@@ -650,7 +658,7 @@ def align_job_native(*, cdna_index, genome_index, rrna_index,
     if r2.shape[1] != width:
         r2 = np.ascontiguousarray(
             np.pad(r2, ((0, 0), (0, width - r2.shape[1]))))
-    n_frags = len(reads1)
+    n_frags = len(lens1)
 
     t = build_align_job_tables(cdna_index, genome_index, gene_models,
                                ig_genes)

@@ -175,3 +175,31 @@ def test_native_frontend_fuzz(tmp_path, seed, kw):
     assert outs["py"]["blacklist"] == outs["nat"]["blacklist"]
     assert outs["py"]["concordant_fragments"] == \
         outs["nat"]["concordant_fragments"]
+
+
+def test_native_fastq_ingest_byte_parity(tmp_path):
+    """dt_fastq_ingest writes byte-identical renamed fastqs + .fqi +
+    names to the Python indexer, and its matrices decode to the same
+    reads."""
+    from defuse_tpu.cluster import native
+    if not native.available():
+        pytest.skip("native library not built")
+    ds = make_dataset(seed=5, n_fusion_frags=40, n_background_frags=40)
+    paths = write_dataset(ds, tmp_path)
+    r1_py, r2_py, _ = index_paired_fastq(
+        str(paths["fastq1"]), str(paths["fastq2"]),
+        str(tmp_path / "py"))
+    ingested = native.ingest_fastq(str(paths["fastq1"]),
+                                   str(paths["fastq2"]),
+                                   str(tmp_path / "nat"))
+    assert ingested is not None
+    for name in ("reads.1.fastq", "reads.2.fastq", "reads.fqi",
+                 "reads.names"):
+        a = (tmp_path / "py" / name).read_bytes()
+        b = (tmp_path / "nat" / name).read_bytes()
+        assert a == b, name
+    (arr1, lens1), (arr2, lens2) = ingested
+    assert len(lens1) == len(r1_py)
+    for i in (0, 1, len(r1_py) - 1):
+        assert arr1[i, :lens1[i]].tobytes().decode() == r1_py[i]
+        assert arr2[i, :lens2[i]].tobytes().decode() == r2_py[i]
