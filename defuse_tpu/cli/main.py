@@ -43,6 +43,20 @@ def build_parser() -> argparse.ArgumentParser:
     reads.add_argument("-d", "--dataset", required=True)
     reads.add_argument("-o", "--output", required=True)
     reads.add_argument("-i", "--id", required=True, type=int)
+
+    eplot = sub.add_parser("expression-plot",
+                           help="per-gene exonic expression plot "
+                                "(expression_plot.pl)")
+    eplot.add_argument("-c", "--config", required=True)
+    eplot.add_argument("-d", "--dataset", required=True)
+    eplot.add_argument("-o", "--output", required=True,
+                       help="library output directory")
+    eplot.add_argument("-g", "--gene", required=True)
+    eplot.add_argument("-f", "--fusid", type=int, default=None)
+    eplot.add_argument("-r", "--res", default=None,
+                       help="results file (default: output/results.tsv)")
+    eplot.add_argument("-p", "--pdf", required=True,
+                       help="plot output path (.pdf/.png)")
     return p
 
 
@@ -111,6 +125,21 @@ def main(argv=None) -> int:
         from ..cli.get_reads import get_reads
         config = Config.read(args.config, args.dataset)
         get_reads(config, args.output, args.id)
+        return 0
+
+    if args.command == "expression-plot":
+        import pathlib
+
+        from ..cli.expression_plot import expression_plot
+        config = Config.read(args.config, args.dataset)
+        out_dir = pathlib.Path(args.output)
+        res = expression_plot(
+            concordant_sam=str(out_dir / "cdna.pair.sam"),
+            cdna_regions=config.get_value("cdna_regions"),
+            gene_id=args.gene, out_path=args.pdf,
+            results_path=args.res or str(out_dir / "results.tsv"),
+            fusion_id=args.fusid)
+        print(res["plot"] or res["table"])
         return 0
     return 1
 

@@ -82,3 +82,61 @@ def test_qseq2fastq():
     assert out[0] == "@M1_5:1:2:3:4#0/1"
     assert out[1] == "ACGNT"
     assert out[3] == "".join(chr(ord(c) - 31) for c in "abcde")
+
+
+def test_expression_plot(tmp_path):
+    """expression_plot.pl equivalent: pileup over a gene's transcripts,
+    merged-exonic remap, breakpoint marker, plot + table outputs."""
+    from defuse_tpu.cli.expression_plot import (expression_plot,
+                                                merge_regions,
+                                                merged_transcript_position)
+
+    # merge + remap helpers on constructed intervals
+    assert merge_regions([(10, 20), (15, 30), (40, 50)]) == \
+        [(10, 30), (40, 50)]
+    regions = [(100, 199), (300, 399)]
+    assert merged_transcript_position(regions, 0, 100) == 1
+    assert merged_transcript_position(regions, 0, 199) == 100
+    assert merged_transcript_position(regions, 0, 300) == 101
+    assert merged_transcript_position(regions, 0, 250) == 101  # snaps
+    assert merged_transcript_position(regions, 1, 100) == 200  # - strand
+
+    # two-transcript gene: T1 exons (100-199, 300-399), T2 (300-399,
+    # 500-599); merged exonic length 300
+    cdna_regions = tmp_path / "cdna.regions"
+    cdna_regions.write_text(
+        "GX\tT1\t1\t+\t100\t199\t300\t399\t\n"
+        "GX\tT2\t1\t+\t300\t399\t500\t599\t\n")
+    sam = tmp_path / "cdna.pair.sam"
+    rows = []
+    # 3 reads covering T1 positions 1-50 (genomic 100-149)
+    for i in range(3):
+        rows.append(f"{i}\t99\tGX|T1\t1\t255\t50M\t=\t1\t50\t{'A'*50}\t"
+                    f"{'I'*50}")
+    # 2 reads covering T2 positions 101-150 (genomic 500-549)
+    for i in range(3, 5):
+        rows.append(f"{i}\t99\tGX|T2\t101\t255\t50M\t=\t101\t50\t"
+                    f"{'A'*50}\t{'I'*50}")
+    sam.write_text("\n".join(rows) + "\n")
+
+    results = tmp_path / "results.tsv"
+    results.write_text(
+        "cluster_id\tgene1\tgene2\tgenomic_break_pos1\t"
+        "genomic_break_pos2\tgenomic_strand1\tgenomic_strand2\n"
+        "7\tGX\tGY\t350\t9999\t+\t-\n")
+
+    out = expression_plot(
+        concordant_sam=str(sam), cdna_regions=str(cdna_regions),
+        gene_id="GX", out_path=str(tmp_path / "gx.png"),
+        results_path=str(results), fusion_id=7)
+
+    table = {int(l.split("\t")[0]): int(l.split("\t")[1])
+             for l in open(out["table"]).read().splitlines()[1:]}
+    assert len(table) == 300  # merged exonic length
+    assert table[1] == 3 and table[50] == 3 and table[51] == 0
+    # T2 pos 101-150 = genomic 500-549 = merged exonic 201-250
+    assert table[201] == 2 and table[250] == 2 and table[251] == 0
+    # breakpoint at genomic 350 = merged exonic 151
+    assert out["break_position"] == 151
+    import pathlib as _pl
+    assert out["plot"] and _pl.Path(out["plot"]).exists()
