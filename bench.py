@@ -263,9 +263,9 @@ def run_ours_subprocess(tmpdir, device, timeout_s=480):
             elapsed = float(line.split()[1])
             # stage lines from the timed (second) run overwrite the
             # warm-up run's values key by key — keep what's accumulated
-        elif line.startswith("[discover] ") and line.rstrip().endswith("s"):
+        elif line.startswith("[stage] ") and line.rstrip().endswith("s"):
             try:
-                stage, val = line[len("[discover] "):].rsplit(": ", 1)
+                stage, val = line[len("[stage] "):].rsplit(": ", 1)
                 stage_times[stage] = float(val.rstrip("s"))
             except ValueError:
                 pass

@@ -31,18 +31,17 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                      gene_models=None, mt_chromosome="MT",
                      dna_concordant_length=2000):
     import os as _os_t
-    import time as _time_t
-    _t_last = [_time_t.time()]
-
-    def _mark(stage):
-        if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
-            now = _time_t.time()
-            print(f"[discover] {stage}: {now - _t_last[0]:.2f}s",
-                  flush=True)
-            _t_last[0] = now
 
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
+    from ..utils import checks
+    from ..utils.profiling import Tracer
+    _tracer = Tracer(str(out), "metrics.discover.json")
+
+    def _mark(stage):
+        _tracer.mark(f"discover:{stage}")
+
+    checks.check_spanning_file(spanning)
     params = EMParams(fragment_mean, fragment_stddev, precision,
                       min_cluster_size)
 
@@ -64,6 +63,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
         write_clusters(rows, str(clusters_path))
 
     _mark("cluster")
+    checks.check_clusters_file(str(clusters_path), min_cluster_size)
     ref_store = None
     if gene_models is not None:
         # mitochondrial segregation runs before setcover
@@ -81,6 +81,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     run_setcover_file(str(clusters_path), str(sc_path), min_cluster_size)
 
     _mark("setcover")
+    checks.check_setcover_file(str(clusters_path), str(sc_path))
     if gene_models is not None:
         from ..filters.cluster_filters import apply_post_setcover_filters
         with open(sc_path) as fh:
@@ -190,9 +191,11 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                 [accept_threshold(int(l)) for l in read_lens],
                 dtype=np.int32)
             _mark("screen:pad")
-            max_scores = np.asarray(screen_candidates_pallas(
-                u1p, u1l, u2rp, u2l, np.maximum(fidx, 0), reads_p,
-                read_lens, min_scores))
+            from ..utils.profiling import device_trace
+            with device_trace("split_dp_screen"):
+                max_scores = np.asarray(screen_candidates_pallas(
+                    u1p, u1l, u2rp, u2l, np.maximum(fidx, 0), reads_p,
+                    read_lens, min_scores))
             _mark("screen:device")
             survivors = max_scores > 0
         driver.emit(split_path, survivors)
@@ -226,6 +229,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
         fh.writelines(lines)
 
     _mark("sort")
+    checks.check_split_alignments_sorted(str(sorted_path))
     # --- evaluate -------------------------------------------------------
     outs = {name: out / f"splitreads.{name}" for name in
             ("seq", "break", "predalign")}
@@ -235,6 +239,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
         evaluate_file(tasks, str(sorted_path), seq_out, break_out, pred_out)
 
     _mark("evaluate")
+    _tracer.flush()
     return {name: str(path) for name, path in outs.items()} | {
         "clusters": str(clusters_path), "clusters_sc": str(sc_path),
         "regions": str(regions_path), "split": str(split_path)}

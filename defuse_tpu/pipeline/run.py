@@ -133,15 +133,9 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                    outputs=[cov_paths["span"], cov_paths["pos"],
                             cov_paths["min"]])
 
-    import os as _os_t
-    import time as _time_t
-    _t_last = [_time_t.time()]
-
-    def _mark(stage):
-        if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
-            now = _time_t.time()
-            print(f"[stage] {stage}: {now - _t_last[0]:.2f}s", flush=True)
-            _t_last[0] = now
+    from ..utils.profiling import Tracer
+    _tracer = Tracer(str(out))
+    _mark = _tracer.mark
 
     # --- cluster + split chain -----------------------------------------
     gm = GeneModels(gene_models_gtf) if gene_models_gtf else None
@@ -362,6 +356,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
         filter_by_probability(str(classified), str(filtered),
                               config.get_float("probability_threshold"))
     _mark("collate+classify")
+    _tracer.flush()
     return {"results": str(results), "classified": str(classified),
             "filtered": str(filtered), **denovo_outs}
 
