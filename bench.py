@@ -259,6 +259,9 @@ def run_ours_subprocess(tmpdir, device, timeout_s=480):
     for line in proc.stdout.splitlines():
         if line.startswith("OURS_DEVICE"):
             extras["measured_device"] = line.split()[1]
+        elif line.startswith("PALLAS_KERNEL"):
+            extras["pallas_kernel"] = dict(
+                p.split("=") for p in line.split()[1:])
         elif line.startswith("OURS_ELAPSED"):
             elapsed = float(line.split()[1])
             # stage lines from the timed (second) run overwrite the
@@ -296,6 +299,42 @@ def ours_only(tmpdir):
     elapsed, _outs = run_ours(paths, None, tmpdir, use_tpu=use_tpu)
     print(f"OURS_ELAPSED {elapsed}")
     print(f"OURS_DEVICE {'tpu' if use_tpu else 'cpu'}")
+    if use_tpu:
+        pallas_kernel_bench()
+
+
+def pallas_kernel_bench(B=8192, R=256, L=64):
+    """On-chip split-DP kernel microbenchmark (device-resident inputs,
+    scalar fetch; the reported time includes one link round trip —
+    recorded so every bench artifact carries a genuine device-kernel
+    number even when the pipeline routes around a slow link)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from defuse_tpu.ops.split_dp_batch import pad_batch
+        from defuse_tpu.ops.split_dp_pallas import _dp_row_maxima_pallas
+        rng = _np.random.default_rng(0)
+        refs = ["".join(rng.choice(list("ACGT"), R)) for _ in range(B)]
+        reads = ["".join(rng.choice(list("ACGT"), 50)) for _ in range(B)]
+        rp, rl = pad_batch(refs, R)
+        qp, ql = pad_batch(reads, L)
+        dev = [jax.device_put(x) for x in
+               (rp.astype(_np.int32), rl, qp.astype(_np.int32), ql)]
+        g = jax.jit(lambda a, b, c, d: jnp.sum(
+            _dp_row_maxima_pallas(a, b, c, d, 256, False)))
+        float(g(*dev))  # compile
+        ts = []
+        for _ in range(6):
+            t0 = time.time()
+            float(g(*dev))
+            ts.append(time.time() - t0)
+        best = min(ts)
+        print(f"PALLAS_KERNEL ms={best * 1000:.2f} B={B} "
+              f"reads_s={B / best:.0f}")
+    except Exception as e:  # never fail the bench over a microbench
+        print(f"pallas kernel bench failed: {e}", file=sys.stderr)
 
 
 def em_ablation_only(tmpdir):

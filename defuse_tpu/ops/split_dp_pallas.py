@@ -56,9 +56,17 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
 
     out_lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
 
+    # The prefix-max cascade needs to cover only 2*n_rows - 1 lanes, not
+    # the whole width: propagation decays GAP=-2 per lane while row-j DP
+    # values are bounded within [-2j, 2j], so a value can never improve a
+    # lane more than (4*n_rows)/2 - 1 positions away.  The log-step
+    # cascade with steps 1..2^k covers a window of 2^(k+1)-1 lanes, so
+    # stopping once the window reaches 2*n_rows is exact (bit-identical;
+    # pinned by the interpret-mode oracle tests) and drops two steps at
+    # typical (W=384, n_rows=64) shapes.
     shifts = []
     s = 1
-    while s < width:
+    while s < min(width, 2 * n_rows):
         shifts.append(s)
         s *= 2
 
