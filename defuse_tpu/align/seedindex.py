@@ -160,6 +160,79 @@ class SeedIndex:
         return self
 
     @classmethod
+    def build_to_disk(cls, sequences: dict[str, str], prefix: str,
+                      seed_len: int = SEED_LEN,
+                      chunk_bp: int = 256_000_000) -> "SeedIndex":
+        """Genome-scale bounded-memory index build (reference-length
+        scaling, SURVEY §5): sequences are built into per-chunk sorted
+        tables (peak memory ~16B x chunk_bp instead of the whole
+        reference) which K-way merge straight into on-disk memmaps —
+        byte-identical files to ``SeedIndex(...).save(prefix)``.
+        Returns the mmap-loaded index.
+        """
+        import json
+        import tempfile
+
+        from ..cluster import native
+        if not native.available():  # small references: plain build
+            idx = cls(sequences, seed_len)
+            idx.save(prefix)
+            return cls.load(prefix)
+
+        names = list(sequences)
+        offsets = np.zeros(len(names) + 1, dtype=np.int64)
+        for i, name in enumerate(names):
+            offsets[i + 1] = offsets[i] + len(sequences[name])
+        codes_mm = np.lib.format.open_memmap(
+            prefix + ".codes.npy", mode="w+", dtype=np.int8,
+            shape=(int(offsets[-1]),))
+        for i, name in enumerate(names):
+            codes_mm[offsets[i]:offsets[i + 1]] = encode(sequences[name])
+        codes_mm.flush()
+
+        # chunk sequences into <= chunk_bp groups (>=1 sequence each)
+        chunks: list[tuple[int, int]] = []
+        start = 0
+        for i in range(1, len(names) + 1):
+            if i == len(names) or \
+                    offsets[i + 1] - offsets[start] > chunk_bp:
+                chunks.append((start, i))
+                start = i
+        chunk_files = []
+        tmpdir = tempfile.mkdtemp(prefix="seedidx_chunks_")
+        total = 0
+        for ci, (i0, i1) in enumerate(chunks):
+            packed = native.build_seed_chunk(
+                codes_mm[offsets[i0]:offsets[i1]],
+                offsets[i0:i1 + 1] - offsets[i0], seed_len,
+                int(offsets[i0]))
+            if packed is None:
+                raise RuntimeError("native chunk build failed")
+            path = f"{tmpdir}/chunk{ci}.npy"
+            np.save(path, packed)
+            chunk_files.append(path)
+            total += len(packed)
+            del packed
+
+        keys_mm = np.lib.format.open_memmap(
+            prefix + ".keys.npy", mode="w+", dtype=np.uint64,
+            shape=(total,))
+        pos_mm = np.lib.format.open_memmap(
+            prefix + ".positions.npy", mode="w+", dtype=np.int64,
+            shape=(total,))
+        mapped = [np.load(p, mmap_mode="r") for p in chunk_files]
+        n = native.merge_seed_chunks(mapped, keys_mm, pos_mm)
+        assert n == total, (n, total)
+        keys_mm.flush()
+        pos_mm.flush()
+        np.save(prefix + ".offsets.npy", offsets)
+        with open(prefix + ".meta.json", "w") as fh:
+            json.dump({"names": names, "seed_len": seed_len}, fh)
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        return cls.load(prefix)
+
+    @classmethod
     def saved_exists(cls, prefix: str) -> bool:
         import os
         return all(os.path.exists(prefix + s) for s in

@@ -788,3 +788,49 @@ def ingest_fastq(fastq1, fastq2, outdir):
         return tuple(mats)
     finally:
         lib.dt_fastq_free(ctypes.c_void_p(handle))
+
+
+def merge_seed_chunks(chunk_arrays, out_keys, out_positions):
+    """K-way merge of sorted packed (key<<32|pos) chunk tables into the
+    split keys/positions output arrays (typically np.memmap) — the
+    genome-scale bounded-memory index build."""
+    lib = load_library()
+    n = len(chunk_arrays)
+    ptrs = (ctypes.POINTER(ctypes.c_uint64) * n)(*[
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        for a in chunk_arrays])
+    sizes = np.array([len(a) for a in chunk_arrays], dtype=np.int64)
+    fn = lib.dt_merge_seed_chunks
+    fn.restype = ctypes.c_long
+    return int(fn(
+        ptrs, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(n),
+        out_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_positions.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))))
+
+
+def build_seed_chunk(codes_slice, offsets_rebased, k, global_base,
+                     n_threads: int = 0):
+    """Sorted packed (key<<32|global_pos) table for one chunk of
+    sequences (positions rebased to the whole-reference coordinate)."""
+    lib = load_library()
+    if n_threads <= 0:
+        import os
+        n_threads = max(1, os.cpu_count() or 2)
+    codes_slice = np.ascontiguousarray(codes_slice, dtype=np.int8)
+    offsets_rebased = np.ascontiguousarray(offsets_rebased,
+                                           dtype=np.int64)
+    out = np.empty(max(1, len(codes_slice)), dtype=np.uint64)
+    count = lib.dt_build_seed_index(
+        codes_slice.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        len(codes_slice),
+        offsets_rebased.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets_rebased) - 1, k, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    if count < 0:
+        return None
+    packed = out[:count].copy()
+    if global_base:
+        # global position fits the low-32 field (2^32 guard upstream)
+        packed += np.uint64(global_base)
+    return packed

@@ -158,13 +158,23 @@ def create_reference(config, dataset_directory: str) -> dict:
     # --- seed indices (bowtie-build equivalent: build once here,
     # mmap-load at run) -------------------------------------------------
     from ..align.seedindex import SeedIndex
+
+    def build_index(seqs, out_prefix):
+        total_bp = sum(len(s) for s in seqs.values())
+        if total_bp > 512_000_000:
+            # genome-scale: bounded-memory per-chunk build + K-way merge
+            # (byte-identical output files, mmap-loaded afterwards)
+            SeedIndex.build_to_disk(seqs, out_prefix)
+        else:
+            SeedIndex(seqs).save(out_prefix)
+
     for fasta in (cdna_path, rrna_path):
-        SeedIndex(FastaStore.from_file(fasta)._seqs).save(
-            fasta + ".seedidx")
+        build_index(FastaStore.from_file(fasta)._seqs,
+                    fasta + ".seedidx")
     # the genome fasta lives outside the dataset dir; cache its index
     # under the dataset prefix
-    SeedIndex(FastaStore.from_file(genome_fasta)._seqs).save(
-        str(prefix) + ".genome.seedidx")
+    build_index(FastaStore.from_file(genome_fasta)._seqs,
+                str(prefix) + ".genome.seedidx")
 
     return {
         "cdna_fasta": cdna_path, "cdna_regions": regions_path,

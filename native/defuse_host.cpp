@@ -2929,3 +2929,53 @@ void dt_fastq_free(void* handle) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// K-way merge of sorted packed (key<<32|pos) seed-table chunks into
+// split keys/positions outputs — the bounded-memory genome-scale index
+// build (per-chromosome chunk tables merge in packed-value order, which
+// is exactly (key, global position) ascending; byte-identical to the
+// monolithic build).  Reference-length scaling per SURVEY §5: the
+// reference bounds chromosome size with 13-bit bins and per-chromosome
+// gmap indices; here the build is chunked and the merged table mmaps.
+// ---------------------------------------------------------------------
+
+extern "C" {
+
+long dt_merge_seed_chunks(const uint64_t** chunks, const long* sizes,
+                          int n_chunks, uint64_t* out_keys,
+                          int64_t* out_positions) {
+  // simple binary-heap merge; ties prefer the lower chunk index, which
+  // preserves ascending global position within a key
+  struct Item {
+    uint64_t value;
+    int chunk;
+  };
+  auto greater = [](const Item& a, const Item& b) {
+    if (a.value != b.value) return a.value > b.value;
+    return a.chunk > b.chunk;
+  };
+  std::vector<Item> heap;
+  std::vector<long> idx(n_chunks, 0);
+  heap.reserve(n_chunks);
+  for (int c = 0; c < n_chunks; c++)
+    if (sizes[c] > 0) heap.push_back({chunks[c][0], c});
+  std::make_heap(heap.begin(), heap.end(), greater);
+  long n = 0;
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), greater);
+    Item it = heap.back();
+    heap.pop_back();
+    out_keys[n] = it.value >> 32;
+    out_positions[n] = (int64_t)(it.value & 0xFFFFFFFFULL);
+    n++;
+    long next = ++idx[it.chunk];
+    if (next < sizes[it.chunk]) {
+      heap.push_back({chunks[it.chunk][next], it.chunk});
+      std::push_heap(heap.begin(), heap.end(), greater);
+    }
+  }
+  return n;
+}
+
+}  // extern "C"

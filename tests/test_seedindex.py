@@ -78,7 +78,7 @@ def test_seedindex_save_load_roundtrip(tmp_path):
 
     rng = random.Random(4)
     seqs = {"A": "".join(rng.choice("ACGT") for _ in range(6000)),
-            "B": "".join(rng.choice("ACGTN") for _ in range(4000))}
+            "B": "".join(rng.choice("ACGTACGTACGTACGTACGTACGTN") for _ in range(4000))}
     fasta = tmp_path / "ref.fa"
     write_fasta(str(fasta), seqs)
 
@@ -119,7 +119,7 @@ def test_native_align_batch_parity():
 
     rng = random.Random(77)
     seqs = {"A": "".join(rng.choice("ACGT") for _ in range(9000)),
-            "B": "".join(rng.choice("ACGTN") for _ in range(5000)),
+            "B": "".join(rng.choice("ACGTACGTACGTACGTACGTACGTN") for _ in range(5000)),
             # repeat-heavy sequence to exercise multi-hit caps
             "R": "ACGT" * 800}
     index = SeedIndex(seqs)
@@ -132,7 +132,7 @@ def test_native_align_batch_parity():
             read = list(src[p:p + 50])
             for _ in range(rng.randint(0, 2)):
                 i = rng.randrange(50)
-                read[i] = rng.choice("ACGTN")
+                read[i] = rng.choice("ACGTACGTACGTACGTACGTACGTN")
             reads.append("".join(read))
         elif kind < 0.7:
             reads.append("ACGT" * 12 + "AC")   # repeat multi-mapper
@@ -157,3 +157,39 @@ def test_native_align_batch_parity():
                 for hits in res]
 
     assert norm(nat) == norm(ref)
+
+
+def test_chunked_build_byte_identical(tmp_path):
+    """build_to_disk (bounded-memory per-chunk build + K-way merge)
+    produces byte-identical index files to the monolithic build."""
+    import random
+
+    from defuse_tpu.cluster import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    rng = random.Random(12)
+    seqs = {f"chr{i}": "".join(rng.choice("ACGTACGTACGTACGTACGTACGTN")
+                               for _ in range(rng.randint(3000, 9000)))
+            for i in range(7)}
+
+    mono = SeedIndex(seqs)
+    mono.save(str(tmp_path / "mono"))
+    # chunk_bp small enough to force several chunks
+    sharded = SeedIndex.build_to_disk(seqs, str(tmp_path / "shard"),
+                                      chunk_bp=8000)
+    for suffix in (".codes.npy", ".offsets.npy", ".keys.npy",
+                   ".positions.npy"):
+        a = (tmp_path / ("mono" + suffix)).read_bytes()
+        b = (tmp_path / ("shard" + suffix)).read_bytes()
+        assert a == b, suffix
+
+    # and the loaded index aligns identically
+    reads = ["".join(rng.choice("ACGT") for _ in range(50))
+             for _ in range(20)]
+    p = rng.randrange(0, len(seqs["chr3"]) - 50)
+    reads.append(seqs["chr3"][p:p + 50])
+    a = mono.align_batch(reads, max_mismatch=2)
+    b = sharded.align_batch(reads, max_mismatch=2)
+    assert a == b
+    assert any(hits for hits in b)
