@@ -499,19 +499,66 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
         reads1, reads2, _names = index_paired_fastq(fastq1, fastq2,
                                                     str(out / "reads"))
     gene_models = GeneModels(config.get_value("gene_models"))
-    cdna_index = SeedIndex.load_or_build(config.get_value("cdna_fasta"))
-    genome_prefix = None
-    if config.has_value("dataset_prefix"):
-        genome_prefix = config.get_value("dataset_prefix") \
-            + ".genome.seedidx"
-        if not SeedIndex.saved_exists(genome_prefix):
-            genome_prefix = None
-    genome_index = SeedIndex.load_or_build(
-        config.get_value("genome_fasta"), prefix=genome_prefix)
+
+    # short-read libraries (< 3*16bp after trim): 3 disjoint 16-mers no
+    # longer fit, losing the full 2-mismatch pigeonhole guarantee.  For
+    # references small enough to rebuild quickly, re-index at
+    # k = read_len//3 so the guarantee holds (ADVICE r1 item 2); huge
+    # references keep the persisted k=16 index with staggered seeds and
+    # the sensitivity warning.
+    from ..io.fasta import FastaStore as _FStore
+    if isinstance(reads1, tuple):
+        _lmax = int(max(reads1[1].max() if len(reads1[1]) else 0,
+                        reads2[1].max() if len(reads2[1]) else 0))
+    else:
+        _lmax = max((len(r) for r in list(reads1) + list(reads2)),
+                    default=0)
+    _trim = config.get_int("discord_read_trim")
+    _eff_len = min(_lmax, _trim) if _lmax else _trim
+    _short_k = None
+    if 0 < _eff_len < 48:
+        genome_bp = 0
+        try:
+            import os as _osz
+            genome_bp = _osz.path.getsize(
+                config.get_value("genome_fasta"))
+        except OSError:
+            pass
+        if genome_bp <= 512_000_000:
+            _short_k = max(8, _eff_len // 3)
+            print(f"short-read library (<=~{_eff_len}bp): rebuilding "
+                  f"seed indices at k={_short_k} for full 2-mismatch "
+                  "sensitivity", flush=True)
+
+    if _short_k is not None:
+        cdna_index = SeedIndex(
+            _FStore.from_file(config.get_value("cdna_fasta"))._seqs,
+            seed_len=_short_k)
+    else:
+        cdna_index = SeedIndex.load_or_build(
+            config.get_value("cdna_fasta"))
+    if _short_k is not None:
+        genome_index = SeedIndex(
+            _FStore.from_file(config.get_value("genome_fasta"))._seqs,
+            seed_len=_short_k)
+    else:
+        genome_prefix = None
+        if config.has_value("dataset_prefix"):
+            genome_prefix = config.get_value("dataset_prefix") \
+                + ".genome.seedidx"
+            if not SeedIndex.saved_exists(genome_prefix):
+                genome_prefix = None
+        genome_index = SeedIndex.load_or_build(
+            config.get_value("genome_fasta"), prefix=genome_prefix)
     rrna_index = None
     if config.has_value("rrna_fasta"):
-        rrna_index = SeedIndex.load_or_build(
-            config.get_value("rrna_fasta"))
+        if _short_k is not None:
+            rrna_index = SeedIndex(
+                _FStore.from_file(config.get_value("rrna_fasta"))._seqs,
+                seed_len=_short_k)
+        else:
+            rrna_index = SeedIndex.load_or_build(
+                config.get_value("rrna_fasta"))
     # unigene prefilter fastas (config `prefilter1..N`, alignjob.pl:83);
     # multiple fastas merge into one index — the screen only asks
     # whether a proper pair exists on any single prefilter sequence
@@ -519,13 +566,15 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     prefilter_paths = [p for p in config.get_indexed("prefilter")
                        if p and pathlib.Path(p).exists()]
     if prefilter_paths:
-        if len(prefilter_paths) == 1:
+        from ..io.fasta import FastaStore as _FS
+        merged: dict[str, str] = {}
+        for p in prefilter_paths:
+            merged.update(_FS.from_file(p)._seqs)
+        if _short_k is not None:
+            prefilter_index = SeedIndex(merged, seed_len=_short_k)
+        elif len(prefilter_paths) == 1:
             prefilter_index = SeedIndex.load_or_build(prefilter_paths[0])
         else:
-            from ..io.fasta import FastaStore as _FS
-            merged: dict[str, str] = {}
-            for p in prefilter_paths:
-                merged.update(_FS.from_file(p)._seqs)
             prefilter_index = SeedIndex(merged)
     ig_genes = set()
     if config.has_value("ig_gene_list"):

@@ -111,3 +111,26 @@ def test_multimap_cap_matches_bowtie_m(genome_fx):
     assert out[0] is None
     out = idx.align_batch([repeat], max_mismatch=2, max_alignments=8)
     assert out[0] is not None and len(out[0]) == 5
+
+
+def test_short_reads_full_sensitivity_with_small_k(genome_fx):
+    """k = L//3 restores the exact pigeonhole guarantee for 36bp reads:
+    hit sets equal brute force (the frontend auto-reindexes short-read
+    libraries this way)."""
+    seq, _idx16, rng = genome_fx
+    idx12 = SeedIndex({"g": seq}, seed_len=12)
+    gcodes = encode(seq)
+    reads = []
+    for n_mm in (0, 1, 2):
+        for _ in range(20):
+            p = rng.randrange(0, GENOME_LEN - 36)
+            r = _mutate(rng, seq[p:p + 36], n_mm)
+            if rng.random() < 0.5:
+                r = revcomp(r)
+            reads.append(r)
+    results = idx12.align_batch(reads, max_mismatch=2)
+    for read, hits in zip(reads, results):
+        ours = sorted((a.pos, a.strand, a.mismatches) for a in hits)
+        oracle = brute_force_hits(gcodes, read)
+        assert ours == oracle, (read, ours, oracle)
+        assert len(ours) >= 1
