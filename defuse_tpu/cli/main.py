@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
                        help="results file (default: output/results.tsv)")
     eplot.add_argument("-p", "--pdf", required=True,
                        help="plot output path (.pdf/.png)")
+
+    bamq = sub.add_parser("bamfastq",
+                          help="BAM -> paired fastq (bamfastq tool)")
+    bamq.add_argument("-b", "--bam", required=True)
+    bamq.add_argument("-1", "--fastq1", dest="fastq1", required=True)
+    bamq.add_argument("-2", "--fastq2", dest="fastq2", required=True)
+    bamq.add_argument("-r", "--rename", action="store_true")
+    bamq.add_argument("-m", "--multiples", action="store_true")
+    bamq.add_argument("-p", "--paired-names", action="store_true")
     return p
 
 
@@ -140,6 +149,13 @@ def main(argv=None) -> int:
             results_path=args.res or str(out_dir / "results.tsv"),
             fusion_id=args.fusid)
         print(res["plot"] or res["table"])
+        return 0
+
+    if args.command == "bamfastq":
+        from ..io.bam import bam_to_fastq
+        bam_to_fastq(args.bam, args.fastq1, args.fastq2,
+                     rename=args.rename, multiples=args.multiples,
+                     paired_names=args.paired_names)
         return 0
     return 1
 
