@@ -834,3 +834,35 @@ def build_seed_chunk(codes_slice, offsets_rebased, k, global_base,
         # global position fits the low-32 field (2^32 guard upstream)
         packed += np.uint64(global_base)
     return packed
+
+
+def read_stats_native(sam_path):
+    """Native read-stats pass (stats/readstats.py contract).  Returns a
+    ReadStats or None (fallback); raises ValueError on pairing errors
+    like the Python oracle."""
+    lib = load_library()
+    if lib is None:
+        return None
+    scalars = np.zeros(3, dtype=np.float64)
+    lengths = np.zeros(256, dtype=np.int32)
+    fn = lib.dt_read_stats
+    fn.restype = ctypes.c_long
+    rc = fn(ctypes.c_char_p(str(sam_path).encode()),
+            scalars.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int(256))
+    if rc == -2:
+        raise ValueError("SAM mate pairing error")
+    if rc < 0:
+        return None
+    from ..stats.readstats import ReadStats
+    n = int(scalars[0])
+    rl = sorted(lengths[:min(int(rc), 256)].tolist())
+    if n > 0:
+        mean = scalars[1] / n
+        var = scalars[2] / n - mean ** 2
+        std = var ** 0.5
+        return ReadStats(n, mean, std, rl[0] if rl else 0,
+                         rl[-1] if rl else 0, tuple(rl))
+    return ReadStats(0, 0.0, 0.0, rl[0] if rl else 0,
+                     rl[-1] if rl else 0, tuple(rl))

@@ -71,8 +71,12 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
 
     def stage_read_stats(tmp_outputs):
         if concordant_sam:
-            with open(concordant_sam) as fh:
-                stats = read_stats_from_sam(fh)
+            from ..cluster import native
+            stats = native.read_stats_native(concordant_sam) \
+                if native.available() else None
+            if stats is None:
+                with open(concordant_sam) as fh:
+                    stats = read_stats_from_sam(fh)
         else:
             stats = ReadStats(0, config.get_float("fallback_frag_mean"),
                               config.get_float("fallback_frag_stddev"),

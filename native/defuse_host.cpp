@@ -2979,3 +2979,71 @@ long dt_merge_seed_chunks(const uint64_t** chunks, const long* sizes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Native read-stats pass over the paired concordant SAM
+// (stats/readstats.py::read_stats_from_sam contract; read_stats.pl):
+// rows come in mate pairs, keep flag-0x2 same-reference pairs,
+// fragment length = |isize|.
+// ---------------------------------------------------------------------
+
+extern "C" {
+
+// out_scalars: n, sum, sumsq (doubles to mirror the Python float
+// accumulation exactly).  out_lengths: up to cap distinct read lengths.
+// Returns the count of distinct lengths, -2 on mate pairing error,
+// -1 on IO error.
+long dt_read_stats(const char* sam_path, double* out_scalars,
+                   int32_t* out_lengths, int cap) {
+  std::ifstream in(sam_path);
+  if (!in) return -1;
+  std::string l1, l2;
+  double s = 0.0, ss = 0.0;
+  long n = 0;
+  std::set<int32_t> lengths;
+
+  auto split10 = [](const std::string& line, const char* tabs[10]) {
+    int nt = 0;
+    for (const char* q = line.c_str(); *q && nt < 10; q++)
+      if (*q == '\t') tabs[nt++] = q;
+    return nt;
+  };
+  while (std::getline(in, l1)) {
+    if (!l1.empty() && l1[0] == '@') continue;
+    if (!std::getline(in, l2)) break;
+    const char* t1[10];
+    const char* t2[10];
+    if (split10(l1, t1) < 10 || split10(l2, t2) < 10) return -1;
+    // qname up to a trailing /N
+    std::string q1(l1.c_str(), t1[0] - l1.c_str());
+    std::string q2(l2.c_str(), t2[0] - l2.c_str());
+    size_t s1 = q1.rfind('/');
+    if (s1 != std::string::npos) q1.resize(s1);
+    size_t s2 = q2.rfind('/');
+    if (s2 != std::string::npos) q2.resize(s2);
+    if (q1 != q2) return -2;
+    long flag1 = atol(t1[0] + 1), flag2 = atol(t2[0] + 1);
+    if (!(flag1 & 0x2) || !(flag2 & 0x2)) continue;
+    std::string r1(t1[1] + 1, t1[2] - t1[1] - 1);
+    std::string r2(t2[1] + 1, t2[2] - t2[1] - 1);
+    if (r1 != r2) continue;
+    long isize = atol(t1[7] + 1);
+    if (isize < 0) isize = -isize;
+    s += (double)isize;
+    ss += (double)isize * (double)isize;
+    n++;
+    lengths.insert((int32_t)(t1[9] - t1[8] - 1));
+    lengths.insert((int32_t)(t2[9] - t2[8] - 1));
+  }
+  out_scalars[0] = (double)n;
+  out_scalars[1] = s;
+  out_scalars[2] = ss;
+  int i = 0;
+  for (int32_t v : lengths) {
+    if (i >= cap) break;
+    out_lengths[i++] = v;
+  }
+  return (long)lengths.size();
+}
+
+}  // extern "C"

@@ -221,3 +221,19 @@ def test_calccov_native_byte_parity(tmp_path):
     for n in ("span", "pos", "min"):
         assert nat[n].read_bytes() == py[n].read_bytes(), n
     assert py["pos"].read_text(), "empty fixture would prove nothing"
+
+
+def test_read_stats_native_parity(tmp_path):
+    """dt_read_stats matches the Python read_stats_from_sam exactly."""
+    from defuse_tpu.cluster import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    ds = make_dataset(seed=44)
+    sam = tmp_path / "pairs.sam"
+    _make_concordant_sam(ds, sam, n_pairs=2500)
+    with open(sam) as fh:
+        py = read_stats_from_sam(fh)
+    nat = native.read_stats_native(str(sam))
+    assert nat is not None
+    assert nat == py
