@@ -262,6 +262,8 @@ def run_ours_subprocess(tmpdir, device, timeout_s=480):
         elif line.startswith("PALLAS_KERNEL"):
             extras["pallas_kernel"] = dict(
                 p.split("=") for p in line.split()[1:])
+        elif line.startswith("FRONTEND_PAIRS_S"):
+            extras["frontend_pairs_s"] = float(line.split()[1])
         elif line.startswith("OURS_ELAPSED"):
             elapsed = float(line.split()[1])
             # stage lines from the timed (second) run overwrite the
@@ -299,8 +301,36 @@ def ours_only(tmpdir):
     elapsed, _outs = run_ours(paths, None, tmpdir, use_tpu=use_tpu)
     print(f"OURS_ELAPSED {elapsed}")
     print(f"OURS_DEVICE {'tpu' if use_tpu else 'cpu'}")
+    frontend_bench(ds, tmpdir)
     if use_tpu:
         pallas_kernel_bench()
+
+
+def frontend_bench(ds, tmpdir):
+    """Measure the aligner frontend (fastq -> spanning/improper) on the
+    bench dataset reads — the end-to-end-facing number the cluster+
+    split-align headline metric doesn't cover."""
+    try:
+        from defuse_tpu.align.frontend import align_job
+        from defuse_tpu.align.seedindex import SeedIndex
+        from defuse_tpu.annotate.gene_models import GeneModels
+        from synthdata import write_gtf
+        gtf = pathlib.Path(tmpdir) / "bench_genes.gtf"
+        write_gtf(ds, gtf)
+        gm = GeneModels(str(gtf))
+        cdna_index = SeedIndex(
+            {f"{g.name}|{g.transcript}": g.cdna(ds.genome) + "A" * 50
+             for g in ds.genes})
+        genome_index = SeedIndex(ds.genome)
+        t0 = time.time()
+        align_job(cdna_index=cdna_index, genome_index=genome_index,
+                  rrna_index=None, gene_models=gm, reads1=ds.reads1,
+                  reads2=ds.reads2,
+                  outdir=str(pathlib.Path(tmpdir) / "bench_frontend"))
+        dt = time.time() - t0
+        print(f"FRONTEND_PAIRS_S {len(ds.reads1) / dt:.1f}")
+    except Exception as e:
+        print(f"frontend bench failed: {e}", file=sys.stderr)
 
 
 def pallas_kernel_bench(B=8192, R=256, L=64):
