@@ -484,12 +484,12 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     """CLI helper: build indices from config-named references and run the
     frontend; returns run_pipeline keyword inputs.  ``use_device`` routes
     candidate verification through the TPU (ops/verify_batch.py)."""
+    from ..cluster import native
     from ..io.fasta import FastaStore
 
     out = pathlib.Path(output_dir)
-    from ..cluster import native as _nat
-    ingested = _nat.ingest_fastq(fastq1, fastq2, str(out / "reads")) \
-        if _nat.available() else None
+    ingested = native.ingest_fastq(fastq1, fastq2, str(out / "reads")) \
+        if native.available() else None
     if ingested is not None:
         # native ingest: renamed fastqs + .fqi + names written in C++,
         # reads handed to the aligner as char matrices (no Python
@@ -506,7 +506,6 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     # k = read_len//3 so the guarantee holds (ADVICE r1 item 2); huge
     # references keep the persisted k=16 index with staggered seeds and
     # the sensitivity warning.
-    from ..io.fasta import FastaStore as _FStore
     if isinstance(reads1, tuple):
         _lmax = int(max(reads1[1].max() if len(reads1[1]) else 0,
                         reads2[1].max() if len(reads2[1]) else 0))
@@ -532,14 +531,14 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
 
     if _short_k is not None:
         cdna_index = SeedIndex(
-            _FStore.from_file(config.get_value("cdna_fasta"))._seqs,
+            FastaStore.from_file(config.get_value("cdna_fasta"))._seqs,
             seed_len=_short_k)
     else:
         cdna_index = SeedIndex.load_or_build(
             config.get_value("cdna_fasta"))
     if _short_k is not None:
         genome_index = SeedIndex(
-            _FStore.from_file(config.get_value("genome_fasta"))._seqs,
+            FastaStore.from_file(config.get_value("genome_fasta"))._seqs,
             seed_len=_short_k)
     else:
         genome_prefix = None
@@ -554,7 +553,7 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     if config.has_value("rrna_fasta"):
         if _short_k is not None:
             rrna_index = SeedIndex(
-                _FStore.from_file(config.get_value("rrna_fasta"))._seqs,
+                FastaStore.from_file(config.get_value("rrna_fasta"))._seqs,
                 seed_len=_short_k)
         else:
             rrna_index = SeedIndex.load_or_build(
@@ -566,10 +565,9 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     prefilter_paths = [p for p in config.get_indexed("prefilter")
                        if p and pathlib.Path(p).exists()]
     if prefilter_paths:
-        from ..io.fasta import FastaStore as _FS
         merged: dict[str, str] = {}
         for p in prefilter_paths:
-            merged.update(_FS.from_file(p)._seqs)
+            merged.update(FastaStore.from_file(p)._seqs)
         if _short_k is not None:
             prefilter_index = SeedIndex(merged, seed_len=_short_k)
         elif len(prefilter_paths) == 1:
@@ -582,8 +580,7 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
             ig_genes = {line.strip() for line in fh if line.strip()}
 
     verify_fn = None
-    from ..cluster import native as _native
-    if use_device and not _native.available():
+    if use_device and not native.available():
         # the native driver beats device-verify over the tunnel; the
         # DeviceVerifier only carries the no-native fallback.  A dead
         # device link must not hang the aligner (bounded probe).

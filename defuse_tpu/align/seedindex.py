@@ -183,6 +183,15 @@ class SeedIndex:
         offsets = np.zeros(len(names) + 1, dtype=np.int64)
         for i, name in enumerate(names):
             offsets[i + 1] = offsets[i] + len(sequences[name])
+        if int(offsets[-1]) >= (1 << 32):
+            # the packed (key<<32|pos) chunk streams cannot represent
+            # positions past 2^32 — refuse loudly rather than build a
+            # silently corrupt index (same guard as the monolithic
+            # native build)
+            raise NotImplementedError(
+                f"reference is {int(offsets[-1])} bp >= 2^32; the packed "
+                "seed table cannot address it — shard the reference "
+                "(e.g. per-chromosome indices) instead")
         codes_mm = np.lib.format.open_memmap(
             prefix + ".codes.npy", mode="w+", dtype=np.int8,
             shape=(int(offsets[-1]),))
@@ -199,7 +208,12 @@ class SeedIndex:
                 chunks.append((start, i))
                 start = i
         chunk_files = []
-        tmpdir = tempfile.mkdtemp(prefix="seedidx_chunks_")
+        # chunks land beside the output prefix: system /tmp is often
+        # RAM-backed tmpfs, which would defeat the bounded-memory build
+        import os as _os
+        tmpdir = tempfile.mkdtemp(
+            prefix="seedidx_chunks_",
+            dir=_os.path.dirname(_os.path.abspath(prefix)) or None)
         total = 0
         for ci, (i0, i1) in enumerate(chunks):
             packed = native.build_seed_chunk(

@@ -120,10 +120,14 @@ def main(argv=None) -> int:
         # acquisition (defuse_create_ref.pl:134-237): when the raw
         # inputs are absent but Ensembl/UCSC versions are configured,
         # download + derive first (resumable; checksums recorded)
-        need_fetch = (
-            config.has_value("ensembl_version")
-            and config.has_value("genome_fasta")
-            and not pathlib.Path(config.get_value("genome_fasta")).exists())
+        def _missing(key):
+            return (config.has_value(key)
+                    and not pathlib.Path(config.get_value(key)).exists())
+
+        need_fetch = config.has_value("ensembl_version") and any(
+            _missing(k) for k in
+            ("genome_fasta", "gene_models", "repeats_filename",
+             "est_fasta", "est_alignments", "unigene_fasta"))
         if need_fetch:
             from ..pipeline.acquire import acquire_dataset
             acquire_dataset(config, args.dataset)

@@ -514,11 +514,14 @@ def build_align_job_tables(cdna_index, genome_index, gene_models,
                            ig_genes):
     """Flattened gene-model tables for dt_align_job (cached on the
     gene_models object keyed by the two indices)."""
-    key = (id(cdna_index), id(genome_index),
-           tuple(sorted(ig_genes)) if ig_genes else ())
+    # cache holds strong references to the two indices and verifies
+    # identity on hit — id() alone is unsafe (a GC'd index's address can
+    # be reused, e.g. after a short-read re-index at another seed_len)
+    key = tuple(sorted(ig_genes)) if ig_genes else ()
     cache = getattr(gene_models, "_native_tables", None)
-    if cache is not None and cache[0] == key:
-        return cache[1]
+    if cache is not None and cache[0] is cdna_index \
+            and cache[1] is genome_index and cache[2] == key:
+        return cache[3]
 
     chrom_intern: dict[str, int] = {}
 
@@ -597,7 +600,7 @@ def build_align_job_tables(cdna_index, genome_index, gene_models,
         gene_rs=gene_rs, gene_re=gene_re, n_genes=len(gene_ids),
         gb_keys=gb_keys, gb_off=gb_off, gb_genes=gb_genes,
         c_blob=c_blob, c_noff=c_noff, g_blob=g_blob, g_noff=g_noff)
-    gene_models._native_tables = (key, tables)
+    gene_models._native_tables = (cdna_index, genome_index, key, tables)
     return tables
 
 
@@ -651,6 +654,10 @@ def align_job_native(*, cdna_index, genome_index, rrna_index,
     r2 = np.ascontiguousarray(r2, dtype=np.uint8)
     lens1 = np.ascontiguousarray(lens1, dtype=np.int32)
     lens2 = np.ascontiguousarray(lens2, dtype=np.int32)
+    if len(lens1) != len(lens2):
+        raise ValueError(
+            f"paired fastq mismatch: {len(lens1)} end-1 reads vs "
+            f"{len(lens2)} end-2 reads")
     width = max(r1.shape[1], r2.shape[1])
     if r1.shape[1] != width:
         r1 = np.ascontiguousarray(
@@ -853,11 +860,13 @@ def read_stats_native(sam_path):
             ctypes.c_int(256))
     if rc == -2:
         raise ValueError("SAM mate pairing error")
-    if rc < 0:
+    if rc < 0 or rc > 256:
+        # >256 distinct read lengths would truncate the set (and
+        # misreport readlength_max): fall back to the Python oracle
         return None
     from ..stats.readstats import ReadStats
     n = int(scalars[0])
-    rl = sorted(lengths[:min(int(rc), 256)].tolist())
+    rl = sorted(lengths[:int(rc)].tolist())
     if n > 0:
         mean = scalars[1] / n
         var = scalars[2] / n - mean ** 2

@@ -280,7 +280,10 @@ def acquire_dataset(config, dataset_directory: str) -> dict:
         if e.get("clean_descriptions"):
             remove_fasta_descriptions(str(dest))
         recorded[e["name"]] = info
-        manifest_path.write_text(json.dumps(recorded, indent=1))
+        # atomic: a kill mid-write must not corrupt the resume manifest
+        mtmp = manifest_path.with_name(manifest_path.name + ".tmp")
+        mtmp.write_text(json.dumps(recorded, indent=1))
+        mtmp.replace(manifest_path)
 
     # per-chromosome concat targets (hg18 rmsk / intronEst)
     for target, parts in concat_groups.items():

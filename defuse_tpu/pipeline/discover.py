@@ -162,9 +162,13 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                     # chip the link terms vanish and the device always
                     # wins; over a ~30MB/s tunneled dev link small
                     # candidate sets stay on the host.
+                    # unknown link (e.g. DEFUSE_ASSUME_BACKEND
+                    # override, no probe ran): assume a slow tunneled
+                    # link so the screen engages only when it would pay
+                    # even there; force with DEFUSE_DEVICE_SCREEN=force
                     link = link_profile() or {}
-                    bw = link.get("bw_MBps", 1000.0) * 1e6
-                    rtt = link.get("rtt_ms", 1.0) / 1e3
+                    bw = link.get("bw_MBps", 30.0) * 1e6
+                    rtt = link.get("rtt_ms", 50.0) / 1e3
                     B = driver.n_candidates
                     L = _pad_len(max_read_length, 64)
                     t_dev = 3 * rtt + (2 * B * L) / bw + B / 700e3

@@ -359,10 +359,19 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
         classify_results(str(results), str(classified))
         filter_by_probability(str(classified), str(filtered),
                               config.get_float("probability_threshold"))
+    else:
+        # never serve stale classifier outputs from a previous run in
+        # the same output directory
+        for p in (classified, filtered):
+            if p.exists():
+                p.unlink()
     _mark("collate+classify")
     _tracer.flush()
-    return {"results": str(results), "classified": str(classified),
-            "filtered": str(filtered), **denovo_outs}
+    return {"results": str(results),
+            "classified": str(classified) if classified.exists()
+            else None,
+            "filtered": str(filtered) if filtered.exists() else None,
+            **denovo_outs}
 
 
 def _read_stats_file(path) -> ReadStats:
