@@ -588,16 +588,42 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
         if tpu_backend_available():
             from ..ops.verify_batch import DeviceVerifier
             verify_fn = DeviceVerifier()
-    res = align_job(
-        cdna_index=cdna_index, genome_index=genome_index,
-        rrna_index=rrna_index, gene_models=gene_models,
-        reads1=reads1, reads2=reads2, outdir=str(out / "aligned"),
-        max_insert_size=config.get_int("max_insert_size"),
-        discord_read_trim=config.get_int("discord_read_trim"),
-        max_paired_alignments=config.get_int("max_paired_alignments"),
-        dna_concordant_length=config.get_int("dna_concordant_length"),
-        ig_genes=ig_genes, verify_fn=verify_fn,
-        prefilter_index=prefilter_index)
+    def run_shard(r1, r2, outdir):
+        return align_job(
+            cdna_index=cdna_index, genome_index=genome_index,
+            rrna_index=rrna_index, gene_models=gene_models,
+            reads1=r1, reads2=r2, outdir=str(outdir),
+            max_insert_size=config.get_int("max_insert_size"),
+            discord_read_trim=config.get_int("discord_read_trim"),
+            max_paired_alignments=config.get_int("max_paired_alignments"),
+            dna_concordant_length=config.get_int("dna_concordant_length"),
+            ig_genes=ig_genes, verify_fn=verify_fn,
+            prefilter_index=prefilter_index)
+
+    def slice_reads(reads, lo, hi):
+        if isinstance(reads, tuple):
+            return (reads[0][lo:hi], reads[1][lo:hi])
+        return reads[lo:hi]
+
+    n_frags = len(reads1[1]) if isinstance(reads1, tuple) else len(reads1)
+    reads_per_job = config.get_int("reads_per_job")
+    if n_frags > reads_per_job:
+        # data-parallel frontend shards (defuse_run.pl:315-385): bounds
+        # per-shard memory at reads_per_job pairs; shard merge is
+        # byte-identical to the unsharded run
+        from ..parallel.shard import merge_frontend_shards
+        shard_results = []
+        offsets = []
+        for si, lo in enumerate(range(0, n_frags, reads_per_job)):
+            hi = min(lo + reads_per_job, n_frags)
+            shard_results.append(run_shard(
+                slice_reads(reads1, lo, hi), slice_reads(reads2, lo, hi),
+                out / "aligned" / f"shard{si}"))
+            offsets.append(lo)
+        res = merge_frontend_shards(shard_results, offsets,
+                                    out / "aligned")
+    else:
+        res = run_shard(reads1, reads2, out / "aligned")
     return {
         "spanning": res["spanning"], "improper": res["improper"],
         "fastq1": str(out / "reads" / "reads.1.fastq"),

@@ -92,3 +92,56 @@ def divide_spanning_by_chr_pair(rows, chrom_of):
     if current:
         flush(current)
     return partitions
+
+
+def merge_frontend_shards(shard_results, shard_offsets, outdir):
+    """Merge per-shard frontend artifacts into global-id files
+    (``defuse_run.pl:387-400`` merge semantics; byte-identical to the
+    unsharded run — pinned by ``tests/test_pipeline_sharded.py`` /
+    ``test_frontend_sharding``).
+
+    shard_results: list of align_job result dicts; shard_offsets: global
+    fragment-id base per shard.  Returns a merged result dict.
+    """
+    from ..stats.readstats import merge_read_stats
+
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    merged = {"spanning": out / "spanning.compact",
+              "improper": out / "improper.sam",
+              "concordant_sam": out / "cdna.pair.sam"}
+    for path in merged.values():
+        if path.exists():
+            path.unlink()
+
+    def globalize(src, dst, offset, qname_style):
+        with open(src) as fin, open(dst, "a") as fout:
+            for line in fin:
+                f = line.split("\t")
+                if qname_style == "frag/end":
+                    frag, end = f[0].split("/")
+                    f[0] = f"{int(frag) + offset}/{end}"
+                else:
+                    f[0] = str(int(f[0]) + offset)
+                fout.write("\t".join(f))
+
+    concordant: set[int] = set()
+    blacklist: set[int] = set()
+    for res, offset in zip(shard_results, shard_offsets):
+        globalize(res["spanning"], merged["spanning"], offset, "frag")
+        globalize(res["improper"], merged["improper"], offset,
+                  "frag/end")
+        globalize(res["concordant_sam"], merged["concordant_sam"],
+                  offset, "sam")
+        concordant |= {f + offset for f in res["concordant_fragments"]}
+        blacklist |= {f + offset for f in res["blacklist"]}
+
+    stats = merge_read_stats([r["stats"] for r in shard_results])
+    return {
+        "spanning": str(merged["spanning"]),
+        "improper": str(merged["improper"]),
+        "concordant_sam": str(merged["concordant_sam"]),
+        "stats": stats,
+        "concordant_fragments": concordant,
+        "blacklist": blacklist,
+    }

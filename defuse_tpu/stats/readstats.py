@@ -82,7 +82,7 @@ def merge_read_stats(stats: list[ReadStats]) -> ReadStats:
     n = 0
     s = 0.0
     ss = 0.0
-    lengths = []
+    lengths: set[int] = set()
     for st in stats:
         if st.frag_count <= 0:
             continue
@@ -90,10 +90,12 @@ def merge_read_stats(stats: list[ReadStats]) -> ReadStats:
         s += st.fraglength_mean * st.frag_count
         ss += (st.fraglength_stddev ** 2 + st.fraglength_mean ** 2) \
             * st.frag_count
-        lengths += [st.readlength_min, st.readlength_max]
+        lengths.update(st.readlengths
+                       or (st.readlength_min, st.readlength_max))
     mean = s / n
     var = ss / n - mean ** 2
-    return ReadStats(n, mean, var ** 0.5, min(lengths), max(lengths))
+    rl = sorted(lengths)
+    return ReadStats(n, mean, var ** 0.5, rl[0], rl[-1], tuple(rl))
 
 
 def expression_counts(lines) -> dict[str, float]:

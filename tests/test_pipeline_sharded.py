@@ -142,3 +142,36 @@ def test_sharded_pipeline_byte_identity(tmp_path, n_shards):
     # the run found real fusions (non-trivial identity)
     assert len(pathlib.Path(
         outs["whole"]["results"]).read_text().splitlines()) > 1
+
+
+def test_align_reads_reads_per_job_sharding(tmp_path):
+    """align_reads honors reads_per_job: the sharded frontend merge is
+    byte-identical to an unsharded run."""
+    from defuse_tpu.align.frontend import align_reads
+
+    ds = make_dataset(seed=19, n_fusion_frags=80, n_background_frags=80)
+    paths = write_dataset(ds, tmp_path)
+    gtf = tmp_path / "genes.gtf"
+    write_gtf(ds, gtf)
+    genome_fa = tmp_path / "genome.fa"
+    write_genome_fasta(ds, genome_fa)
+    from defuse_tpu.io.fasta import write_fasta
+    cdna_fa = tmp_path / "cdna.fa"
+    write_fasta(str(cdna_fa),
+                {f"{g.name}|{g.transcript}": g.cdna(ds.genome) + "A" * 50
+                 for g in ds.genes})
+
+    def run(outdir, rpj):
+        config = Config.defaults(
+            genome_fasta=str(genome_fa), gene_models=str(gtf),
+            cdna_fasta=str(cdna_fa), reads_per_job=rpj)
+        return align_reads(config, str(tmp_path / outdir),
+                           str(paths["fastq1"]), str(paths["fastq2"]),
+                           use_device=False)
+
+    whole = run("whole", 10_000_000)
+    sharded = run("sharded", 40)  # forces several shards
+    for key in ("spanning", "improper"):
+        assert pathlib.Path(sharded[key]).read_bytes() == \
+            pathlib.Path(whole[key]).read_bytes(), key
+    assert pathlib.Path(sharded["spanning"]).stat().st_size > 0
