@@ -558,49 +558,56 @@ class MatePairEMHost {
     return true;
   }
 
-  void Exponents(std::vector<std::vector<double>>& exps) const {
-    exps.assign(k_, std::vector<double>(n_));
-    for (int i = 0; i < n_; i++)
-      for (int j = 0; j < k_; j++) {
-        double diff = (a_[j] + b_[j] - x_[i] - y_[i] - u_[i]) / stddev_;
-        exps[j][i] = -0.5 * diff * diff -
-                     kLambda * std::max(0.0, x_[i] - a_[j]) -
-                     kLambda * std::max(0.0, y_[i] - b_[j]);
+  void Exponents() const {
+    // j-major flat scratch (reused across iterations); hoisting
+    // a_[j]+b_[j] keeps the reference association ((a+b)-x)-y)-u
+    exps_flat_.resize((size_t)k_ * n_);
+    for (int j = 0; j < k_; j++) {
+      const double aj = a_[j], bj = b_[j], ab = aj + bj;
+      double* row = &exps_flat_[(size_t)j * n_];
+      for (int i = 0; i < n_; i++) {
+        double diff = (ab - x_[i] - y_[i] - u_[i]) / stddev_;
+        row[i] = -0.5 * diff * diff -
+                 kLambda * std::max(0.0, x_[i] - aj) -
+                 kLambda * std::max(0.0, y_[i] - bj);
       }
-  }
-
-  double LogLikelihood() const {
-    std::vector<std::vector<double>> exps;
-    Exponents(exps);
-    double LL = 0.0;
-    for (int i = 0; i < n_; i++) {
-      double maxexp = exps[0][i];
-      for (int j = 1; j < k_; j++) maxexp = std::max(maxexp, exps[j][i]);
-      double sum = 0.0;
-      for (int j = 0; j < k_; j++)
-        sum += w_[j] * std::exp(exps[j][i] - maxexp);
-      if (sum == 0.0) return -std::numeric_limits<double>::max();
-      LL += std::log(sum) + maxexp;
     }
-    return LL;
   }
 
-  void UpdateResponsibilities() {
-    std::vector<std::vector<double>> exps;
-    Exponents(exps);
+  // One pass computing the log-likelihood at the current (a, b, w) AND
+  // the next responsibilities from a single Exponents evaluation.
+  // Bit-identical to evaluating them separately: the per-component
+  // terms w_j*exp(e_ij - max_i) accumulate in the same j order into the
+  // same normalizer, and r = term/norm matches (w*exp(..))/norm.
+  // (Updating r_ on the iteration that turns out to converge is
+  // invisible: r_ only feeds the next iteration's M-step.)
+  double LogLikelihoodAndResponsibilities() {
+    Exponents();
+    double LL = 0.0;
+    bool valid = true;
+    double terms[kKMax];
     for (int i = 0; i < n_; i++) {
-      double maxexp = exps[0][i];
-      for (int j = 1; j < k_; j++) maxexp = std::max(maxexp, exps[j][i]);
-      double norm = 0.0;
-      for (int j = 0; j < k_; j++)
-        norm += w_[j] * std::exp(exps[j][i] - maxexp);
+      double maxexp = exps_flat_[i];
+      for (int j = 1; j < k_; j++)
+        maxexp = std::max(maxexp, exps_flat_[(size_t)j * n_ + i]);
+      double sum = 0.0;
       for (int j = 0; j < k_; j++) {
-        double r = w_[j] * std::exp(exps[j][i] - maxexp) / norm;
+        double t = w_[j] * std::exp(exps_flat_[(size_t)j * n_ + i] - maxexp);
+        terms[j] = t;
+        sum += t;
+      }
+      if (sum == 0.0)
+        valid = false;
+      else if (valid)
+        LL += std::log(sum) + maxexp;
+      for (int j = 0; j < k_; j++) {
+        double r = terms[j] / sum;
         r_[j][i] = r;
         rxo_[j][to_xo_[i]] = r;
         ryo_[j][to_yo_[i]] = r;
       }
     }
+    return valid ? LL : -std::numeric_limits<double>::max();
   }
 
   bool ExpectationMaximization(double& ll_out) {
@@ -656,13 +663,12 @@ class MatePairEMHost {
         for (int i = 0; i < n_; i++) nk += r_[j][i];
         w_[j] = nk / n_;
       }
-      double ll = LogLikelihood();
+      double ll = LogLikelihoodAndResponsibilities();
       if (last_valid && std::fabs(ll - last_ll) < kTolerance) break;
       if (last_valid && ll == -std::numeric_limits<double>::max())
         return false;
       last_ll = ll;
       last_valid = true;
-      UpdateResponsibilities();
     }
     ll_out = last_ll;
     return true;
@@ -674,6 +680,7 @@ class MatePairEMHost {
   std::vector<double> x_, y_, u_, xo_, yo_, w_, a_, b_;
   std::vector<int> to_xo_, to_yo_, xo_inv_, yo_inv_;
   std::vector<std::vector<double>> r_, rxo_, ryo_;
+  mutable std::vector<double> exps_flat_;
 };
 
 }  // namespace
