@@ -268,6 +268,11 @@ def run_ours_subprocess(tmpdir, device, timeout_s=480):
             elapsed = float(line.split()[1])
             # stage lines from the timed (second) run overwrite the
             # warm-up run's values key by key — keep what's accumulated
+        elif line.startswith("[discover] screen: "):
+            # cost-model routing decision (host vs device screen) from
+            # the timed run — kept in the artifact so a slow recorded
+            # number can be attributed to a routing misprediction
+            extras["screen_routing"] = line[len("[discover] "):]
         elif line.startswith("[stage] ") and line.rstrip().endswith("s"):
             try:
                 stage, val = line[len("[stage] "):].rsplit(": ", 1)

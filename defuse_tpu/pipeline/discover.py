@@ -174,12 +174,13 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                     t_dev = 3 * rtt + (2 * B * L) / bw + B / 700e3
                     ncpu = os.cpu_count() or 4
                     t_host = B / (90e3 * ncpu)
+                    if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
+                        print(f"[discover] screen: "
+                              f"{'device' if t_dev < t_host else 'host'}"
+                              f" wins (est dev {t_dev:.2f}s vs host "
+                              f"{t_host:.2f}s, B={B}, link {link})",
+                              flush=True)
                     if t_dev >= t_host:
-                        if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
-                            print(f"[discover] screen: host wins "
-                                  f"(est dev {t_dev:.2f}s vs host "
-                                  f"{t_host:.2f}s, link {link})",
-                                  flush=True)
                         use_device = False
         if use_device and driver.n_candidates and cluster_ids:
             from ..ops.split_dp_batch import pad_batch

@@ -349,6 +349,8 @@ class MatePairEMHost {
     x_ = inst.x;
     y_ = inst.y;
     u_ = inst.u;
+    s_.resize(n_);
+    for (int t = 0; t < n_; t++) s_[t] = x_[t] + y_[t] + u_[t];
 
     // stable descending sorts
     std::vector<int> xo_order(n_), yo_order(n_);
@@ -420,100 +422,87 @@ class MatePairEMHost {
                      const std::vector<double>& resp_by_y, double& a,
                      double& b) const {
     const int n = n_;
-    // cumulative responsibilities along each sorted axis
-    std::vector<double> cum_x(n), cum_y(n);
-    double acc = 0.0;
-    for (int i = 0; i < n; i++) {
-      acc += resp_by_x[i];
-      cum_x[i] = acc;
-    }
-    acc = 0.0;
-    for (int j = 0; j < n; j++) {
-      acc += resp_by_y[j];
-      cum_y[j] = acc;
-    }
-    // knot_a/knot_b: candidate (a,b) positions; knot_slack: the
-    // cumulative responsibility mass inside the exponential-slack region
-    // at that knot (the piecewise-linear slope contribution)
-    std::vector<double> knot_a, knot_b, knot_slack;
-    knot_a.push_back(xo_[0]);
-    knot_b.push_back(yo_[0]);
-    knot_slack.push_back(0.0);
-    int i = 0, j = 0;
-    while (i < n && j < n) {
-      if (i + 1 < n && xo_[i] == xo_[i + 1]) {
-        i++;
-        continue;
-      }
-      if (j + 1 < n && yo_[j] == yo_[j + 1]) {
-        j++;
-        continue;
-      }
-      if (cum_x[i] == cum_y[j]) {
-        knot_a.push_back(xo_[i]);
-        knot_b.push_back(yo_[j]);
-        knot_slack.push_back(cum_x[i]);
-        if (i + 1 < n && j + 1 < n) {
-          knot_a.push_back(xo_[i + 1]);
-          knot_b.push_back(yo_[j + 1]);
-          knot_slack.push_back(cum_x[i]);
-        }
-        i++;
-        j++;
-      } else if (cum_x[i] < cum_y[j]) {
-        knot_a.push_back(xo_[i]);
-        knot_b.push_back(yo_[j]);
-        knot_slack.push_back(cum_x[i]);
-        if (i + 1 < n) {
-          knot_a.push_back(xo_[i + 1]);
-          knot_b.push_back(yo_[j]);
-          knot_slack.push_back(cum_x[i]);
-        }
-        i++;
-      } else {
-        knot_a.push_back(xo_[i]);
-        knot_b.push_back(yo_[j]);
-        knot_slack.push_back(cum_y[j]);
-        if (j + 1 < n) {
-          knot_a.push_back(xo_[i]);
-          knot_b.push_back(yo_[j + 1]);
-          knot_slack.push_back(cum_y[j]);
-        }
-        j++;
-      }
-    }
     double resp_total = 0.0;
     for (int t = 0; t < n; t++) resp_total += resp[t];
     if (resp_total == 0.0) return false;
     // responsibility-weighted sum of (x+y+u): the normal term's center
     double resp_wsum = 0.0;
-    for (int t = 0; t < n; t++)
-      resp_wsum += resp[t] * (x_[t] + y_[t] + u_[t]);
+    for (int t = 0; t < n; t++) resp_wsum += resp[t] * s_[t];
     const double s2 = stddev_ * stddev_;
-    // walk knots until the derivative of the objective turns positive
-    size_t knot = 0;
-    while (knot < knot_slack.size()) {
+
+    // Knots are candidate (a,b) positions; the slack value is the
+    // cumulative responsibility mass inside the exponential-slack
+    // region at that knot (the piecewise-linear slope contribution).
+    // The objective's derivative is monotone along the knot walk, so
+    // instead of materializing all ~2n knots, generate them lazily in
+    // the same merge order (cum profiles as incremental prefix sums —
+    // identical accumulation order, bit-exact) and stop at the first
+    // knot whose slope turns positive.
+    double fa = 0, fb = 0, fs = 0;  // chosen (current) knot
+    double pa = 0, pb = 0, ps = 0;  // knot before it
+    bool first_knot = true, started = false, done = false;
+    auto process = [&](double A, double B, double S) {
+      if (started) {
+        pa = fa;
+        pb = fb;
+        ps = fs;
+        first_knot = false;
+      }
+      started = true;
+      fa = A;
+      fb = B;
+      fs = S;
       double slope =
-          (resp_wsum - resp_total * (knot_a[knot] + knot_b[knot])) / s2 +
-          kLambda * knot_slack[knot];
-      if (slope > 0) break;
-      knot++;
+          (resp_wsum - resp_total * (A + B)) / s2 + kLambda * S;
+      if (slope > 0) done = true;
+    };
+    process(xo_[0], yo_[0], 0.0);
+    int i = 0, j = 0;
+    double cx = resp_by_x[0], cy = resp_by_y[0];
+    while (!done && i < n && j < n) {
+      if (i + 1 < n && xo_[i] == xo_[i + 1]) {
+        i++;
+        cx += resp_by_x[i];
+        continue;
+      }
+      if (j + 1 < n && yo_[j] == yo_[j + 1]) {
+        j++;
+        cy += resp_by_y[j];
+        continue;
+      }
+      if (cx == cy) {
+        process(xo_[i], yo_[j], cx);
+        if (!done && i + 1 < n && j + 1 < n)
+          process(xo_[i + 1], yo_[j + 1], cx);
+        i++;
+        if (i < n) cx += resp_by_x[i];
+        j++;
+        if (j < n) cy += resp_by_y[j];
+      } else if (cx < cy) {
+        process(xo_[i], yo_[j], cx);
+        if (!done && i + 1 < n) process(xo_[i + 1], yo_[j], cx);
+        i++;
+        if (i < n) cx += resp_by_x[i];
+      } else {
+        process(xo_[i], yo_[j], cy);
+        if (!done && j + 1 < n) process(xo_[i], yo_[j + 1], cy);
+        j++;
+        if (j < n) cy += resp_by_y[j];
+      }
     }
-    if (knot >= knot_slack.size()) knot = knot_slack.size() - 1;  // guard
-    double ab_sum =
-        (resp_wsum + s2 * kLambda * knot_slack[knot]) / resp_total;
-    if (knot == 0) {
-      double min_a = knot_a[0];
-      double max_a = ab_sum - knot_b[0];
+    double ab_sum = (resp_wsum + s2 * kLambda * fs) / resp_total;
+    if (first_knot) {
+      double min_a = fa;
+      double max_a = ab_sum - fb;
       a = 0.5 * (min_a + max_a);
       b = ab_sum - a;
-    } else if (knot_slack[knot] != knot_slack[knot - 1]) {
-      a = knot_a[knot];
-      b = knot_b[knot];
+    } else if (fs != ps) {
+      a = fa;
+      b = fb;
     } else {
       // flat segment: center (a,b) within the feasible interval
-      double min_a = std::max(knot_a[knot], ab_sum - knot_b[knot - 1]);
-      double max_a = std::min(knot_a[knot - 1], ab_sum - knot_b[knot]);
+      double min_a = std::max(fa, ab_sum - pb);
+      double max_a = std::min(pa, ab_sum - fb);
       a = 0.5 * (min_a + max_a);
       b = ab_sum - a;
     }
@@ -677,7 +666,7 @@ class MatePairEMHost {
   double mean_, stddev_, min_probability_;
   int min_size_;
   int n_ = 0, k_ = 0;
-  std::vector<double> x_, y_, u_, xo_, yo_, w_, a_, b_;
+  std::vector<double> x_, y_, u_, s_, xo_, yo_, w_, a_, b_;
   std::vector<int> to_xo_, to_yo_, xo_inv_, yo_inv_;
   std::vector<std::vector<double>> r_, rxo_, ryo_;
   mutable std::vector<double> exps_flat_;
