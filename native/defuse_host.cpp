@@ -1204,37 +1204,176 @@ constexpr int kMismatch = -1;
 constexpr int kGap = -2;
 constexpr int kMinSplitScore = 8;  // MIN_ANCHOR(4) * MATCH(2)
 
-// DP rows for read (q, n) vs ref (r, m): rows (n+1) x (m+1), row 0 all
-// zeros; row j: vert[0]=GAP*j, vert[i]=max(prev[i-1]+sub, prev[i]+GAP),
-// col[i]=max(vert[i], col[i-1]+GAP).
-void SplitDPRows(const uint8_t* q, int n, const uint8_t* r, int m,
-                 std::vector<int32_t>& rows) {
-  rows.assign((size_t)(n + 1) * (m + 1), 0);
-  // two passes per row: the vertical/diagonal candidates vectorize; the
-  // horizontal-gap prefix max is a short serial scan
-  for (int j = 1; j <= n; j++) {
-    const int32_t* prev = rows.data() + (size_t)(j - 1) * (m + 1);
-    int32_t* cur = rows.data() + (size_t)j * (m + 1);
+// Streaming DP for read (q, n) vs ref (r, m) with rolling 2-row state:
+// row 0 all zeros; row j: vert[0]=GAP*j, vert[i]=max(prev[i-1]+sub,
+// prev[i]+GAP), col[i]=max(vert[i], col[i-1]+GAP).  Fills the anchored
+// row maximum (clamped to 0 below kMinSplitScore) for rows 0..max_row
+// and, for each row index listed ascending in capture (size n_capture),
+// copies the full post-horizontal row into capture_out at the matching
+// slot.  Rows past max_row are not computed.  The full DP table is
+// never materialized — the working set is two rows (L1-resident),
+// which is what makes the screening pass memory-cheap; arithmetic and
+// iteration order are identical to the previous table-building version
+// (byte parity pinned by tests/test_realign_driver.py and
+// tests/test_split_chain_parity.py).
+void SplitDPStream(const uint8_t* q, int n, const uint8_t* r, int m,
+                   int max_row, int32_t* rowmax, const int* capture,
+                   int n_capture, int32_t* capture_out,
+                   std::vector<int32_t>& prevbuf,
+                   std::vector<int32_t>& curbuf) {
+  prevbuf.assign(m + 1, 0);
+  curbuf.assign(m + 1, 0);
+  int32_t* prev = prevbuf.data();
+  int32_t* cur = curbuf.data();
+  rowmax[0] = 0;  // row 0 max is 0 < kMinSplitScore
+  int cap_idx = 0;
+  if (n_capture > 0 && capture[0] == 0) {
+    std::fill(capture_out, capture_out + (m + 1), 0);
+    cap_idx++;
+  }
+  for (int j = 1; j <= max_row; j++) {
     uint8_t ch = q[j - 1];
+    // vertical/diagonal candidates — vectorizes (no carried dependency)
     for (int i = 1; i <= m; i++) {
       int32_t sub = (r[i - 1] == ch) ? kMatch : kMismatch;
       cur[i] = std::max(prev[i - 1] + sub, prev[i] + kGap);
     }
+    // horizontal-gap prefix max (serial scan); a gap-extended value is
+    // always below its source so the row max can be tracked here free
     int32_t running = kGap * j;
     cur[0] = running;
+    int32_t mx = running;
     for (int i = 1; i <= m; i++) {
       running = std::max(cur[i], running + kGap);
       cur[i] = running;
+      mx = std::max(mx, running);
     }
+    rowmax[j] = (mx >= kMinSplitScore) ? mx : 0;
+    if (cap_idx < n_capture && capture[cap_idx] == j) {
+      std::copy(cur, cur + (m + 1),
+                capture_out + (size_t)cap_idx * (m + 1));
+      cap_idx++;
+    }
+    std::swap(prev, cur);
   }
 }
 
-// anchored row max over columns 0..m (clamped to 0 below threshold)
-inline int32_t AnchoredRowMax(const int32_t* row, int m) {
-  int32_t mx = row[0];
-  for (int i = 1; i <= m; i++) mx = std::max(mx, row[i]);
-  return (mx >= kMinSplitScore) ? mx : 0;
+// Lane-parallel screening: kScreenLanes candidates advance together,
+// one int32 SIMD lane each (16 x int32 = one AVX-512 vector, or two
+// AVX2 vectors — GCC vector extensions lower to whatever the target
+// has).  Sequences are pre-widened to int32 and interleaved
+// col-major-by-lane (index i*kScreenLanes + l) so every step is a
+// contiguous vector op with no cross-lane dependency; the serial
+// horizontal-gap scan's dependency chain is amortized 16x.  The
+// vertical/diagonal recurrence and the horizontal prefix scan are
+// fused into one sweep (the scan consumes each cell as it is
+// produced), and only the post-gap row is stored — per-lane
+// arithmetic is identical to SplitDPStream (byte parity; pinned by
+// tests/test_realign_driver.py, test_split_chain_parity.py).
+// Pad codes: -1 for reads, -2 for refs — never equal to each other or
+// to any real byte (0..255), so a shorter lane's padded columns only
+// produce strictly decaying values that can never raise its row max,
+// and its padded rows are simply never read out.
+constexpr int kScreenLanes = 16;
+typedef int32_t v16si __attribute__((vector_size(64)));
+static inline v16si VLoad(const int32_t* p) {
+  v16si v;
+  __builtin_memcpy(&v, p, sizeof(v));
+  return v;
 }
+static inline void VStore(int32_t* p, v16si v) {
+  __builtin_memcpy(p, &v, sizeof(v));
+}
+
+// Per-lane capture request: after the horizontal pass of each row j,
+// lanes whose (sorted ascending) rows list contains j get that row
+// de-interleaved into out (nrows x (m_l+1), row-major).  next tracks
+// the cursor into rows during the sweep.
+struct LaneCapture {
+  const int* rows = nullptr;
+  int nrows = 0;
+  int m_l = 0;
+  int32_t* out = nullptr;
+  int next = 0;
+};
+
+template <bool kCapture>
+void ScreenGroupSideT(const int32_t* q_il, int n_max, const int32_t* r_il,
+                      int m_max, int32_t* rowmax /* lanes x (n_max+1) */,
+                      std::vector<int32_t>& prevbuf,
+                      std::vector<int32_t>& curbuf,
+                      LaneCapture* caps = nullptr) {
+  const int W = kScreenLanes;
+  prevbuf.assign((size_t)(m_max + 1) * W, 0);
+  curbuf.assign((size_t)(m_max + 1) * W, 0);
+  int32_t* prev = prevbuf.data();
+  int32_t* cur = curbuf.data();
+  for (int l = 0; l < W; l++) rowmax[(size_t)l * (n_max + 1)] = 0;
+  if (kCapture) {
+    for (int l = 0; l < W; l++) {
+      LaneCapture& lc = caps[l];
+      lc.next = 0;
+      if (lc.nrows > 0 && lc.rows[0] == 0) {  // row 0 is all zeros
+        std::fill(lc.out, lc.out + (lc.m_l + 1), 0);
+        lc.next = 1;
+      }
+    }
+  }
+  for (int j = 1; j <= n_max; j++) {
+    const v16si qv = VLoad(q_il + (size_t)(j - 1) * W);
+    const int32_t* __restrict__ rrow = r_il;
+    const int32_t* __restrict__ prow = prev;
+    int32_t* __restrict__ crow = cur;
+    v16si run, mx;
+    for (int l = 0; l < W; l++) run[l] = kGap * j;
+    VStore(crow, run);
+    mx = run;
+    v16si pd = VLoad(prow);  // prev[i-1] at i=1
+    for (int i = 1; i <= m_max; i++) {
+      v16si rv = VLoad(rrow + (size_t)(i - 1) * W);
+      v16si pv = VLoad(prow + (size_t)i * W);
+      v16si eq = (rv == qv);  // -1 where equal
+      v16si sub = (eq & (kMatch - kMismatch)) + kMismatch;
+      v16si v = pd + sub;
+      v16si w = pv + kGap;
+      v16si c = (v > w) ? v : w;
+      v16si g = run + kGap;
+      c = (c > g) ? c : g;
+      run = c;
+      VStore(crow + (size_t)i * W, c);
+      mx = (mx > c) ? mx : c;
+      pd = pv;
+    }
+    for (int l = 0; l < W; l++)
+      rowmax[(size_t)l * (n_max + 1) + j] =
+          (mx[l] >= kMinSplitScore) ? mx[l] : 0;
+    if (kCapture) {
+      for (int l = 0; l < W; l++) {
+        LaneCapture& lc = caps[l];
+        if (lc.next < lc.nrows && lc.rows[lc.next] == j) {
+          int32_t* o = lc.out + (size_t)lc.next * (lc.m_l + 1);
+          for (int i = 0; i <= lc.m_l; i++) o[i] = crow[(size_t)i * W + l];
+          lc.next++;
+        }
+      }
+    }
+    std::swap(prev, cur);
+  }
+}
+
+inline void ScreenGroupSide(const int32_t* q_il, int n_max,
+                            const int32_t* r_il, int m_max, int32_t* rowmax,
+                            std::vector<int32_t>& prevbuf,
+                            std::vector<int32_t>& curbuf) {
+  ScreenGroupSideT<false>(q_il, n_max, r_il, m_max, rowmax, prevbuf, curbuf);
+}
+
+// A screen survivor: candidate index + its winning split rows
+// (ascending), held until the batched capture phase.
+struct Survivor {
+  int b;
+  std::vector<int> ks;
+};
 
 }  // namespace
 
@@ -1248,69 +1387,237 @@ long dt_split_realign(const uint8_t* ref1, const int64_t* ref1_off,
                       int n_cand, int n_threads, int32_t* out, long cap) {
   std::vector<std::vector<int32_t>> results(n_cand);
   if (n_threads < 1) n_threads = 1;
+  // group candidates of similar read/ref length so lane padding inside
+  // a screen group is minimal; output order is by original index b, so
+  // processing order is free
+  const int W = kScreenLanes;
+  std::vector<int> order(n_cand);
+  for (int b = 0; b < n_cand; b++) order[b] = b;
+  std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+    int64_t na = read_off[a + 1] - read_off[a];
+    int64_t nb = read_off[b + 1] - read_off[b];
+    if (na != nb) return na > nb;
+    int64_t ma = std::max(ref1_off[a + 1] - ref1_off[a],
+                          ref2_off[a + 1] - ref2_off[a]);
+    int64_t mb = std::max(ref1_off[b + 1] - ref1_off[b],
+                          ref2_off[b + 1] - ref2_off[b]);
+    return ma > mb;
+  });
+  int n_groups = (n_cand + W - 1) / W;
+  const bool timing = getenv("DEFUSE_REALIGN_TIMING") != nullptr;
+  std::vector<double> t_screen(n_threads, 0), t_capture(n_threads, 0),
+      t_prep(n_threads, 0);
   std::vector<std::thread> threads;
   for (int t = 0; t < n_threads; t++) {
     threads.emplace_back([&, t]() {
-      std::vector<int32_t> rows1, rows2;
-      std::vector<uint8_t> qrev, rrev;
-      for (int b = t; b < n_cand; b += n_threads) {
-        const uint8_t* r1 = ref1 + ref1_off[b];
-        int m1 = (int)(ref1_off[b + 1] - ref1_off[b]);
-        const uint8_t* r2 = ref2 + ref2_off[b];
-        int m2 = (int)(ref2_off[b + 1] - ref2_off[b]);
-        const uint8_t* q = reads + read_off[b];
-        int n = (int)(read_off[b + 1] - read_off[b]);
-        if (n == 0) continue;
-        qrev.assign(q, q + n);
-        std::reverse(qrev.begin(), qrev.end());
-        rrev.assign(r2, r2 + m2);
-        std::reverse(rrev.begin(), rrev.end());
-        SplitDPRows(q, n, r1, m1, rows1);
-        SplitDPRows(qrev.data(), n, rrev.data(), m2, rows2);
-        // row maxima + combine
-        std::vector<int32_t> rm1(n + 1), rm2(n + 1);
-        for (int j = 0; j <= n; j++) {
-          rm1[j] = AnchoredRowMax(rows1.data() + (size_t)j * (m1 + 1), m1);
-          rm2[j] = AnchoredRowMax(rows2.data() + (size_t)j * (m2 + 1), m2);
+      auto now = [] {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+      };
+      std::vector<int32_t> prevbuf, curbuf, cap1, cap2;
+      std::vector<int32_t> q_il, qrev_il, r1_il, r2rev_il;
+      std::vector<int32_t> grm1, grm2;
+      std::vector<int> ks;
+      std::vector<Survivor> survivors;
+      for (int g = t; g < n_groups; g += n_threads) {
+        int lo = g * W;
+        int gn = std::min(W, n_cand - lo);
+        int n_max = 0, m1_max = 0, m2_max = 0;
+        for (int l = 0; l < gn; l++) {
+          int b = order[lo + l];
+          n_max = std::max<int>(n_max, (int)(read_off[b + 1] - read_off[b]));
+          m1_max = std::max<int>(m1_max, (int)(ref1_off[b + 1] - ref1_off[b]));
+          m2_max = std::max<int>(m2_max, (int)(ref2_off[b + 1] - ref2_off[b]));
         }
-        int32_t min_score =
-            (int32_t)((double)((float)n) * (double)((float)kMatch) * 0.90);
-        int32_t max_score = 0;
-        for (int k = 0; k <= n; k++) {
-          int32_t tot = rm1[k] + rm2[n - k];
-          if (tot >= min_score && tot > max_score) max_score = tot;
+        if (n_max == 0) continue;
+        double tp0 = timing ? now() : 0;
+        // widened + interleaved sequences; -1/-2 pads never match
+        q_il.assign((size_t)n_max * W, -1);
+        qrev_il.assign((size_t)n_max * W, -1);
+        r1_il.assign((size_t)m1_max * W, -2);
+        r2rev_il.assign((size_t)m2_max * W, -2);
+        for (int l = 0; l < gn; l++) {
+          int b = order[lo + l];
+          const uint8_t* q = reads + read_off[b];
+          int n = (int)(read_off[b + 1] - read_off[b]);
+          const uint8_t* r1 = ref1 + ref1_off[b];
+          int m1 = (int)(ref1_off[b + 1] - ref1_off[b]);
+          const uint8_t* r2 = ref2 + ref2_off[b];
+          int m2 = (int)(ref2_off[b + 1] - ref2_off[b]);
+          for (int j = 0; j < n; j++) {
+            q_il[(size_t)j * W + l] = q[j];
+            qrev_il[(size_t)j * W + l] = q[n - 1 - j];
+          }
+          for (int i = 0; i < m1; i++) r1_il[(size_t)i * W + l] = r1[i];
+          for (int i = 0; i < m2; i++)
+            r2rev_il[(size_t)i * W + l] = r2[m2 - 1 - i];
         }
-        if (max_score <= 0) continue;
-        auto& res = results[b];
-        std::set<std::pair<int, int>> seen_splits;
-        for (int k = 0; k <= n; k++) {
-          int32_t tot = rm1[k] + rm2[n - k];
-          if (tot < min_score || tot != max_score) continue;
-          int32_t s1 = rm1[k], s2 = rm2[n - k];
-          // tie columns: anchored-max semantics — a side whose row max
-          // is below threshold collects no columns
-          if (s1 < kMinSplitScore || s2 < kMinSplitScore) continue;
-          const int32_t* row1 = rows1.data() + (size_t)k * (m1 + 1);
-          const int32_t* row2 = rows2.data() + (size_t)(n - k) * (m2 + 1);
-          int32_t sc = std::min(s1, s2);
-          for (int i1 = 0; i1 <= m1; i1++) {
-            if (row1[i1] != s1) continue;
-            for (int i2 = 0; i2 <= m2; i2++) {
-              if (row2[i2] != s2) continue;
-              int j2 = m2 - i2 - 1;
-              if (!seen_splits.insert({i1, j2}).second) continue;
-              res.push_back(b);
-              res.push_back(i1);
-              res.push_back(j2);
-              res.push_back(k);
-              res.push_back(sc);
+        grm1.resize((size_t)W * (n_max + 1));
+        grm2.resize((size_t)W * (n_max + 1));
+        double ts0 = timing ? now() : 0;
+        if (timing) t_prep[t] += ts0 - tp0;
+        ScreenGroupSide(q_il.data(), n_max, r1_il.data(), m1_max,
+                        grm1.data(), prevbuf, curbuf);
+        ScreenGroupSide(qrev_il.data(), n_max, r2rev_il.data(), m2_max,
+                        grm2.data(), prevbuf, curbuf);
+        double ts1 = timing ? now() : 0;
+        if (timing) t_screen[t] += ts1 - ts0;
+        for (int l = 0; l < gn; l++) {
+          int b = order[lo + l];
+          int n = (int)(read_off[b + 1] - read_off[b]);
+          if (n == 0) continue;
+          const int32_t* rm1l = grm1.data() + (size_t)l * (n_max + 1);
+          const int32_t* rm2l = grm2.data() + (size_t)l * (n_max + 1);
+          int32_t min_score = (int32_t)((double)((float)n) *
+                                        (double)((float)kMatch) * 0.90);
+          int32_t max_score = 0;
+          for (int k = 0; k <= n; k++) {
+            int32_t tot = rm1l[k] + rm2l[n - k];
+            if (tot >= min_score && tot > max_score) max_score = tot;
+          }
+          if (max_score <= 0) continue;
+          // --- winning splits: rows needed for tie-column enumeration
+          ks.clear();
+          for (int k = 0; k <= n; k++) {
+            int32_t tot = rm1l[k] + rm2l[n - k];
+            if (tot < min_score || tot != max_score) continue;
+            // anchored-max semantics — a side whose row max is below
+            // threshold collects no columns
+            if (rm1l[k] < kMinSplitScore || rm2l[n - k] < kMinSplitScore)
+              continue;
+            ks.push_back(k);
+          }
+          if (ks.empty()) continue;
+          survivors.push_back({b, ks});
+        }
+        if (timing) t_capture[t] += now() - ts1;
+      }
+      // --- capture phase: survivors, re-grouped into fresh lane
+      // batches, run through the same vector kernel with per-lane row
+      // capture; winning rows are de-interleaved and tie columns
+      // enumerated exactly as the scalar path would.
+      double tc0 = timing ? now() : 0;
+      int n_surv = (int)survivors.size();
+      std::vector<LaneCapture> caps1(W), caps2(W);
+      for (int s0 = 0; s0 < n_surv; s0 += W) {
+        int gn = std::min(W, n_surv - s0);
+        // per-side run length = max needed row over lanes
+        int n1_run = 0, n2_run = 0, m1_max = 0, m2_max = 0;
+        for (int l = 0; l < gn; l++) {
+          const Survivor& sv = survivors[s0 + l];
+          int b = sv.b;
+          int n = (int)(read_off[b + 1] - read_off[b]);
+          n1_run = std::max(n1_run, sv.ks.back());
+          n2_run = std::max(n2_run, n - sv.ks.front());
+          m1_max = std::max<int>(m1_max, (int)(ref1_off[b + 1] - ref1_off[b]));
+          m2_max = std::max<int>(m2_max, (int)(ref2_off[b + 1] - ref2_off[b]));
+        }
+        q_il.assign((size_t)std::max(n1_run, 1) * W, -1);
+        qrev_il.assign((size_t)std::max(n2_run, 1) * W, -1);
+        r1_il.assign((size_t)std::max(m1_max, 1) * W, -2);
+        r2rev_il.assign((size_t)std::max(m2_max, 1) * W, -2);
+        size_t cap1_need = 0, cap2_need = 0;
+        for (int l = 0; l < gn; l++) {
+          const Survivor& sv = survivors[s0 + l];
+          int b = sv.b;
+          cap1_need += sv.ks.size() *
+                       (size_t)(ref1_off[b + 1] - ref1_off[b] + 1);
+          cap2_need += sv.ks.size() *
+                       (size_t)(ref2_off[b + 1] - ref2_off[b] + 1);
+        }
+        cap1.resize(cap1_need);
+        cap2.resize(cap2_need);
+        std::vector<std::vector<int>> rows2_all(gn);
+        size_t c1_off = 0, c2_off = 0;
+        for (int l = 0; l < W; l++) {
+          caps1[l] = LaneCapture{};
+          caps2[l] = LaneCapture{};
+        }
+        for (int l = 0; l < gn; l++) {
+          const Survivor& sv = survivors[s0 + l];
+          int b = sv.b;
+          const uint8_t* q = reads + read_off[b];
+          int n = (int)(read_off[b + 1] - read_off[b]);
+          const uint8_t* r1 = ref1 + ref1_off[b];
+          int m1 = (int)(ref1_off[b + 1] - ref1_off[b]);
+          const uint8_t* r2 = ref2 + ref2_off[b];
+          int m2 = (int)(ref2_off[b + 1] - ref2_off[b]);
+          for (int j = 0; j < n && j < n1_run; j++)
+            q_il[(size_t)j * W + l] = q[j];
+          for (int j = 0; j < n && j < n2_run; j++)
+            qrev_il[(size_t)j * W + l] = q[n - 1 - j];
+          for (int i = 0; i < m1; i++) r1_il[(size_t)i * W + l] = r1[i];
+          for (int i = 0; i < m2; i++)
+            r2rev_il[(size_t)i * W + l] = r2[m2 - 1 - i];
+          rows2_all[l].clear();  // n-k ascending (ks descending)
+          for (auto it = sv.ks.rbegin(); it != sv.ks.rend(); ++it)
+            rows2_all[l].push_back(n - *it);
+          caps1[l] = LaneCapture{sv.ks.data(), (int)sv.ks.size(), m1,
+                                 cap1.data() + c1_off, 0};
+          caps2[l] = LaneCapture{rows2_all[l].data(),
+                                 (int)rows2_all[l].size(), m2,
+                                 cap2.data() + c2_off, 0};
+          c1_off += sv.ks.size() * (size_t)(m1 + 1);
+          c2_off += sv.ks.size() * (size_t)(m2 + 1);
+        }
+        grm1.resize((size_t)W * (n1_run + 1));
+        grm2.resize((size_t)W * (n2_run + 1));
+        ScreenGroupSideT<true>(q_il.data(), n1_run, r1_il.data(), m1_max,
+                               grm1.data(), prevbuf, curbuf, caps1.data());
+        ScreenGroupSideT<true>(qrev_il.data(), n2_run, r2rev_il.data(),
+                               m2_max, grm2.data(), prevbuf, curbuf,
+                               caps2.data());
+        for (int l = 0; l < gn; l++) {
+          const Survivor& sv = survivors[s0 + l];
+          int b = sv.b;
+          int n = (int)(read_off[b + 1] - read_off[b]);
+          int m1 = caps1[l].m_l, m2 = caps2[l].m_l;
+          const int32_t* rm1l = grm1.data() + (size_t)l * (n1_run + 1);
+          const int32_t* rm2l = grm2.data() + (size_t)l * (n2_run + 1);
+          auto& res = results[b];
+          std::set<std::pair<int, int>> seen_splits;
+          for (size_t ki = 0; ki < sv.ks.size(); ki++) {
+            int k = sv.ks[ki];
+            int32_t s1 = rm1l[k], s2 = rm2l[n - k];
+            const int32_t* row1 = caps1[l].out + ki * (size_t)(m1 + 1);
+            // rows2 is ks reversed, so the slot for n-k counts from
+            // the back
+            size_t k2i = sv.ks.size() - 1 - ki;
+            const int32_t* row2 = caps2[l].out + k2i * (size_t)(m2 + 1);
+            int32_t sc = std::min(s1, s2);
+            for (int i1 = 0; i1 <= m1; i1++) {
+              if (row1[i1] != s1) continue;
+              for (int i2 = 0; i2 <= m2; i2++) {
+                if (row2[i2] != s2) continue;
+                int j2 = m2 - i2 - 1;
+                if (!seen_splits.insert({i1, j2}).second) continue;
+                res.push_back(b);
+                res.push_back(i1);
+                res.push_back(j2);
+                res.push_back(k);
+                res.push_back(sc);
+              }
             }
           }
         }
       }
+      if (timing) t_capture[t] += now() - tc0;
     });
   }
   for (auto& th : threads) th.join();
+  if (timing) {
+    double sp = 0, ss = 0, sc = 0;
+    for (int t = 0; t < n_threads; t++) {
+      sp += t_prep[t];
+      ss += t_screen[t];
+      sc += t_capture[t];
+    }
+    fprintf(stderr,
+            "[realign-timing] prep %.3fs screen %.3fs capture+enum %.3fs "
+            "(thread-seconds)\n",
+            sp, ss, sc);
+  }
   long total = 0;
   for (const auto& res : results) total += (long)(res.size() / 5);
   if (total <= cap) {
