@@ -131,6 +131,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             improper, reads_handle if reads_handle is not None
             else (fastq1, fastq2), realigner.binned, cluster_ids,
             flank1s, flank2s)
+        _mark("realign:driver_build")
         if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
             mx = max((max(len(a), len(b))
                       for a, b in zip(flank1s, flank2s)), default=0)
@@ -151,8 +152,17 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             if screen_mode == "off":
                 use_device = False
             elif screen_mode != "force":
-                if not tpu_backend_available(timeout_s=5.0,
-                                             kill_on_timeout=False):
+                # waiting on the probe is itself a cost: the most the
+                # screen can save is t_host minus the kernel-only device
+                # time, so never wait longer than that (for small
+                # candidate sets this skips the probe outright instead
+                # of stalling the pipeline behind a dead tunnel)
+                ncpu = os.cpu_count() or 4
+                t_host_est = driver.n_candidates / (90e3 * ncpu)
+                budget = t_host_est - driver.n_candidates / 700e3
+                if budget < 0.05 or not tpu_backend_available(
+                        timeout_s=min(5.0, budget),
+                        kill_on_timeout=False):
                     use_device = False
                 else:
                     # cost model: the screen pays only when estimated
@@ -204,6 +214,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             _mark("screen:device")
             survivors = max_scores > 0
         driver.emit(split_path, survivors)
+        _mark("realign:emit")
         driver.close()
     else:
         realigner.add_reads_fastq(fastq1)
