@@ -2258,8 +2258,32 @@ struct SeedIdx {
   const int64_t* pos = nullptr;
   int64_t n_keys = 0;
   int k = 16;
+  // optional bucket prefix table over the top bits of the 2k-bit key:
+  // bucket b spans keys[boff[b]..boff[b+1]).  Narrows every seed
+  // lookup from a log2(n_keys)-probe binary search (each probe a
+  // likely cache miss on genome-scale indexes) to ~1 probe in a
+  // handful of entries.  null = fall back to the full-range search.
+  const int64_t* boff = nullptr;
+  int bshift = 0;
   bool present() const { return codes != nullptr; }
 };
+
+// Build the prefix table for ix (P = min(2k, 22) bucket bits; 22 keeps
+// the table at 32MB worst case).  Keys are sorted, so the counting
+// pass touches buckets in ascending order.
+inline void BuildPrefixTable(SeedIdx& ix, std::vector<int64_t>& storage) {
+  if (!ix.present() || ix.n_keys == 0) return;
+  int key_bits = 2 * ix.k;
+  int p = std::min(key_bits, 22);
+  int shift = key_bits - p;
+  size_t nb = (size_t)1 << p;
+  storage.assign(nb + 1, 0);
+  for (int64_t i = 0; i < ix.n_keys; i++)
+    storage[(size_t)(ix.keys[i] >> shift) + 1]++;
+  for (size_t b = 1; b <= nb; b++) storage[b] += storage[b - 1];
+  ix.boff = storage.data();
+  ix.bshift = shift;
+}
 
 // per-reference remap metadata (cdna: transcripts; genome: chromosomes)
 struct RefMeta {
@@ -2331,9 +2355,15 @@ inline bool AlignRead(const SeedIdx& ix, const int8_t* fwd,
         key = (key << 2) | (uint64_t)c;
       }
       if (!valid) continue;
-      const uint64_t* lo = std::lower_bound(ix.keys, ix.keys + ix.n_keys,
-                                            key);
-      const uint64_t* hi = std::upper_bound(lo, ix.keys + ix.n_keys, key);
+      const uint64_t* range_lo = ix.keys;
+      const uint64_t* range_hi = ix.keys + ix.n_keys;
+      if (ix.boff) {
+        size_t b = (size_t)(key >> ix.bshift);
+        range_lo = ix.keys + ix.boff[b];
+        range_hi = ix.keys + ix.boff[b + 1];
+      }
+      const uint64_t* lo = std::lower_bound(range_lo, range_hi, key);
+      const uint64_t* hi = std::upper_bound(lo, range_hi, key);
       long count = std::min<long>(hi - lo, max_per_seed);
       long base = lo - ix.keys;
       for (long c = 0; c < count; c++)
@@ -2569,6 +2599,29 @@ long dt_align_job(
                r_nkeys, r_k};
   SeedIdx prefilter{p_codes, p_ncodes, p_soff, p_nseqs, p_keys, p_posn,
                     p_nkeys, p_k};
+  const bool aj_timing = getenv("DEFUSE_ALIGNJOB_TIMING") != nullptr;
+  auto aj_now = [] {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  double aj_t0 = aj_now();
+  // bucket prefix tables (one linear pass per index, threaded)
+  std::vector<int64_t> c_pt, g_pt, r_pt, p_pt;
+  {
+    std::thread t1([&] { BuildPrefixTable(cdna, c_pt); });
+    std::thread t2([&] { BuildPrefixTable(genome, g_pt); });
+    std::thread t3([&] { BuildPrefixTable(rrna, r_pt); });
+    BuildPrefixTable(prefilter, p_pt);
+    t1.join();
+    t2.join();
+    t3.join();
+  }
+  if (aj_timing) {
+    fprintf(stderr, "[alignjob-timing] prefix tables %.3fs\n",
+            aj_now() - aj_t0);
+    aj_t0 = aj_now();
+  }
   RefMeta cmeta{c_gene, c_chrom, c_strand, c_txlen, c_eoff,
                 c_egs,  c_ege,   c_known,  c_is_ig};
   RefMeta gmeta;
@@ -2646,54 +2699,78 @@ long dt_align_job(
       });
     for (auto& th : ts) th.join();
   }
+  if (aj_timing) {
+    fprintf(stderr, "[alignjob-timing] phase1 concordance %.3fs\n",
+            aj_now() - aj_t0);
+    aj_t0 = aj_now();
+  }
 
   // --- cdna.pair.sam + stats -----------------------------------------
+  // formatting parallelized over contiguous fragment ranges (the int64
+  // stat sums are associative, so per-range accumulation + in-order
+  // reduction is exact); ranges are written out in order — the file is
+  // byte-identical to a sequential pass
   int64_t n_pairs = 0, sum_isize = 0, sumsq_isize = 0;
   {
     FILE* out = fopen(pair_sam_path, "w");
     if (!out) return -1;
-    std::string buf;
-    buf.reserve(1 << 20);
-    char tmp[256];
-    for (long f = 0; f < n_frags; f++) {
-      const PairBest& cp = p1[f].cdna_pair;
-      if (!cp.found) continue;
-      n_pairs++;
-      sum_isize += cp.isize;
-      sumsq_isize += cp.isize * cp.isize;
-      for (int end = 0; end < 2; end++) {
-        const Hit& a = end == 0 ? cp.a1 : cp.a2;
-        const Hit& mate = end == 0 ? cp.a2 : cp.a1;
-        int len = end == 0 ? lens1[f] : lens2[f];
-        const uint8_t* seq =
-            (end == 0 ? reads1 : reads2) + (size_t)f * width;
-        int flag = 0x1 | 0x2 | (end == 0 ? 0x40 : 0x80);
-        if (a.strand) flag |= 0x10;
-        if (mate.strand) flag |= 0x20;
-        long sign = (a.pos0 <= mate.pos0) ? 1 : -1;
-        snprintf(tmp, sizeof tmp, "%ld\t%d\t", f, flag);
-        buf += tmp;
-        buf.append(c_names + c_name_off[a.seq],
-                   c_name_off[a.seq + 1] - c_name_off[a.seq]);
-        snprintf(tmp, sizeof tmp, "\t%d\t255\t%dM\t=\t%d\t%ld\t",
-                 a.pos0 + 1, len, mate.pos0 + 1, sign * cp.isize);
-        buf += tmp;
-        buf.append((const char*)seq, len);
-        buf += '\t';
-        buf.append(len, 'I');
-        buf += '\n';
-        if (buf.size() > (1 << 20) - 4096) {
-          fwrite(buf.data(), 1, buf.size(), out);
-          buf.clear();
+    int nt = n_threads;
+    std::vector<std::string> bufs(nt);
+    std::vector<int64_t> np(nt, 0), si(nt, 0), sq(nt, 0);
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; t++)
+      ts.emplace_back([&, t]() {
+        long f_lo = n_frags * t / nt, f_hi = n_frags * (t + 1) / nt;
+        std::string& buf = bufs[t];
+        char tmp[256];
+        for (long f = f_lo; f < f_hi; f++) {
+          const PairBest& cp = p1[f].cdna_pair;
+          if (!cp.found) continue;
+          np[t]++;
+          si[t] += cp.isize;
+          sq[t] += cp.isize * cp.isize;
+          for (int end = 0; end < 2; end++) {
+            const Hit& a = end == 0 ? cp.a1 : cp.a2;
+            const Hit& mate = end == 0 ? cp.a2 : cp.a1;
+            int len = end == 0 ? lens1[f] : lens2[f];
+            const uint8_t* seq =
+                (end == 0 ? reads1 : reads2) + (size_t)f * width;
+            int flag = 0x1 | 0x2 | (end == 0 ? 0x40 : 0x80);
+            if (a.strand) flag |= 0x10;
+            if (mate.strand) flag |= 0x20;
+            long sign = (a.pos0 <= mate.pos0) ? 1 : -1;
+            snprintf(tmp, sizeof tmp, "%ld\t%d\t", f, flag);
+            buf += tmp;
+            buf.append(c_names + c_name_off[a.seq],
+                       c_name_off[a.seq + 1] - c_name_off[a.seq]);
+            snprintf(tmp, sizeof tmp, "\t%d\t255\t%dM\t=\t%d\t%ld\t",
+                     a.pos0 + 1, len, mate.pos0 + 1, sign * cp.isize);
+            buf += tmp;
+            buf.append((const char*)seq, len);
+            buf += '\t';
+            buf.append(len, 'I');
+            buf += '\n';
+          }
         }
-      }
+      });
+    for (auto& th : ts) th.join();
+    for (int t = 0; t < nt; t++) {
+      n_pairs += np[t];
+      sum_isize += si[t];
+      sumsq_isize += sq[t];
+      if (!bufs[t].empty())
+        fwrite(bufs[t].data(), 1, bufs[t].size(), out);
     }
-    fwrite(buf.data(), 1, buf.size(), out);
     fclose(out);
   }
   stats_out[0] = n_pairs;
   stats_out[1] = sum_isize;
   stats_out[2] = sumsq_isize;
+  if (aj_timing) {
+    fprintf(stderr, "[alignjob-timing] pair.sam write %.3fs\n",
+            aj_now() - aj_t0);
+    aj_t0 = aj_now();
+  }
 
   // --- candidates + phase-2 batch maxima ------------------------------
   std::vector<long> cand;
@@ -2932,6 +3009,9 @@ long dt_align_job(
   }
   fclose(improper);
   fclose(spanning);
+  if (aj_timing)
+    fprintf(stderr, "[alignjob-timing] phase2 candidates (%ld) %.3fs\n",
+            (long)cand.size(), aj_now() - aj_t0);
   return (long)cand.size();
 }
 
