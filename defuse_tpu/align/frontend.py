@@ -169,8 +169,15 @@ def _best_proper_pairs(aligns1, aligns2, max_insert: int):
 
 def write_pair_sam(pairs, reads1, reads2, path) -> None:
     """Proper-pair SAM rows (flags 0x2 pairing) for read stats / calccov
-    / expression."""
-    with open(path, "w") as out:
+    / expression.  A ``.gz`` path gzips (level 1 — checkpoint artifact
+    on a ~70MB/s filesystem, speed over ratio)."""
+    import contextlib
+    import gzip
+    if str(path).endswith(".gz"):
+        ctx = gzip.open(path, "wt", compresslevel=1)
+    else:
+        ctx = open(path, "w")
+    with contextlib.closing(ctx) as out:
         for frag in sorted(pairs):
             a1, a2, isize = pairs[frag]
             for end, (a, mate, seq) in enumerate(
@@ -276,7 +283,7 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
 
     concordant = set(cdna_pairs) | set(genome_pairs)
 
-    cdna_pair_sam = out / "cdna.pair.sam"
+    cdna_pair_sam = out / "cdna.pair.sam.gz"
     write_pair_sam(cdna_pairs, reads1, reads2, cdna_pair_sam)
 
     # 2. read stats from the proper pairs
@@ -440,7 +447,7 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
 
     improper_sam = out / "improper.sam"
     spanning = out / "spanning.compact"
-    cdna_pair_sam = out / "cdna.pair.sam"
+    cdna_pair_sam = out / "cdna.pair.sam.gz"
     res = native.align_job_native(
         cdna_index=cdna_index, genome_index=genome_index,
         rrna_index=rrna_index, prefilter_index=prefilter_index,

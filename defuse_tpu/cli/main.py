@@ -146,8 +146,11 @@ def main(argv=None) -> int:
         from ..cli.expression_plot import expression_plot
         config = Config.read(args.config, args.dataset)
         out_dir = pathlib.Path(args.output)
+        pair_sam = out_dir / "cdna.pair.sam.gz"
+        if not pair_sam.exists():
+            pair_sam = out_dir / "cdna.pair.sam"
         res = expression_plot(
-            concordant_sam=str(out_dir / "cdna.pair.sam"),
+            concordant_sam=str(pair_sam),
             cdna_regions=config.get_value("cdna_regions"),
             gene_id=args.gene, out_path=args.pdf,
             results_path=args.res or str(out_dir / "results.tsv"),

@@ -17,6 +17,25 @@ import numpy as np
 from ..core.types import AlignmentTable, NameIndex
 
 
+def open_text(path):
+    """Text handle over a possibly-gzipped file, sniffed by magic bytes
+    (large intermediates like ``cdna.pair.sam.gz`` are written as
+    concatenated gzip members; readers never trust the extension)."""
+    import gzip
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rt")
+    return open(path)
+
+
+def read_decompressed(path) -> bytes:
+    """Whole-file bytes after transparent gzip decompression (the
+    byte-parity contract for compressed artifacts is on the content)."""
+    with open_text(path) as fh:
+        return fh.read().encode()
+
+
 @dataclasses.dataclass
 class SamRecord:
     fragment: str
@@ -30,7 +49,7 @@ class SamRecord:
 
 def iter_sam(path):
     """Yield SamRecord per aligned SAM row (``AlignmentStream.cpp:39-130``)."""
-    with open(path) as fh:
+    with open_text(path) as fh:
         for line in fh:
             if line.startswith("@"):
                 continue

@@ -109,13 +109,23 @@ def merge_frontend_shards(shard_results, shard_offsets, outdir):
     out.mkdir(parents=True, exist_ok=True)
     merged = {"spanning": out / "spanning.compact",
               "improper": out / "improper.sam",
-              "concordant_sam": out / "cdna.pair.sam"}
+              "concordant_sam": out / "cdna.pair.sam.gz"}
     for path in merged.values():
         if path.exists():
             path.unlink()
 
     def globalize(src, dst, offset, qname_style):
-        with open(src) as fin, open(dst, "a") as fout:
+        # each shard appends one gzip member to a .gz destination —
+        # concatenated members are a valid stream, so shard merge stays
+        # append-only (reads are magic-sniffed, never extension-trusted)
+        import gzip
+
+        from ..io.sam import open_text
+        if str(dst).endswith(".gz"):
+            fout_ctx = gzip.open(dst, "at", compresslevel=1)
+        else:
+            fout_ctx = open(dst, "a")
+        with open_text(src) as fin, fout_ctx as fout:
             for line in fin:
                 f = line.split("\t")
                 if qname_style == "frag/end":

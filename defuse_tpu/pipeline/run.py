@@ -29,7 +29,7 @@ from ..config import Config
 from ..core.exons import ExonRegions
 from ..io.fasta import FastaStore
 from ..stats.calccov import calccov, write_samples
-from ..stats.pvalues import cov_samples_merge, spanning_pvalue, \
+from ..stats.pvalues import spanning_pvalue, \
     split_pvalues
 from ..stats.readstats import ReadStats, read_stats_from_sam
 from .discover import discover_fusions
@@ -75,7 +75,8 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             stats = native.read_stats_native(concordant_sam) \
                 if native.available() else None
             if stats is None:
-                with open(concordant_sam) as fh:
+                from ..io.sam import open_text
+                with open_text(concordant_sam) as fh:
                     stats = read_stats_from_sam(fh)
         else:
             stats = ReadStats(0, config.get_float("fallback_frag_mean"),
@@ -162,12 +163,11 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     for n in ("span", "pos", "min"):
         path = cov_paths[n]
         if path.exists():
-            samples: dict[int, list[float]] = {}
-            for line in open(path):
-                f = line.split("\t")
-                samples.setdefault(int(f[0]), []).append(float(f[1]))
+            from ..stats.pvalues import (cov_samples_merge_arrays,
+                                         load_cov_samples)
             try:
-                covariances[n] = cov_samples_merge(samples)[1]
+                covariances[n] = cov_samples_merge_arrays(
+                    *load_cov_samples(path))[1]
             except ValueError as e:
                 # The reference hard-aborts here (merge_cov_samples.pl:38
                 # "not enough concordant read samples").  We degrade to
@@ -271,7 +271,8 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                                           index_sam_by_ref, interrupted,
                                           interrupted_index,
                                           splicing_index)
-            with open(concordant_sam) as fh:
+            from ..io.sam import open_text
+            with open_text(concordant_sam) as fh:
                 by_ref = index_sam_by_ref(fh)
             max_frag = int(frag_mean + 3 * frag_std)
             bias = config.get_int("splice_bias")

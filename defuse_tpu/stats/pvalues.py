@@ -55,6 +55,61 @@ def cov_samples_merge(samples_by_marker: dict[int, list[float]],
     return mean, cov
 
 
+def load_cov_samples(path):
+    """Vectorized load of a cov samples file (``marker\\tvalue`` rows,
+    file order) into (int64 ids, float64 values) arrays.
+
+    Decimal→double conversion must be correctly rounded (the merge is a
+    bit-exact contract), so the pandas path pins
+    ``float_precision="round_trip"`` and the fallback uses numpy's text
+    parser (ascii_strtod)."""
+    import numpy as np
+    try:
+        import pandas as pd
+        df = pd.read_csv(path, sep="\t", header=None,
+                         dtype={0: np.int64, 1: np.float64},
+                         float_precision="round_trip")
+        return df[0].to_numpy(), df[1].to_numpy()
+    except ImportError:
+        flat = np.array(open(path).read().split(), dtype=np.float64)
+        return flat[0::2].astype(np.int64), flat[1::2]
+
+
+def cov_samples_merge_arrays(ids, values, seed: int = 11):
+    """``cov_samples_merge`` over parallel (marker, value) arrays in
+    file order — identical drand48 draw sequence and scalar
+    accumulation order to the dict form (pinned by
+    ``tests/test_stats_filters.py``), but with the grouping done by a
+    stable argsort instead of a per-line Python dict."""
+    import numpy as np
+    ids = np.asarray(ids, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    svals = values[order]
+    _uniq, starts, counts = np.unique(ids[order], return_index=True,
+                                      return_counts=True)
+    rng = Drand48(seed)
+    s1 = s2 = cross = 0.0
+    count = 0.0
+    for i in range(len(starts)):
+        n = int(counts[i])
+        if n < 2:
+            continue
+        base = int(starts[i])
+        a = float(svals[base + int(rng.drand() * n)])
+        b = float(svals[base + int(rng.drand() * n)])
+        s1 += a
+        s2 += b
+        cross += a * b
+        count += 1
+    if count <= 100:
+        raise ValueError("not enough concordant read samples; set "
+                         "multi_exon_transcripts_stats = yes")
+    mean = (s1 + s2) / (2.0 * count)
+    cov = (cross - s1 * s2 / count) / count
+    return mean, cov
+
+
 def spanning_pvalue(span_mean: float, span_count: int,
                     fraglength_mean: float, fraglength_stddev: float,
                     covariance: float, readlength_max: int) -> float:

@@ -31,7 +31,88 @@
 #include <unordered_set>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
+
+// --- gzip helpers ----------------------------------------------------
+// Large checkpoint artifacts (cdna.pair.sam) are written gzipped: the
+// working filesystem sustains ~70MB/s, so a 300MB SAM costs ~4s of
+// wall clock while level-1 deflate shrinks it ~4x for ~0.25s/thread of
+// CPU.  Each writer thread emits a standalone gzip member; members
+// concatenate into one valid stream (RFC 1952 §2.2), so ordered writes
+// and shard-merge-by-append both stay legal.
+
+inline bool GzipMember(const std::string& in, std::string& out,
+                       int level = 1) {
+  z_stream zs{};
+  if (deflateInit2(&zs, level, Z_DEFLATED, 15 + 16, 8,
+                   Z_DEFAULT_STRATEGY) != Z_OK)
+    return false;
+  out.resize((size_t)deflateBound(&zs, (uLong)std::min<size_t>(
+                 in.size(), 1u << 30)) + in.size() / 1000 + 64);
+  size_t in_pos = 0, out_pos = 0;
+  int rc = Z_OK;
+  do {
+    uInt chunk = (uInt)std::min<size_t>(in.size() - in_pos, 1u << 30);
+    zs.next_in = (Bytef*)in.data() + in_pos;
+    zs.avail_in = chunk;
+    bool last = (in_pos + chunk == in.size());
+    do {
+      if (out_pos + (1 << 16) > out.size()) out.resize(out.size() * 2);
+      zs.next_out = (Bytef*)&out[out_pos];
+      zs.avail_out = (uInt)(out.size() - out_pos);
+      rc = deflate(&zs, last ? Z_FINISH : Z_NO_FLUSH);
+      out_pos = (char*)zs.next_out - out.data();
+      if (rc == Z_STREAM_ERROR) break;
+    } while (zs.avail_out == 0 || (last && rc != Z_STREAM_END));
+    in_pos = (char*)zs.next_in - in.data();
+  } while (rc != Z_STREAM_END && rc != Z_STREAM_ERROR);
+  deflateEnd(&zs);
+  if (rc != Z_STREAM_END) return false;
+  out.resize(out_pos);
+  return true;
+}
+
+inline bool EndsWithGz(const char* path) {
+  size_t n = strlen(path);
+  return n >= 3 && strcmp(path + n - 3, ".gz") == 0;
+}
+
+// Buffered line reader over a possibly-gzipped file (zlib gzFile reads
+// plain files transparently, so callers never sniff the format).
+struct GzIn {
+  gzFile f = nullptr;
+  char buf[1 << 16];
+  size_t pos = 0, len = 0;
+  bool open(const char* path) {
+    f = gzopen(path, "rb");
+    if (f) gzbuffer(f, 1 << 20);
+    return f != nullptr;
+  }
+  ~GzIn() {
+    if (f) gzclose(f);
+  }
+  bool getline(std::string& out) {
+    out.clear();
+    for (;;) {
+      if (pos >= len) {
+        int n = gzread(f, buf, sizeof buf);
+        if (n <= 0) return !out.empty();
+        pos = 0;
+        len = (size_t)n;
+      }
+      char* nl = (char*)memchr(buf + pos, '\n', len - pos);
+      if (nl) {
+        out.append(buf + pos, nl - (buf + pos));
+        pos = (size_t)(nl - buf) + 1;
+        return true;
+      }
+      out.append(buf + pos, len - pos);
+      pos = len;
+    }
+  }
+};
 
 constexpr double kLambda = 0.1;
 constexpr double kTolerance = 0.001;
@@ -2708,15 +2789,18 @@ long dt_align_job(
   // --- cdna.pair.sam + stats -----------------------------------------
   // formatting parallelized over contiguous fragment ranges (the int64
   // stat sums are associative, so per-range accumulation + in-order
-  // reduction is exact); ranges are written out in order — the file is
-  // byte-identical to a sequential pass
+  // reduction is exact); ranges are written out in order — decompressed
+  // content is byte-identical to a sequential pass.  A ".gz" path makes
+  // each range a gzip member, deflated inside its own thread.
   int64_t n_pairs = 0, sum_isize = 0, sumsq_isize = 0;
+  const bool pair_gz = EndsWithGz(pair_sam_path);
   {
     FILE* out = fopen(pair_sam_path, "w");
     if (!out) return -1;
     int nt = n_threads;
     std::vector<std::string> bufs(nt);
     std::vector<int64_t> np(nt, 0), si(nt, 0), sq(nt, 0);
+    std::atomic<bool> gz_fail{false};
     std::vector<std::thread> ts;
     for (int t = 0; t < nt; t++)
       ts.emplace_back([&, t]() {
@@ -2752,8 +2836,18 @@ long dt_align_job(
             buf += '\n';
           }
         }
+        if (pair_gz) {
+          std::string z;
+          if (!GzipMember(buf, z))
+            gz_fail.store(true);
+          buf.swap(z);
+        }
       });
     for (auto& th : ts) th.join();
+    if (gz_fail.load()) {
+      fclose(out);
+      return -1;
+    }
     for (int t = 0; t < nt; t++) {
       n_pairs += np[t];
       sum_isize += si[t];
@@ -3051,8 +3145,8 @@ long dt_calccov(const char* sam_path, const char* names,
          (uint32_t)(marker_pos[i] / kBin)]
         .push_back((int32_t)i);
 
-  std::ifstream in(sam_path);
-  if (!in) return -1;
+  GzIn in;
+  if (!in.open(sam_path)) return -1;
   FILE* f_span = fopen(span_path, "w");
   FILE* f_pos = fopen(pos_path, "w");
   FILE* f_min = fopen(min_path, "w");
@@ -3137,7 +3231,7 @@ long dt_calccov(const char* sam_path, const char* names,
     return true;
   };
 
-  while (std::getline(in, line)) {
+  while (in.getline(line)) {
     if (line.empty() || line[0] == '@') continue;
     // fields: qname flag rname pos mapq cigar rnext pnext tlen seq ...
     const char* p = line.c_str();
@@ -3378,8 +3472,8 @@ extern "C" {
 // -1 on IO error.
 long dt_read_stats(const char* sam_path, double* out_scalars,
                    int32_t* out_lengths, int cap) {
-  std::ifstream in(sam_path);
-  if (!in) return -1;
+  GzIn in;
+  if (!in.open(sam_path)) return -1;
   std::string l1, l2;
   double s = 0.0, ss = 0.0;
   long n = 0;
@@ -3391,9 +3485,9 @@ long dt_read_stats(const char* sam_path, double* out_scalars,
       if (*q == '\t') tabs[nt++] = q;
     return nt;
   };
-  while (std::getline(in, l1)) {
+  while (in.getline(l1)) {
     if (!l1.empty() && l1[0] == '@') continue;
-    if (!std::getline(in, l2)) break;
+    if (!in.getline(l2)) break;
     const char* t1[10];
     const char* t2[10];
     if (split10(l1, t1) < 10 || split10(l2, t2) < 10) return -1;

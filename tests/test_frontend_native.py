@@ -14,6 +14,7 @@ import pytest
 from defuse_tpu.align.frontend import align_job, index_paired_fastq
 from defuse_tpu.align.seedindex import SeedIndex
 from defuse_tpu.annotate.gene_models import GeneModels
+from defuse_tpu.io.sam import read_decompressed
 
 from synthdata import make_dataset, random_seq, write_dataset, write_gtf
 
@@ -108,8 +109,10 @@ def test_native_frontend_byte_parity(rich_dataset):
     nat = _run(d, d["tmp"] / "nat", force_python=False)
 
     for key in ("spanning", "improper", "concordant_sam"):
-        a = open(py[key], "rb").read()
-        b = open(nat[key], "rb").read()
+        # concordant_sam is gzipped (multi-member native vs single-member
+        # python); the byte contract is on the decompressed content
+        a = read_decompressed(py[key])
+        b = read_decompressed(nat[key])
         assert a == b, f"{key} differs (py {len(a)}B vs native {len(b)}B)"
     assert py["stats"] == nat["stats"]
     assert py["concordant_fragments"] == nat["concordant_fragments"]
@@ -169,8 +172,8 @@ def test_native_frontend_fuzz(tmp_path, seed, kw):
             reads2=reads2, outdir=str(tmp_path / name),
             force_python=force, **kw)
     for key in ("spanning", "improper", "concordant_sam"):
-        assert open(outs["py"][key], "rb").read() == \
-            open(outs["nat"][key], "rb").read(), key
+        assert read_decompressed(outs["py"][key]) == \
+            read_decompressed(outs["nat"][key]), key
     assert outs["py"]["stats"] == outs["nat"]["stats"]
     assert outs["py"]["blacklist"] == outs["nat"]["blacklist"]
     assert outs["py"]["concordant_fragments"] == \

@@ -40,7 +40,12 @@ def _globalize(src, dst, offset, qname_style):
     qname_style: 'frag' (spanning first column), 'frag/end' (improper
     SAM qname), 'sam' (pair SAM qname = frag).
     """
-    with open(src) as fin, open(dst, "a") as fout:
+    import gzip
+
+    from defuse_tpu.io.sam import open_text
+    fout_ctx = gzip.open(dst, "at", compresslevel=1) \
+        if str(dst).endswith(".gz") else open(dst, "a")
+    with open_text(src) as fin, fout_ctx as fout:
         for line in fin:
             f = line.split("\t")
             if qname_style == "frag/end":
@@ -91,7 +96,7 @@ def test_sharded_pipeline_byte_identity(tmp_path, n_shards):
     merged = {k: merged_dir / n for k, n in
               (("spanning", "spanning.compact"),
                ("improper", "improper.sam"),
-               ("concordant_sam", "cdna.pair.sam"))}
+               ("concordant_sam", "cdna.pair.sam.gz"))}
     stats_parts = []
     for i, prefix in enumerate(prefixes):
         res = frontend(_reads_of(f"{prefix}.1.fastq"),
@@ -105,10 +110,11 @@ def test_sharded_pipeline_byte_identity(tmp_path, n_shards):
                    offset, "sam")
         stats_parts.append(res["stats"])
 
-    # frontend artifacts merge to the unsharded bytes
+    # frontend artifacts merge to the unsharded (decompressed) bytes
+    from defuse_tpu.io.sam import read_decompressed
     for key in ("spanning", "improper", "concordant_sam"):
-        assert merged[key].read_bytes() == \
-            pathlib.Path(whole[key]).read_bytes(), key
+        assert read_decompressed(merged[key]) == \
+            read_decompressed(whole[key]), key
     ms = merge_read_stats(stats_parts)
     assert ms.frag_count == whole["stats"].frag_count
     assert abs(ms.fraglength_mean - whole["stats"].fraglength_mean) < 1e-9

@@ -179,6 +179,36 @@ def test_cov_samples_merge_formula():
     assert abs(cov) < 1e-9
 
 
+def test_cov_samples_merge_arrays_bit_parity(tmp_path):
+    """The vectorized file loader + array merge must be bit-identical
+    to the dict form (same drand48 draws, same accumulation order) on
+    interleaved markers with %.6g-formatted values, including markers
+    with <2 samples."""
+    import random
+
+    from defuse_tpu.stats.pvalues import (cov_samples_merge,
+                                          cov_samples_merge_arrays,
+                                          load_cov_samples)
+    rng = random.Random(77)
+    rows = []
+    for _ in range(5000):
+        m = rng.randrange(0, 300)
+        rows.append((m, float(f"{rng.uniform(0.0, 1.0):.6g}")))
+    rows.append((999, 0.5))  # singleton marker: skipped by both
+    path = tmp_path / "cov.samples"
+    with open(path, "w") as fh:
+        for m, v in rows:
+            fh.write(f"{m}\t{v:.6g}\n")
+    samples: dict = {}
+    for line in open(path):
+        f = line.split("\t")
+        samples.setdefault(int(f[0]), []).append(float(f[1]))
+    mean_d, cov_d = cov_samples_merge(samples)
+    mean_a, cov_a = cov_samples_merge_arrays(*load_cov_samples(path))
+    assert mean_a == mean_d
+    assert cov_a == cov_d
+
+
 def test_pnorm_known_values():
     assert abs(pnorm(0.0) - 0.5) < 1e-15
     assert abs(pnorm(-1.959963984540054) - 0.025) < 1e-12
