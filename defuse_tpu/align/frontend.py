@@ -194,6 +194,35 @@ def write_pair_sam(pairs, reads1, reads2, path) -> None:
                           f"{sign * isize}\t{seq}\t{'I' * len(seq)}\n")
 
 
+def write_pair_tbl(pairs, reads1, reads2, names, path) -> None:
+    """Binary proper-pair table twin of ``write_pair_sam`` (native
+    ``PairRec`` layout: magic, n_pairs, name table, 32B records) —
+    byte-identical to dt_align_job's ``cdna.pair.tbl``, letting read
+    stats / calccov skip the SAM text re-parse."""
+    import numpy as np
+    name_to_id = {n: i for i, n in enumerate(names)}
+    blob = "".join(names).encode()
+    off = np.zeros(len(names) + 1, dtype="<i8")
+    for i, n in enumerate(names):
+        off[i + 1] = off[i] + len(n.encode())
+    rec_dt = np.dtype([("frag", "<i8"), ("seq", "<i4"), ("pos1", "<i4"),
+                       ("len1", "<i4"), ("pos2", "<i4"), ("len2", "<i4"),
+                       ("isize", "<i4")])
+    recs = np.zeros(len(pairs), dtype=rec_dt)
+    for i, frag in enumerate(sorted(pairs)):
+        a1, a2, isize = pairs[frag]
+        recs[i] = (frag, name_to_id[a1.ref_name], a1.start,
+                   len(reads1[frag]), a2.start, len(reads2[frag]), isize)
+    with open(path, "wb") as fh:
+        fh.write(b"DPTBL1\n\x00")
+        fh.write(np.int64(len(recs)).tobytes())
+        fh.write(np.int64(len(names)).tobytes())
+        fh.write(np.int64(off[-1]).tobytes())
+        fh.write(off.tobytes())
+        fh.write(blob)
+        fh.write(recs.tobytes())
+
+
 def _genomic_loci_count(aligns, gene_models: GeneModels) -> int:
     """Distinct genomic loci for one read's alignments
     (``find_unmappable.pl`` overlap-group counting, canonical order)."""
@@ -285,6 +314,9 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
 
     cdna_pair_sam = out / "cdna.pair.sam.gz"
     write_pair_sam(cdna_pairs, reads1, reads2, cdna_pair_sam)
+    cdna_pair_tbl = out / "cdna.pair.tbl"
+    write_pair_tbl(cdna_pairs, reads1, reads2, cdna_index.names,
+                   cdna_pair_tbl)
 
     # 2. read stats from the proper pairs
     isizes = [isize for (_a1, _a2, isize) in cdna_pairs.values()]
@@ -423,6 +455,7 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
         "spanning": str(spanning),
         "improper": str(improper_sam),
         "concordant_sam": str(cdna_pair_sam),
+        "pair_table": str(cdna_pair_tbl),
         "stats": stats,
         "concordant_fragments": concordant,
         "blacklist": blacklist,
@@ -448,13 +481,14 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
     improper_sam = out / "improper.sam"
     spanning = out / "spanning.compact"
     cdna_pair_sam = out / "cdna.pair.sam.gz"
+    cdna_pair_tbl = out / "cdna.pair.tbl"
     res = native.align_job_native(
         cdna_index=cdna_index, genome_index=genome_index,
         rrna_index=rrna_index, prefilter_index=prefilter_index,
         gene_models=gene_models, ig_genes=ig_genes,
         reads1=reads1, reads2=reads2,
         improper_path=improper_sam, spanning_path=spanning,
-        pair_sam_path=cdna_pair_sam,
+        pair_sam_path=cdna_pair_sam, pair_tbl_path=cdna_pair_tbl,
         trim_len=discord_read_trim, max_insert=max_insert_size,
         max_paired=max_paired_alignments,
         concord_len=dna_concordant_length,
@@ -481,6 +515,7 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
         "spanning": str(spanning),
         "improper": str(improper_sam),
         "concordant_sam": str(cdna_pair_sam),
+        "pair_table": str(cdna_pair_tbl),
         "stats": stats,
         "concordant_fragments": concordant,
         "blacklist": blacklist,
@@ -636,6 +671,7 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
         "fastq1": str(out / "reads" / "reads.1.fastq"),
         "fastq2": str(out / "reads" / "reads.2.fastq"),
         "concordant_sam": res["concordant_sam"],
+        "pair_table": res.get("pair_table"),
         # reuse the indices for the breakpoint alignment stage
         "target_indices": {"genome": genome_index, "cdna": cdna_index},
     }

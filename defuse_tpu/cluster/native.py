@@ -627,9 +627,9 @@ def reads_matrix(reads):
 def align_job_native(*, cdna_index, genome_index, rrna_index,
                      prefilter_index, gene_models, ig_genes, reads1,
                      reads2, improper_path, spanning_path, pair_sam_path,
-                     trim_len, max_insert, max_paired, concord_len,
-                     max_alignments, max_mismatch=2, max_per_seed=256,
-                     n_threads=0):
+                     pair_tbl_path=None, trim_len, max_insert,
+                     max_paired, concord_len, max_alignments,
+                     max_mismatch=2, max_per_seed=256, n_threads=0):
     """Full alignjob flow in C++.  Returns (stats, concordant set,
     blacklist set) or None when the native path cannot run (then the
     caller uses the Python path)."""
@@ -710,6 +710,8 @@ def align_job_native(*, cdna_index, genome_index, rrna_index,
         ctypes.c_char_p(str(improper_path).encode()),
         ctypes.c_char_p(str(spanning_path).encode()),
         ctypes.c_char_p(str(pair_sam_path).encode()),
+        ctypes.c_char_p(
+            str(pair_tbl_path).encode() if pair_tbl_path else b""),
         concordant.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         blacklist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         i64p(stats))
@@ -752,6 +754,67 @@ def calccov_native(sam_path, ref_names, marker_refs, marker_positions,
     if rc < 0:
         return None
     return int(rc)
+
+
+def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
+                trim_length, anchor, span_path, pos_path, min_path,
+                n_threads=0):
+    """dt_calccov over the binary pair table (threaded; byte-identical
+    sample files to the SAM scan).  Returns sample count or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        import os
+        n_threads = max(1, os.cpu_count() or 2)
+    blob, noff = _names_blob(ref_names)
+    mref = np.ascontiguousarray(marker_refs, dtype=np.int32)
+    mpos = np.ascontiguousarray(marker_positions, dtype=np.int64)
+    fn = lib.dt_calccov_tbl
+    fn.restype = ctypes.c_long
+    rc = fn(ctypes.c_char_p(str(tbl_path).encode()),
+            ctypes.c_char_p(blob),
+            noff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int(len(ref_names)),
+            mref.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_long(len(mref)), ctypes.c_long(trim_length),
+            ctypes.c_long(anchor),
+            ctypes.c_char_p(str(span_path).encode()),
+            ctypes.c_char_p(str(pos_path).encode()),
+            ctypes.c_char_p(str(min_path).encode()),
+            ctypes.c_int(n_threads))
+    if rc < 0:
+        return None
+    return int(rc)
+
+
+def read_stats_tbl(tbl_path):
+    """dt_read_stats over the binary pair table (bit-equal float sums
+    to the SAM scan).  Returns a ReadStats or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    scalars = np.zeros(3, dtype=np.float64)
+    lengths = np.zeros(256, dtype=np.int32)
+    fn = lib.dt_read_stats_tbl
+    fn.restype = ctypes.c_long
+    rc = fn(ctypes.c_char_p(str(tbl_path).encode()),
+            scalars.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int(256))
+    if rc < 0 or rc > 256:
+        return None
+    from ..stats.readstats import ReadStats
+    n = int(scalars[0])
+    rl = sorted(lengths[:int(rc)].tolist())
+    if n > 0:
+        mean = scalars[1] / n
+        var = scalars[2] / n - mean ** 2
+        return ReadStats(n, mean, var ** 0.5, rl[0] if rl else 0,
+                         rl[-1] if rl else 0, tuple(rl))
+    return ReadStats(0, 0.0, 0.0, rl[0] if rl else 0,
+                     rl[-1] if rl else 0, tuple(rl))
 
 
 def ingest_fastq(fastq1, fastq2, outdir):

@@ -146,12 +146,76 @@ def merge_frontend_shards(shard_results, shard_offsets, outdir):
         concordant |= {f + offset for f in res["concordant_fragments"]}
         blacklist |= {f + offset for f in res["blacklist"]}
 
+    tbl_parts = [r.get("pair_table") for r in shard_results]
+    merged_tbl = None
+    if all(p and pathlib.Path(p).exists() for p in tbl_parts):
+        merged_tbl = out / "cdna.pair.tbl"
+        merge_pair_tables(tbl_parts, shard_offsets, merged_tbl)
+
     stats = merge_read_stats([r["stats"] for r in shard_results])
     return {
         "spanning": str(merged["spanning"]),
         "improper": str(merged["improper"]),
         "concordant_sam": str(merged["concordant_sam"]),
+        "pair_table": str(merged_tbl) if merged_tbl else None,
         "stats": stats,
         "concordant_fragments": concordant,
         "blacklist": blacklist,
     }
+
+
+PAIR_TBL_MAGIC = b"DPTBL1\n\x00"
+PAIR_REC_DTYPE = [("frag", "<i8"), ("seq", "<i4"), ("pos1", "<i4"),
+                  ("len1", "<i4"), ("pos2", "<i4"), ("len2", "<i4"),
+                  ("isize", "<i4")]
+
+
+def read_pair_table(path):
+    """(names, records) from a binary pair table (native PairRec
+    layout)."""
+    import numpy as np
+    with open(path, "rb") as fh:
+        if fh.read(8) != PAIR_TBL_MAGIC:
+            raise ValueError(f"bad pair table magic: {path}")
+        n_pairs, n_names, blob_len = np.frombuffer(fh.read(24), "<i8")
+        off = np.frombuffer(fh.read(8 * (n_names + 1)), "<i8")
+        blob = fh.read(blob_len)
+        names = [blob[off[i]:off[i + 1]].decode()
+                 for i in range(n_names)]
+        recs = np.frombuffer(fh.read(32 * n_pairs),
+                             dtype=PAIR_REC_DTYPE)
+        return names, recs
+
+
+def merge_pair_tables(parts, offsets, dst):
+    """Concatenate per-shard pair tables with global fragment ids —
+    byte-identical to the table an unsharded run writes (shards split
+    on fragment boundaries, so concatenation preserves fragment
+    order)."""
+    import numpy as np
+    all_names = None
+    chunks = []
+    for path, offset in zip(parts, offsets):
+        names, recs = read_pair_table(path)
+        if all_names is None:
+            all_names = names
+        elif names != all_names:
+            raise ValueError("pair table name tables differ across "
+                             "shards (indices must match)")
+        shifted = recs.copy()
+        shifted["frag"] += offset
+        chunks.append(shifted)
+    merged = np.concatenate(chunks) if chunks else \
+        np.zeros(0, dtype=PAIR_REC_DTYPE)
+    blob = "".join(all_names or []).encode()
+    off = np.zeros(len(all_names or []) + 1, dtype="<i8")
+    for i, n in enumerate(all_names or []):
+        off[i + 1] = off[i] + len(n.encode())
+    with open(dst, "wb") as fh:
+        fh.write(PAIR_TBL_MAGIC)
+        fh.write(np.int64(len(merged)).tobytes())
+        fh.write(np.int64(len(all_names or [])).tobytes())
+        fh.write(np.int64(off[-1]).tobytes())
+        fh.write(off.tobytes())
+        fh.write(blob)
+        fh.write(merged.tobytes())

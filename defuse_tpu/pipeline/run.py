@@ -39,6 +39,7 @@ from .runner import Runner
 def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                  spanning: str, improper: str, fastq1: str, fastq2: str,
                  concordant_sam: str | None = None,
+                 pair_table: str | None = None,
                  reference_fasta: str | None = None,
                  cdna_regions: str | None = None,
                  gene_models_gtf: str | None = None,
@@ -51,11 +52,16 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     Alignment-stage inputs (spanning compact file, improper SAM,
     indexed fastqs, concordant cdna SAM) come either from the built-in
     aligner frontend (``defuse_tpu.align.frontend``) or from any
-    SAM-producing aligner.
+    SAM-producing aligner.  ``pair_table`` is the frontend's optional
+    binary twin of the concordant SAM (``cdna.pair.tbl``): when present
+    the read-stats and calccov stages scan it instead of re-parsing the
+    SAM text (outputs identical, pinned by tests).
     """
     out = pathlib.Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     runner = Runner(str(out / "log"), "defuse-tpu")
+    if pair_table and not pathlib.Path(pair_table).exists():
+        pair_table = None
 
     if use_device:
         # launch the device probe now so it overlaps the host-side
@@ -72,8 +78,12 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     def stage_read_stats(tmp_outputs):
         if concordant_sam:
             from ..cluster import native
-            stats = native.read_stats_native(concordant_sam) \
-                if native.available() else None
+            stats = None
+            if native.available():
+                if pair_table:
+                    stats = native.read_stats_tbl(pair_table)
+                if stats is None:
+                    stats = native.read_stats_native(concordant_sam)
             if stats is None:
                 from ..io.sam import open_text
                 with open_text(concordant_sam) as fh:
@@ -86,7 +96,8 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             fh.write(stats.format())
 
     runner.run("read stats", stage_read_stats,
-               inputs=[concordant_sam] if concordant_sam else [],
+               inputs=([concordant_sam] if concordant_sam else [])
+               + ([pair_table] if pair_table else []),
                outputs=[stats_path])
     stats = _read_stats_file(stats_path)
 
@@ -116,13 +127,25 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                 names = [""] * len(ref_index)
                 for tid, idx in ref_index.items():
                     names[idx] = tid
-                rc = native.calccov_native(
-                    concordant_sam, names,
-                    [r for r, _p in positions],
-                    [p for _r, p in positions],
-                    trim_length=trim, anchor=anchor,
-                    span_path=tmp_outputs[0], pos_path=tmp_outputs[1],
-                    min_path=tmp_outputs[2])
+                rc = None
+                if pair_table:
+                    rc = native.calccov_tbl(
+                        pair_table, names,
+                        [r for r, _p in positions],
+                        [p for _r, p in positions],
+                        trim_length=trim, anchor=anchor,
+                        span_path=tmp_outputs[0],
+                        pos_path=tmp_outputs[1],
+                        min_path=tmp_outputs[2])
+                if rc is None:
+                    rc = native.calccov_native(
+                        concordant_sam, names,
+                        [r for r, _p in positions],
+                        [p for _r, p in positions],
+                        trim_length=trim, anchor=anchor,
+                        span_path=tmp_outputs[0],
+                        pos_path=tmp_outputs[1],
+                        min_path=tmp_outputs[2])
                 if rc is not None:
                     return
             span, spos, smin = calccov(
@@ -134,7 +157,8 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             write_samples(smin, tmp_outputs[2], float_values=True)
 
         runner.run("covariance samples", stage_calccov,
-                   inputs=[concordant_sam, cdna_regions],
+                   inputs=[concordant_sam, cdna_regions]
+                   + ([pair_table] if pair_table else []),
                    outputs=[cov_paths["span"], cov_paths["pos"],
                             cov_paths["min"]])
 

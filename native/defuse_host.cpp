@@ -2366,6 +2366,53 @@ inline void BuildPrefixTable(SeedIdx& ix, std::vector<int64_t>& storage) {
   ix.bshift = shift;
 }
 
+// Binary proper-pair table (cdna.pair.tbl): the pair.sam content in a
+// directly scannable layout so downstream checkpointed stages (read
+// stats, calccov) don't re-parse hundreds of MB of SAM text.  Layout:
+// 8B magic "DPTBL1\n", i64 n_pairs, i64 n_names, i64 blob_len,
+// (n_names+1) i64 name offsets, name blob, then n_pairs records.
+struct PairRec {
+  int64_t frag;
+  int32_t seq;           // cdna reference id (index into name table)
+  int32_t pos1, len1;    // end-1 alignment: 1-based start, read length
+  int32_t pos2, len2;    // end-2 alignment
+  int32_t isize;         // insert size (positive)
+};
+static_assert(sizeof(PairRec) == 32, "packed pair record");
+constexpr char kPairTblMagic[8] = {'D', 'P', 'T', 'B', 'L', '1', '\n', 0};
+
+struct PairTbl {
+  std::vector<int64_t> name_off;
+  std::string blob;
+  std::vector<PairRec> recs;
+};
+
+inline bool LoadPairTbl(const char* path, PairTbl& t) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  char magic[8];
+  int64_t n_pairs = 0, n_names = 0, blob_len = 0;
+  bool ok = fread(magic, 1, 8, f) == 8 &&
+            memcmp(magic, kPairTblMagic, 8) == 0 &&
+            fread(&n_pairs, 8, 1, f) == 1 &&
+            fread(&n_names, 8, 1, f) == 1 &&
+            fread(&blob_len, 8, 1, f) == 1 && n_pairs >= 0 &&
+            n_names >= 0 && blob_len >= 0;
+  if (ok) {
+    t.name_off.resize(n_names + 1);
+    t.blob.resize(blob_len);
+    t.recs.resize(n_pairs);
+    ok = fread(t.name_off.data(), 8, n_names + 1, f) ==
+             (size_t)(n_names + 1) &&
+         (blob_len == 0 ||
+          fread(&t.blob[0], 1, blob_len, f) == (size_t)blob_len) &&
+         (n_pairs == 0 || fread(t.recs.data(), sizeof(PairRec), n_pairs,
+                                f) == (size_t)n_pairs);
+  }
+  fclose(f);
+  return ok;
+}
+
 // per-reference remap metadata (cdna: transcripts; genome: chromosomes)
 struct RefMeta {
   const int32_t* gene = nullptr;   // interned gene, -1 none
@@ -2668,8 +2715,9 @@ long dt_align_job(
     int max_alignments, int max_mismatch, int max_per_seed, int n_threads,
     // outputs
     const char* improper_path, const char* spanning_path,
-    const char* pair_sam_path, uint8_t* concordant_out,
-    uint8_t* blacklist_out, int64_t* stats_out) {
+    const char* pair_sam_path, const char* pair_tbl_path,
+    uint8_t* concordant_out, uint8_t* blacklist_out,
+    int64_t* stats_out) {
   using namespace alignjob;
   if (n_threads < 1) n_threads = 1;
   SeedIdx cdna{c_codes, c_ncodes, c_soff, c_nseqs, c_keys, c_posn,
@@ -2799,6 +2847,8 @@ long dt_align_job(
     if (!out) return -1;
     int nt = n_threads;
     std::vector<std::string> bufs(nt);
+    std::vector<std::vector<PairRec>> recs(nt);
+    const bool want_tbl = pair_tbl_path && pair_tbl_path[0];
     std::vector<int64_t> np(nt, 0), si(nt, 0), sq(nt, 0);
     std::atomic<bool> gz_fail{false};
     std::vector<std::thread> ts;
@@ -2813,6 +2863,10 @@ long dt_align_job(
           np[t]++;
           si[t] += cp.isize;
           sq[t] += cp.isize * cp.isize;
+          if (want_tbl)
+            recs[t].push_back(PairRec{
+                f, cp.a1.seq, cp.a1.pos0 + 1, lens1[f], cp.a2.pos0 + 1,
+                lens2[f], (int32_t)cp.isize});
           for (int end = 0; end < 2; end++) {
             const Hit& a = end == 0 ? cp.a1 : cp.a2;
             const Hit& mate = end == 0 ? cp.a2 : cp.a1;
@@ -2856,6 +2910,22 @@ long dt_align_job(
         fwrite(bufs[t].data(), 1, bufs[t].size(), out);
     }
     fclose(out);
+    if (want_tbl) {
+      FILE* tf = fopen(pair_tbl_path, "wb");
+      if (!tf) return -1;
+      int64_t n_names = (int64_t)cdna.n_seqs;
+      int64_t blob_len = c_name_off[n_names];
+      fwrite(kPairTblMagic, 1, 8, tf);
+      fwrite(&n_pairs, 8, 1, tf);
+      fwrite(&n_names, 8, 1, tf);
+      fwrite(&blob_len, 8, 1, tf);
+      fwrite(c_name_off, 8, n_names + 1, tf);
+      fwrite(c_names, 1, blob_len, tf);
+      for (int t = 0; t < nt; t++)
+        if (!recs[t].empty())
+          fwrite(recs[t].data(), sizeof(PairRec), recs[t].size(), tf);
+      fclose(tf);
+    }
   }
   stats_out[0] = n_pairs;
   stats_out[1] = sum_isize;
@@ -3521,6 +3591,160 @@ long dt_read_stats(const char* sam_path, double* out_scalars,
     out_lengths[i++] = v;
   }
   return (long)lengths.size();
+}
+
+// dt_read_stats over the binary pair table: identical accumulation
+// order to the SAM scan (records are in fragment order, the same order
+// pair.sam rows appear), so the float sums are bit-equal.
+long dt_read_stats_tbl(const char* tbl_path, double* out_scalars,
+                       int32_t* out_lengths, int cap) {
+  using namespace alignjob;
+  PairTbl t;
+  if (!LoadPairTbl(tbl_path, t)) return -1;
+  double s = 0.0, ss = 0.0;
+  long n = 0;
+  std::set<int32_t> lengths;
+  for (const PairRec& r : t.recs) {
+    long isize = r.isize;
+    if (isize < 0) isize = -isize;
+    s += (double)isize;
+    ss += (double)isize * (double)isize;
+    n++;
+    lengths.insert(r.len1);
+    lengths.insert(r.len2);
+  }
+  out_scalars[0] = (double)n;
+  out_scalars[1] = s;
+  out_scalars[2] = ss;
+  int i = 0;
+  for (int32_t v : lengths) {
+    if (i >= cap) break;
+    out_lengths[i++] = v;
+  }
+  return (long)lengths.size();
+}
+
+// dt_calccov over the binary pair table, threaded by record ranges
+// with in-order buffer writes — byte-identical span/pos/min sample
+// files to the SAM-scanning dt_calccov (each record is one flushed
+// group; per-record arithmetic is replicated exactly).
+long dt_calccov_tbl(const char* tbl_path, const char* names,
+                    const int64_t* name_off, int n_refs,
+                    const int32_t* marker_ref, const int64_t* marker_pos,
+                    long n_markers, long trim_length, long anchor,
+                    const char* span_path, const char* pos_path,
+                    const char* min_path, int n_threads) {
+  using namespace alignjob;
+  constexpr int64_t kBin = 10000;  // calccov.py BIN_SPACING
+  PairTbl tbl;
+  if (!LoadPairTbl(tbl_path, tbl)) return -1;
+  if (n_threads < 1) n_threads = 1;
+
+  std::unordered_map<std::string, int32_t> ref_of;
+  ref_of.reserve(n_refs * 2);
+  for (int i = 0; i < n_refs; i++)
+    ref_of.emplace(std::string(names + name_off[i],
+                               names + name_off[i + 1]), i);
+  // table seq id -> marker ref id (-1: transcript has no markers)
+  int64_t n_names = (int64_t)tbl.name_off.size() - 1;
+  std::vector<int32_t> seq2ref(n_names, -1);
+  for (int64_t i = 0; i < n_names; i++) {
+    auto it = ref_of.find(tbl.blob.substr(
+        tbl.name_off[i], tbl.name_off[i + 1] - tbl.name_off[i]));
+    if (it != ref_of.end()) seq2ref[i] = it->second;
+  }
+  std::unordered_map<int64_t, std::vector<int32_t>> bins;
+  bins.reserve(n_markers * 2);
+  for (long i = 0; i < n_markers; i++)
+    bins[((int64_t)marker_ref[i] << 32) |
+         (uint32_t)(marker_pos[i] / kBin)]
+        .push_back((int32_t)i);
+
+  long n_recs = (long)tbl.recs.size();
+  int nt = n_threads;
+  std::vector<std::string> span_bufs(nt), pos_bufs(nt), min_bufs(nt);
+  std::vector<long> totals(nt, 0);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; t++)
+    ts.emplace_back([&, t]() {
+      long lo = n_recs * t / nt, hi = n_recs * (t + 1) / nt;
+      std::vector<int32_t> hits;
+      char tmp[64];
+      auto contained = [&](int32_t ref, int64_t s, int64_t e) {
+        hits.clear();
+        for (int64_t b = s / kBin; b <= e / kBin; b++) {
+          auto it = bins.find(((int64_t)ref << 32) | (uint32_t)b);
+          if (it == bins.end()) continue;
+          hits.insert(hits.end(), it->second.begin(), it->second.end());
+        }
+        std::sort(hits.begin(), hits.end());
+        hits.erase(std::unique(hits.begin(), hits.end()), hits.end());
+      };
+      for (long i = lo; i < hi; i++) {
+        const PairRec& r = tbl.recs[i];
+        int32_t ref = seq2ref[r.seq];
+        if (ref < 0) continue;
+        struct {
+          int64_t start, end;
+        } a[2] = {{r.pos1, r.pos1 + r.len1 - 1},
+                  {r.pos2, r.pos2 + r.len2 - 1}};
+        int64_t unseq_start = std::min(a[0].start + trim_length,
+                                       a[1].start + trim_length);
+        int64_t unseq_end =
+            std::max(a[0].end - trim_length, a[1].end - trim_length);
+        int64_t frag_len = std::max(a[0].end, a[1].end) -
+                           std::min(a[0].start, a[1].start);
+        contained(ref, unseq_start, unseq_end);
+        for (int32_t m : hits) {
+          int64_t pos = marker_pos[m];
+          if (unseq_start <= pos && pos <= unseq_end) {
+            snprintf(tmp, sizeof tmp, "%d\t%ld\n", m, frag_len);
+            span_bufs[t] += tmp;
+            totals[t]++;
+          }
+        }
+        for (int e = 0; e < 2; e++) {
+          int64_t a_start = a[e].start + anchor;
+          int64_t a_end = a[e].end - anchor + 1;
+          contained(ref, a_start, a_end);
+          for (int32_t m : hits) {
+            int64_t pos = marker_pos[m];
+            if (a_start <= pos && pos <= a_end) {
+              double v1 =
+                  std::max(0.0, (double)(pos - a[e].start - anchor));
+              double r1 =
+                  (double)(a[e].end - a[e].start) + 1.0 - 2.0 * anchor;
+              snprintf(tmp, sizeof tmp, "%d\t%.6g\n", m, v1 / r1);
+              pos_bufs[t] += tmp;
+              int64_t mn = std::min(pos - a[e].start - anchor,
+                                    a[e].end + 1 - pos - anchor);
+              double v2 = std::max(0.0, (double)mn);
+              double r2 = std::floor(0.5 * ((double)(a[e].end -
+                                                     a[e].start) +
+                                            1.0 - 2.0 * anchor));
+              snprintf(tmp, sizeof tmp, "%d\t%.6g\n", m, v2 / r2);
+              min_bufs[t] += tmp;
+              totals[t] += 2;
+            }
+          }
+        }
+      }
+    });
+  for (auto& th : ts) th.join();
+
+  long total = 0;
+  const char* paths[3] = {span_path, pos_path, min_path};
+  std::vector<std::string>* bufs[3] = {&span_bufs, &pos_bufs, &min_bufs};
+  for (int k = 0; k < 3; k++) {
+    FILE* f = fopen(paths[k], "w");
+    if (!f) return -1;
+    for (int t = 0; t < nt; t++)
+      if (!(*bufs[k])[t].empty())
+        fwrite((*bufs[k])[t].data(), 1, (*bufs[k])[t].size(), f);
+    fclose(f);
+  }
+  for (int t = 0; t < nt; t++) total += totals[t];
+  return total;
 }
 
 }  // extern "C"

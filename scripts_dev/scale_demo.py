@@ -147,6 +147,7 @@ def main(n_background=N_BACKGROUND, use_device=True):
         fastq1=str(tmp / "reads.1.fastq"),
         fastq2=str(tmp / "reads.2.fastq"),
         concordant_sam=res["concordant_sam"],
+        pair_table=res.get("pair_table"),
         gene_models_gtf=str(gtf), genome_fasta=str(genome_fa),
         repeats_regions=str(repeats),
         expression={g.name: "10" for g in genes},

@@ -196,6 +196,7 @@ def main(n_background=1_000_000, write_report=True):
         fastq1=str(tmp / "reads.1.fastq"),
         fastq2=str(tmp / "reads.2.fastq"),
         concordant_sam=res["concordant_sam"],
+        pair_table=res.get("pair_table"),
         gene_models_gtf=str(gtf), genome_fasta=str(genome_fa),
         repeats_regions=str(repeats),
         expression={g.name: "10" for g in genes},

@@ -114,6 +114,9 @@ def test_native_frontend_byte_parity(rich_dataset):
         a = read_decompressed(py[key])
         b = read_decompressed(nat[key])
         assert a == b, f"{key} differs (py {len(a)}B vs native {len(b)}B)"
+    # binary pair table: raw byte parity (same layout both paths)
+    assert open(py["pair_table"], "rb").read() == \
+        open(nat["pair_table"], "rb").read()
     assert py["stats"] == nat["stats"]
     assert py["concordant_fragments"] == nat["concordant_fragments"]
     assert py["blacklist"] == nat["blacklist"]
@@ -174,10 +177,52 @@ def test_native_frontend_fuzz(tmp_path, seed, kw):
     for key in ("spanning", "improper", "concordant_sam"):
         assert read_decompressed(outs["py"][key]) == \
             read_decompressed(outs["nat"][key]), key
+    assert open(outs["py"]["pair_table"], "rb").read() == \
+        open(outs["nat"]["pair_table"], "rb").read()
     assert outs["py"]["stats"] == outs["nat"]["stats"]
     assert outs["py"]["blacklist"] == outs["nat"]["blacklist"]
     assert outs["py"]["concordant_fragments"] == \
         outs["nat"]["concordant_fragments"]
+
+
+def test_pair_table_scanners_match_sam(rich_dataset):
+    """dt_read_stats_tbl / dt_calccov_tbl over cdna.pair.tbl produce
+    bit-identical stats and byte-identical sample files to the SAM
+    scanning paths (the table is the same data without the text
+    parse)."""
+    from defuse_tpu.cluster import native
+    if not native.available():
+        pytest.skip("native library not built")
+    d = rich_dataset
+    res = _run(d, d["tmp"] / "tbl", force_python=False)
+
+    s_sam = native.read_stats_native(res["concordant_sam"])
+    s_tbl = native.read_stats_tbl(res["pair_table"])
+    assert s_sam == s_tbl
+    assert s_sam.frag_count > 80
+
+    names = d["cdna_index"].names
+    # markers spread over every transcript
+    marker_refs, marker_pos = [], []
+    for i, n in enumerate(names):
+        for p in (30, 80, 200, 500):
+            marker_refs.append(i)
+            marker_pos.append(p)
+    outs = {}
+    for tag in ("sam", "tbl"):
+        paths = [str(d["tmp"] / f"cov.{tag}.{k}") for k in
+                 ("span", "pos", "min")]
+        fn = native.calccov_native if tag == "sam" else native.calccov_tbl
+        src = res["concordant_sam"] if tag == "sam" else res["pair_table"]
+        rc = fn(src, names, marker_refs, marker_pos, trim_length=25,
+                anchor=4, span_path=paths[0], pos_path=paths[1],
+                min_path=paths[2])
+        assert rc is not None and rc > 0
+        outs[tag] = (rc, [open(p, "rb").read() for p in paths])
+    assert outs["sam"][0] == outs["tbl"][0]
+    for a, b in zip(outs["sam"][1], outs["tbl"][1]):
+        assert a == b
+    assert any(outs["sam"][1]), "no covariance samples produced"
 
 
 def test_native_fastq_ingest_byte_parity(tmp_path):

@@ -98,6 +98,7 @@ def test_sharded_pipeline_byte_identity(tmp_path, n_shards):
                ("improper", "improper.sam"),
                ("concordant_sam", "cdna.pair.sam.gz"))}
     stats_parts = []
+    tbl_parts, tbl_offsets = [], []
     for i, prefix in enumerate(prefixes):
         res = frontend(_reads_of(f"{prefix}.1.fastq"),
                        _reads_of(f"{prefix}.2.fastq"),
@@ -109,6 +110,14 @@ def test_sharded_pipeline_byte_identity(tmp_path, n_shards):
         _globalize(res["concordant_sam"], merged["concordant_sam"],
                    offset, "sam")
         stats_parts.append(res["stats"])
+        tbl_parts.append(res["pair_table"])
+        tbl_offsets.append(offset)
+
+    from defuse_tpu.parallel.shard import merge_pair_tables
+    merged["pair_table"] = merged_dir / "cdna.pair.tbl"
+    merge_pair_tables(tbl_parts, tbl_offsets, merged["pair_table"])
+    assert merged["pair_table"].read_bytes() == \
+        pathlib.Path(whole["pair_table"]).read_bytes()
 
     # frontend artifacts merge to the unsharded (decompressed) bytes
     from defuse_tpu.io.sam import read_decompressed
@@ -137,6 +146,7 @@ def test_sharded_pipeline_byte_identity(tmp_path, n_shards):
             fastq1=str(tmp_path / "reads" / "reads.1.fastq"),
             fastq2=str(tmp_path / "reads" / "reads.2.fastq"),
             concordant_sam=inputs["concordant_sam"],
+            pair_table=inputs.get("pair_table"),
             gene_models_gtf=str(gtf), genome_fasta=str(genome_fa),
             repeats_regions=str(repeats), expression=expression,
             use_device=False)
