@@ -789,6 +789,52 @@ def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
     return int(rc)
 
 
+def cov_merge_file(path, seed=11):
+    """Native covariance-sample merge (bit-exact twin of
+    stats.pvalues.cov_samples_merge over the file's rows).  Returns
+    (mean, cov), None when native is unavailable/parse fails, or
+    raises ValueError on the count<=100 contract."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out = np.zeros(2, dtype=np.float64)
+    fn = lib.dt_cov_merge
+    fn.restype = ctypes.c_long
+    rc = fn(ctypes.c_char_p(str(path).encode()), ctypes.c_long(seed),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc == -2:
+        raise ValueError("not enough concordant read samples; set "
+                         "multi_exon_transcripts_stats = yes")
+    if rc < 0:
+        return None
+    return float(out[0]), float(out[1])
+
+
+def localalign_batch(refs, seqs, match, mismatch, gap, n_threads=0):
+    """Batch SimpleAligner scores (integer-exact, threaded).  refs/seqs:
+    parallel lists of strings.  Returns int32 scores array or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        import os
+        n_threads = max(1, os.cpu_count() or 2)
+    r_blob, r_off = _names_blob(refs)
+    s_blob, s_off = _names_blob(seqs)
+    scores = np.zeros(max(1, len(refs)), dtype=np.int32)
+    fn = lib.dt_localalign_batch
+    fn.restype = ctypes.c_long
+    fn(ctypes.c_char_p(r_blob),
+       r_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+       ctypes.c_char_p(s_blob),
+       s_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+       ctypes.c_long(len(refs)), ctypes.c_int(match),
+       ctypes.c_int(mismatch), ctypes.c_int(gap),
+       scores.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+       ctypes.c_int(n_threads))
+    return scores[:len(refs)]
+
+
 def read_stats_tbl(tbl_path):
     """dt_read_stats over the binary pair table (bit-equal float sums
     to the SAM scan).  Returns a ReadStats or None."""

@@ -19,6 +19,12 @@ _LOCK = threading.Lock()
 _STATE: dict = {}
 
 _PROBE_SRC = (
+    # OS-level self-destruct: a dead tunnel blocks inside jax C code
+    # holding the GIL, so no Python watchdog can fire — but SIGALRM's
+    # default disposition terminates the process regardless.  Without
+    # this, non-destructive short waits (kill_on_timeout=False) leak a
+    # busy-polling orphan per pipeline run.
+    "import signal; signal.alarm(180);"
     "import time, jax, numpy;"
     "x = float(numpy.asarray(jax.numpy.ones(4).sum()));"
     "t0 = time.time();"

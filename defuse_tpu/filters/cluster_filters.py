@@ -170,6 +170,18 @@ def local_align_screen(lines, gene_models: GeneModels, reference,
     mismatch -5, gap -5, threshold 0.8; ``defuse_run.pl:489-505``)."""
     seq_rows = prep_local_alignment_seqs(lines, gene_models, reference,
                                          seq_range)
+    from ..cluster import native
+    if native.available():
+        # batch scorer (integer-exact SimpleAligner twin, threaded);
+        # identical failed set to the localalign_stream oracle —
+        # pinned by tests/test_stats_filters.py
+        parts = [row.split("\t") for row in seq_rows]
+        scores = native.localalign_batch([p[1] for p in parts],
+                                         [p[2] for p in parts],
+                                         10, -5, -5)
+        if scores is not None:
+            return {int(p[0]) for p, s in zip(parts, scores)
+                    if len(p[2]) and s / (len(p[2]) * 10) >= 0.8}
     failed = set()
     for row in localalign_stream(seq_rows, 10, -5, -5, 0.8):
         failed.add(int(row.split("\t", 1)[0]))

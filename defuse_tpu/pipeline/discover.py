@@ -101,7 +101,8 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
 
     _mark("regions")
     # --- split alignment ------------------------------------------------
-    ref_store = FastaStore.from_file(reference)
+    if ref_store is None:
+        ref_store = FastaStore.from_file(reference)
     exon_regions = ExonRegions.from_file(exons)
     fusion_regions = read_align_region_pairs(str(regions_path))
     tasks = create_tasks(ref_store, exon_regions, fragment_mean,

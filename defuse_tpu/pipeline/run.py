@@ -187,11 +187,16 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     for n in ("span", "pos", "min"):
         path = cov_paths[n]
         if path.exists():
+            from ..cluster import native
             from ..stats.pvalues import (cov_samples_merge_arrays,
                                          load_cov_samples)
             try:
-                covariances[n] = cov_samples_merge_arrays(
-                    *load_cov_samples(path))[1]
+                merged = native.cov_merge_file(path) \
+                    if native.available() else None
+                if merged is None:
+                    merged = cov_samples_merge_arrays(
+                        *load_cov_samples(path))
+                covariances[n] = merged[1]
             except ValueError as e:
                 # The reference hard-aborts here (merge_cov_samples.pl:38
                 # "not enough concordant read samples").  We degrade to

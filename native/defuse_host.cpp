@@ -3593,6 +3593,113 @@ long dt_read_stats(const char* sam_path, double* out_scalars,
   return (long)lengths.size();
 }
 
+// Covariance-sample merge (merge_cov_samples.pl:23-49; bit-exact twin
+// of stats/pvalues.py::cov_samples_merge): parse "marker\tvalue" rows
+// (strtol/strtod — correctly rounded like Python float()), group by
+// marker preserving file order, then for each marker with >=2 samples
+// in ascending order draw two with the exact drand48 stream and
+// accumulate in the oracle's operation order.  out[0]=mean, out[1]=cov.
+// Returns marker-pair count, -1 on IO/parse error, -2 when count<=100
+// (the reference hard-aborts there).
+long dt_cov_merge(const char* path, long seed, double* out) {
+  GzIn in;
+  if (!in.open(path)) return -1;
+  std::vector<int64_t> ids;
+  std::vector<double> vals;
+  std::string line;
+  int64_t max_id = -1;
+  while (in.getline(line)) {
+    if (line.empty()) continue;
+    char* endp = nullptr;
+    long id = strtol(line.c_str(), &endp, 10);
+    if (!endp || *endp != '\t' || id < 0) return -1;
+    double v = strtod(endp + 1, nullptr);
+    ids.push_back(id);
+    vals.push_back(v);
+    if (id > max_id) max_id = id;
+  }
+  // counting-sort by marker id, stable (file order within a marker)
+  std::vector<int64_t> counts(max_id + 2, 0);
+  for (int64_t id : ids) counts[id + 1]++;
+  for (int64_t m = 1; m <= max_id + 1; m++) counts[m] += counts[m - 1];
+  std::vector<double> grouped(vals.size());
+  {
+    std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+    for (size_t i = 0; i < ids.size(); i++)
+      grouped[cursor[ids[i]]++] = vals[i];
+  }
+  uint64_t x = (((uint64_t)seed & 0xFFFFFFFFull) << 16) | 0x330E;
+  const uint64_t A = 0x5DEECE66Dull, C = 0xB;
+  const uint64_t MASK = ((uint64_t)1 << 48) - 1;
+  auto drand = [&]() {
+    x = (A * x + C) & MASK;
+    return (double)x / (double)((uint64_t)1 << 48);
+  };
+  double s1 = 0.0, s2 = 0.0, cross = 0.0, count = 0.0;
+  for (int64_t m = 0; m <= max_id; m++) {
+    int64_t base = counts[m];
+    int64_t n = counts[m + 1] - base;
+    if (n < 2) continue;
+    double a = grouped[base + (int64_t)(drand() * (double)n)];
+    double b = grouped[base + (int64_t)(drand() * (double)n)];
+    s1 += a;
+    s2 += b;
+    cross += a * b;
+    count += 1;
+  }
+  if (count <= 100) return -2;
+  out[0] = (s1 + s2) / (2.0 * count);
+  out[1] = (cross - s1 * s2 / count) / count;
+  return (long)count;
+}
+
+// Batch SimpleAligner scores (tools/SimpleAligner.cpp:23-63 contract,
+// integer-exact): row 0 zero, gap-accumulating borders, max interior
+// cell.  One DP per (reference window, sequence) row, threaded over
+// rows — the localalign concordance screen (defuse_run.pl:489-505)
+// scores ~2k windows of ~2kb each.
+long dt_localalign_batch(const char* refs, const int64_t* ref_off,
+                         const char* seqs, const int64_t* seq_off,
+                         long n_rows, int match, int mismatch, int gap,
+                         int32_t* scores_out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; t++)
+    ts.emplace_back([&, t]() {
+      std::vector<int32_t> prev, col;
+      long lo = n_rows * t / n_threads;
+      long hi = n_rows * (t + 1) / n_threads;
+      for (long row = lo; row < hi; row++) {
+        const char* r = refs + ref_off[row];
+        long n_ref = ref_off[row + 1] - ref_off[row];
+        const char* q = seqs + seq_off[row];
+        long n_seq = seq_off[row + 1] - seq_off[row];
+        if (n_ref == 0 || n_seq == 0) {
+          scores_out[row] = 0;
+          continue;
+        }
+        prev.assign(n_ref + 1, 0);
+        col.resize(n_ref + 1);
+        int32_t best = 0;
+        for (long j = 1; j <= n_seq; j++) {
+          char qc = q[j - 1];
+          col[0] = gap * (int32_t)j;
+          for (long i = 1; i <= n_ref; i++) {
+            int32_t sub = (r[i - 1] == qc) ? match : mismatch;
+            int32_t v = std::max(prev[i - 1] + sub, prev[i] + gap);
+            v = std::max(v, col[i - 1] + gap);
+            col[i] = v;
+            if (v > best) best = v;
+          }
+          prev.swap(col);
+        }
+        scores_out[row] = best;
+      }
+    });
+  for (auto& th : ts) th.join();
+  return n_rows;
+}
+
 // dt_read_stats over the binary pair table: identical accumulation
 // order to the SAM scan (records are in fragment order, the same order
 // pair.sam rows appear), so the float sums are bit-equal.

@@ -208,6 +208,39 @@ def test_cov_samples_merge_arrays_bit_parity(tmp_path):
     assert mean_a == mean_d
     assert cov_a == cov_d
 
+    from defuse_tpu.cluster import native
+    if native.available():
+        mean_n, cov_n = native.cov_merge_file(path)
+        assert mean_n == mean_d
+        assert cov_n == cov_d
+
+
+def test_native_localalign_batch_matches_oracle():
+    """dt_localalign_batch scores == simple_align_score (integer-exact
+    SimpleAligner recurrence) across random and adversarial pairs."""
+    import random
+
+    from defuse_tpu.align.sw import simple_align_score
+    from defuse_tpu.cluster import native
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = random.Random(5)
+    refs, seqs = [], []
+    for _ in range(60):
+        refs.append("".join(rng.choice("ACGT")
+                            for _ in range(rng.randrange(1, 400))))
+        seqs.append("".join(rng.choice("ACGT")
+                            for _ in range(rng.randrange(1, 80))))
+    # planted exact and near-exact matches
+    refs.append("A" * 100 + "ACGTACGTACGT" + "C" * 100)
+    seqs.append("ACGTACGTACGT")
+    refs.append(refs[-1])
+    seqs.append("ACGTATGTACGT")  # one mismatch
+    scores = native.localalign_batch(refs, seqs, 10, -5, -5)
+    assert scores is not None
+    for r, q, s in zip(refs, seqs, scores):
+        assert int(s) == simple_align_score(r, q, 10, -5, -5)
+
 
 def test_pnorm_known_values():
     assert abs(pnorm(0.0) - 0.5) < 1e-15
