@@ -160,6 +160,60 @@ def test_sharded_pipeline_byte_identity(tmp_path, n_shards):
         outs["whole"]["results"]).read_text().splitlines()) > 1
 
 
+def test_pair_table_fast_path_equivalence(tmp_path):
+    """run_pipeline with the binary pair table (native tbl scanners +
+    cov merge) and without it (SAM text paths) produces byte-identical
+    results — the fast path cannot drift from the checkpoint
+    contract."""
+    ds = make_dataset(seed=47, n_fusion_frags=120, n_background_frags=90)
+    paths = write_dataset(ds, tmp_path)
+    gtf = tmp_path / "genes.gtf"
+    write_gtf(ds, gtf)
+    genome_fa = tmp_path / "genome.fa"
+    write_genome_fasta(ds, genome_fa)
+    repeats = tmp_path / "repeats.regions"
+    write_repeats(ds, repeats)
+    reads1, reads2, _ = index_paired_fastq(
+        str(paths["fastq1"]), str(paths["fastq2"]),
+        str(tmp_path / "reads"))
+    gm = GeneModels(str(gtf))
+    cdna_index = SeedIndex(
+        {f"{g.name}|{g.transcript}": g.cdna(ds.genome) + "A" * 50
+         for g in ds.genes})
+    genome_index = SeedIndex(ds.genome)
+    res = align_job(cdna_index=cdna_index, genome_index=genome_index,
+                    rrna_index=None, gene_models=gm, reads1=reads1,
+                    reads2=reads2, outdir=str(tmp_path / "aligned"))
+    config = Config.defaults(
+        reference_fasta=str(paths["reference"]),
+        cdna_regions=str(paths["exons"]),
+        span_count_threshold=3,
+    )
+    expression = {g.name: "50" for g in ds.genes}
+    outs = {}
+    for name, tbl in (("tbl", res["pair_table"]), ("sam", None)):
+        outs[name] = run_pipeline(
+            config=config, output_dir=str(tmp_path / f"out_{name}"),
+            library_name="tbl-equiv",
+            spanning=res["spanning"], improper=res["improper"],
+            fastq1=str(tmp_path / "reads" / "reads.1.fastq"),
+            fastq2=str(tmp_path / "reads" / "reads.2.fastq"),
+            concordant_sam=res["concordant_sam"], pair_table=tbl,
+            gene_models_gtf=str(gtf), genome_fasta=str(genome_fa),
+            repeats_regions=str(repeats), expression=expression,
+            use_device=False)
+    for artifact in ("results", "classified", "filtered"):
+        assert pathlib.Path(outs["tbl"][artifact]).read_bytes() == \
+            pathlib.Path(outs["sam"][artifact]).read_bytes(), artifact
+    # intermediate stage artifacts identical too
+    for inter in ("concordant.read.stats", "cov.span.samples",
+                  "cov.pos.samples", "cov.min.samples"):
+        assert (tmp_path / "out_tbl" / inter).read_bytes() == \
+            (tmp_path / "out_sam" / inter).read_bytes(), inter
+    assert len(pathlib.Path(
+        outs["tbl"]["results"]).read_text().splitlines()) > 1
+
+
 def test_align_reads_reads_per_job_sharding(tmp_path):
     """align_reads honors reads_per_job: the sharded frontend merge is
     byte-identical to an unsharded run."""
