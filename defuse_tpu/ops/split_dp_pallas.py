@@ -9,11 +9,22 @@ vs the host oracle), hand-scheduled for TPU v5e:
 * the horizontal gap recurrence ``col[i] = max(vert[i], col[i-1]+gap)``
   is a prefix max with linear decay, computed with a lane-wise
   log-step shift-max cascade (exact for ints);
+* the cascade rolls are *mask-free*: the lane axis is padded so that
+  every circular roll wraps lanes that are provably NEG (invalid ref
+  lanes are re-masked to NEG each row, and ``W >= max_ref_len + 1 +
+  s_max`` guarantees wrapped lanes always come from that tail), saving
+  one select per cascade step per row;
 * the i==0 DP boundary column (``m[0][j] = j*gap``) emerges from the
-  recurrence itself: lane 0 only ever receives ``prev[0] + gap``.
+  recurrence itself: lane 0 only ever receives ``prev[0] + gap``;
+* DP values are bounded by ``±2*n_rows`` (MATCH=2 decays GAP=-2 per
+  lane), so the working values optionally run in int16 — two values per
+  native 32-bit VPU lane, doubling arithmetic density.  The int16 path
+  is bit-exact (all intermediates fit comfortably; NEG16 chosen so no
+  add can wrap) and is tried once at dispatch, falling back to int32 if
+  Mosaic declines to lower it.
 
 Layout: lane axis = reference positions (column 0 is the DP boundary),
-sublane axis = batch.  ``R_pad + 1`` is rounded to a lane multiple.
+sublane axis = batch.
 """
 
 from __future__ import annotations
@@ -29,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..align.split_dp import GAP, MATCH, MIN_SPLIT_SCORE, MISMATCH
 
 NEG = np.int32(-(1 << 30))
+NEG16 = np.int16(-16384)  # NEG16 + min(decay) and + sub stay in int16
 LANES = 128
 
 
@@ -36,8 +48,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _max_shift(n_rows: int) -> int:
+    """Largest cascade shift: powers of two below 2*n_rows (the provable
+    propagation window — see the cascade comment in ``_dp_kernel``)."""
+    s = 1
+    while s * 2 < 2 * n_rows:
+        s *= 2
+    return s
+
+
 def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
-               width: int):
+               width: int, i16: bool):
     """One batch tile; refs_ref (TB, W) holds the boundary column at lane 0
     and ref char c_i at lane i (i>=1).
 
@@ -46,9 +67,11 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
     per-row maxima are accumulated into the output block with a one-hot
     select — both cheap VPU ops.
     """
+    dtype = jnp.int16 if i16 else jnp.int32
+    neg = NEG16 if i16 else NEG
     refs = refs_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, refs.shape, 1)
-    decay = GAP * lane
+    decay = (GAP * lane).astype(dtype)
     valid = lane <= lens_ref[:]  # (TB, W); lens: (TB, 1) ref lengths
 
     reads = reads_ref[:]
@@ -62,52 +85,71 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
     # lane more than (4*n_rows)/2 - 1 positions away.  The log-step
     # cascade with steps 1..2^k covers a window of 2^(k+1)-1 lanes, so
     # stopping once the window reaches 2*n_rows is exact (bit-identical;
-    # pinned by the interpret-mode oracle tests) and drops two steps at
-    # typical (W=384, n_rows=64) shapes.
+    # pinned by the interpret-mode oracle tests).
     shifts = []
     s = 1
     while s < min(width, 2 * n_rows):
         shifts.append(s)
         s *= 2
 
+    gap = dtype(GAP)
+    match_ = dtype(MATCH)
+    mismatch = dtype(MISMATCH)
+
     def body(j, carry):
         prev, out_acc = carry
         # read char j-1 via one-hot reduction along lanes
         ch = jnp.sum(jnp.where(read_lane == j - 1, reads, 0), axis=1,
                      keepdims=True)  # (TB, 1)
-        sub = jnp.where(refs == ch, MATCH, MISMATCH)
-        # prev shifted right one lane, NEG-filled
+        sub = jnp.where(refs == ch, match_, mismatch)
+        # prev shifted right one lane; the wrapped lane W-1 is always an
+        # invalid (NEG) lane, so no boundary select is needed
         prev_s = pltpu.roll(prev, 1, 1)
-        prev_s = jnp.where(lane >= 1, prev_s, NEG)
-        vert = jnp.maximum(prev_s + sub, prev + GAP)
-        # prefix max of (vert - decay) along lanes
-        x = vert - decay
+        vert = jnp.maximum(prev_s + sub, prev + gap)
+        # prefix max of (vert - decay) along lanes; invalid lanes pinned
+        # to NEG so the mask-free circular rolls wrap only NEG values
+        x = jnp.where(valid, vert - decay, neg)
         for sh in shifts:
-            xs = pltpu.roll(x, sh, 1)
-            xs = jnp.where(lane >= sh, xs, NEG)
-            x = jnp.maximum(x, xs)
+            x = jnp.maximum(x, pltpu.roll(x, sh, 1))
         col = x + decay
-        rowmax = jnp.max(jnp.where(valid, col, NEG), axis=1, keepdims=True)
+        # invalid lanes hold neg+decay << any valid value: plain row max
+        # (in int32 — Mosaic has no int16 reductions; the cascade, which
+        # dominates, stays int16)
+        rowmax = jnp.max(col.astype(jnp.int32), axis=1, keepdims=True)
         out_acc = jnp.where(out_lane == j, rowmax, out_acc)
         return col, out_acc
 
-    init = (jnp.zeros(refs.shape, dtype=jnp.int32),
+    init = (jnp.where(valid, dtype(0), neg),
             jnp.zeros(out_ref.shape, dtype=jnp.int32))
     _, out_acc = jax.lax.fori_loop(1, n_rows + 1, body, init)
     out_ref[:] = out_acc
 
 
+_I16_OK: dict = {}
+
+
 def dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256):
     """Dispatch wrapper: compiled Mosaic kernel on TPU, interpreter
-    elsewhere (CPU test meshes)."""
+    elsewhere (CPU test meshes).  Tries the int16 value path once and
+    caches whether the backend lowers it."""
     interpret = jax.default_backend() != "tpu"
+    key = jax.default_backend()
+    if key not in _I16_OK:
+        try:
+            _dp_row_maxima_pallas(refs[:1], ref_lens[:1], reads[:1],
+                                  read_lens[:1], 8, interpret,
+                                  True).block_until_ready()
+            _I16_OK[key] = True
+        except Exception:
+            _I16_OK[key] = False
     return _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens,
-                                 batch_tile, interpret)
+                                 batch_tile, interpret, _I16_OK[key])
 
 
-@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("batch_tile", "interpret", "i16"))
 def _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256,
-                          interpret=False):
+                          interpret=False, i16=False):
     """Pallas equivalent of ``split_dp_batch.dp_row_maxima``.
 
     refs: (B, R) int32 char codes (0 = pad), ref_lens (B,), reads (B, L)
@@ -116,7 +158,9 @@ def _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256,
     """
     B, R = refs.shape
     L = reads.shape[1]
-    W = _round_up(R + 1, LANES)
+    # lane padding: mask-free cascade rolls require the wrapped lanes
+    # (the last s_max of the width) to be invalid for every row
+    W = _round_up(R + 1 + _max_shift(L), LANES)
     Lp = _round_up(L + 1, LANES)
     TB = min(batch_tile, _round_up(B, 8))
     Bp = _round_up(B, TB)
@@ -131,7 +175,7 @@ def _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256,
 
     grid = (Bp // TB,)
     out = pl.pallas_call(
-        functools.partial(_dp_kernel, n_rows=L, width=W),
+        functools.partial(_dp_kernel, n_rows=L, width=W, i16=i16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TB, W), lambda i: (i, 0),
@@ -168,13 +212,20 @@ def screen_candidates_pallas(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
     traffic ~50x vs shipping per-candidate int32 matrices both ways.
     """
     interpret = jax.default_backend() != "tpu"
+    key = jax.default_backend()
+    if key not in _I16_OK:
+        dp_row_maxima_pallas(uref1.astype(jnp.int32)[:1],
+                             ulen1.astype(jnp.int32)[:1],
+                             reads.astype(jnp.int32)[:1],
+                             read_lens.astype(jnp.int32)[:1])
     return _screen_candidates(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
-                              read_lens, min_scores, interpret)
+                              read_lens, min_scores, interpret,
+                              _I16_OK[key])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "i16"))
 def _screen_candidates(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
-                       read_lens, min_scores, interpret=False):
+                       read_lens, min_scores, interpret=False, i16=False):
     L = reads.shape[1]
     reads32 = reads.astype(jnp.int32)
     read_lens = read_lens.astype(jnp.int32)
@@ -193,7 +244,7 @@ def _screen_candidates(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
         jnp.concatenate([r1, r2]), jnp.concatenate([l1, l2]),
         jnp.concatenate([reads32, rev]),
         jnp.concatenate([read_lens, read_lens]),
-        256, interpret)
+        256, interpret, i16)
     B = reads.shape[0]
     rm1 = rowmax[:B]
     rm2 = rowmax[B:]
