@@ -135,12 +135,19 @@ def dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256):
     interpret = jax.default_backend() != "tpu"
     key = jax.default_backend()
     if key not in _I16_OK:
-        try:
-            _dp_row_maxima_pallas(refs[:1], ref_lens[:1], reads[:1],
-                                  read_lens[:1], 8, interpret,
-                                  True).block_until_ready()
-            _I16_OK[key] = True
-        except Exception:
+        # int16 probing is opt-in: the current TPU Mosaic toolchain
+        # declines int16 (and the probe's failing remote compile costs
+        # seconds per process); interpret mode validates it for free
+        import os
+        if interpret or os.environ.get("DEFUSE_PALLAS_I16"):
+            try:
+                _dp_row_maxima_pallas(refs[:1], ref_lens[:1], reads[:1],
+                                      read_lens[:1], 8, interpret,
+                                      True).block_until_ready()
+                _I16_OK[key] = True
+            except Exception:
+                _I16_OK[key] = False
+        else:
             _I16_OK[key] = False
     return _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens,
                                  batch_tile, interpret, _I16_OK[key])
