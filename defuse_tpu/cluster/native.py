@@ -863,6 +863,27 @@ def read_stats_tbl(tbl_path):
                      rl[-1] if rl else 0, tuple(rl))
 
 
+def globalize_ids(src, dst, offset, qname_style):
+    """Native shard-merge id globalization (defuse_run.pl:387-400
+    merge semantics; byte-identical to the Python loop in
+    parallel.shard.merge_frontend_shards).  qname_style: "frag"/"sam"
+    (bare leading id) or "frag/end".  Appends to dst (one gzip member
+    when dst ends in .gz).  Returns the line count or None when the
+    native library is unavailable / IO or parse fails."""
+    lib = load_library()
+    if lib is None:
+        return None
+    style = 1 if qname_style == "frag/end" else 0
+    fn = lib.dt_globalize_ids
+    fn.restype = ctypes.c_long
+    rc = fn(ctypes.c_char_p(str(src).encode()),
+            ctypes.c_char_p(str(dst).encode()),
+            ctypes.c_long(int(offset)), ctypes.c_int(style))
+    if rc < 0:
+        return None
+    return int(rc)
+
+
 def ingest_fastq(fastq1, fastq2, outdir):
     """Native paired-fastq ingest (index_paired_fastq byte contract):
     writes renamed fastqs + .fqi + .names into ``outdir`` and returns

@@ -120,7 +120,10 @@ def merge_frontend_shards(shard_results, shard_offsets, outdir):
         # append-only (reads are magic-sniffed, never extension-trusted)
         import gzip
 
+        from ..cluster import native
         from ..io.sam import open_text
+        if native.globalize_ids(src, dst, offset, qname_style) is not None:
+            return
         if str(dst).endswith(".gz"):
             fout_ctx = gzip.open(dst, "at", compresslevel=1)
         else:

@@ -3593,6 +3593,62 @@ long dt_read_stats(const char* sam_path, double* out_scalars,
   return (long)lengths.size();
 }
 
+// Shard-merge fragment-id globalization (defuse_run.pl:387-400 merge
+// semantics; byte-identical to parallel/shard.py::globalize): rewrite
+// the leading fragment id by +offset, preserving an optional "/end"
+// qname suffix, append to dst.  Reads transparently through gzip
+// (GzIn); when dst ends in .gz the rewritten shard is appended as one
+// gzip member (concatenated members are one valid stream).  style:
+// 0 = bare id ("frag"/"sam"), 1 = "frag/end".  Returns line count,
+// -1 on IO error, -2 on a malformed id line.
+long dt_globalize_ids(const char* src, const char* dst, long offset,
+                      int style) {
+  GzIn in;
+  if (!in.open(src)) return -1;
+  FILE* out = fopen(dst, "ab");
+  if (!out) return -1;
+  std::string line, buf;
+  buf.reserve(1 << 22);
+  char tmp[32];
+  long count = 0;
+  long rc = 0;
+  while (in.getline(line)) {
+    const char* p = line.c_str();
+    char* endp = nullptr;
+    long id = strtol(p, &endp, 10);
+    if (endp == p) {
+      rc = -2;
+      break;
+    }
+    if (style == 1) {
+      if (*endp != '/') {
+        rc = -2;
+        break;
+      }
+    } else if (*endp != '\t') {
+      rc = -2;
+      break;
+    }
+    snprintf(tmp, sizeof tmp, "%ld", id + offset);
+    buf += tmp;
+    buf.append(endp, line.c_str() + line.size() - endp);
+    buf += '\n';
+    count++;
+  }
+  if (rc == 0) {
+    if (EndsWithGz(dst)) {
+      std::string z;
+      if (!GzipMember(buf, z)) rc = -1;
+      else if (fwrite(z.data(), 1, z.size(), out) != z.size()) rc = -1;
+    } else if (!buf.empty() &&
+               fwrite(buf.data(), 1, buf.size(), out) != buf.size()) {
+      rc = -1;
+    }
+  }
+  fclose(out);
+  return rc < 0 ? rc : count;
+}
+
 // Covariance-sample merge (merge_cov_samples.pl:23-49; bit-exact twin
 // of stats/pvalues.py::cov_samples_merge): parse "marker\tvalue" rows
 // (strtol/strtod — correctly rounded like Python float()), group by

@@ -168,3 +168,67 @@ def test_launch_global_mesh():
     mesh = global_mesh(inst_size=2)
     assert mesh.axis_names == ("data", "inst")
     assert mesh.devices.shape[1] == 2
+
+
+def test_native_globalize_byte_parity(tmp_path):
+    """dt_globalize_ids == the Python globalize loop, byte for byte
+    (decompressed content for .gz), across all three qname styles."""
+    import gzip
+
+    from defuse_tpu.cluster import native
+    from defuse_tpu.io.sam import open_text
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    def py_globalize(src, dst, offset, qname_style):
+        ctx = (gzip.open(dst, "at", compresslevel=1)
+               if str(dst).endswith(".gz") else open(dst, "a"))
+        with open_text(src) as fin, ctx as fout:
+            for line in fin:
+                f = line.split("\t")
+                if qname_style == "frag/end":
+                    frag, end = f[0].split("/")
+                    f[0] = f"{int(frag) + offset}/{end}"
+                else:
+                    f[0] = str(int(f[0]) + offset)
+                fout.write("\t".join(f))
+
+    span = tmp_path / "spanning.compact"
+    span.write_text("0\tchr1\t+\t10\t60\tACGT\n7\tchr2\t-\t5\t55\tGGCC\n")
+    improper = tmp_path / "improper.sam"
+    improper.write_text("3/1\t16\tchr1\t100\t255\t50M\t*\t0\t0\tA\tI\n"
+                        "3/2\t0\tchr1\t400\t255\t50M\t*\t0\t0\tC\tI\n")
+    sam_gz = tmp_path / "cdna.sam.gz"
+    with gzip.open(sam_gz, "wt", compresslevel=1) as f:
+        f.write("12\t99\tENST1\t55\t255\t50M\t=\t155\t150\tA\tI\n")
+
+    cases = [(span, "frag", "a"), (improper, "frag/end", "b"),
+             (sam_gz, "sam", "c.gz"), (span, "frag", "d.gz")]
+    for src, style, suffix in cases:
+        for offset in (0, 1000, 2 ** 33):
+            pdst = tmp_path / f"py_{offset}_{suffix}"
+            ndst = tmp_path / f"nat_{offset}_{suffix}"
+            py_globalize(src, pdst, offset, style)
+            n = native.globalize_ids(src, ndst, offset, style)
+            assert n is not None and n > 0
+            with open_text(pdst) as f:
+                want = f.read()
+            with open_text(ndst) as f:
+                got = f.read()
+            assert got == want, (style, offset, suffix)
+
+    # appending a second shard extends, never truncates (gz: two members)
+    dst = tmp_path / "merged.compact.gz"
+    assert native.globalize_ids(span, dst, 0, "frag")
+    assert native.globalize_ids(span, dst, 100, "frag")
+    with open_text(dst) as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 4 and lines[2].split("\t")[0] == "100"
+
+    # malformed leading id -> None, nothing appended
+    bad = tmp_path / "bad.compact"
+    bad.write_text("notanint\tchr1\n")
+    out = tmp_path / "bad.out"
+    assert native.globalize_ids(bad, out, 5, "frag") is None
+    assert out.read_text() == ""
