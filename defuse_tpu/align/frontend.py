@@ -529,9 +529,21 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     from ..cluster import native
     from ..io.fasta import FastaStore
 
+    import os as _os
+    import time as _time
+    _tv = [_time.time()]
+
+    def _tmark(label):
+        if _os.environ.get("DEFUSE_ALIGNJOB_TIMING"):
+            now = _time.time()
+            print(f"[align_reads] {label}: {now - _tv[0]:.2f}s",
+                  flush=True)
+            _tv[0] = now
+
     out = pathlib.Path(output_dir)
     ingested = native.ingest_fastq(fastq1, fastq2, str(out / "reads")) \
         if native.available() else None
+    _tmark("fastq ingest")
     if ingested is not None:
         # native ingest: renamed fastqs + .fqi + names written in C++,
         # reads handed to the aligner as char matrices (no Python
@@ -616,6 +628,7 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
             prefilter_index = SeedIndex.load_or_build(prefilter_paths[0])
         else:
             prefilter_index = SeedIndex(merged)
+    _tmark("seed indices")
     ig_genes = set()
     if config.has_value("ig_gene_list"):
         with open(config.get_value("ig_gene_list")) as fh:
@@ -662,8 +675,10 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
                 slice_reads(reads1, lo, hi), slice_reads(reads2, lo, hi),
                 out / "aligned" / f"shard{si}"))
             offsets.append(lo)
+            _tmark(f"shard {si} ({hi - lo} pairs)")
         res = merge_frontend_shards(shard_results, offsets,
                                     out / "aligned")
+        _tmark("shard merge")
     else:
         res = run_shard(reads1, reads2, out / "aligned")
     return {

@@ -58,6 +58,21 @@ def build_parser() -> argparse.ArgumentParser:
     eplot.add_argument("-p", "--pdf", required=True,
                        help="plot output path (.pdf/.png)")
 
+    exp = sub.add_parser(
+        "export", help="format converters / circos exporters "
+                       "(results_to_circos, qseq2fastq, fq_all2std)")
+    exp.add_argument("kind", choices=["circos-links", "circos-points",
+                                      "qseq2fastq", "fq-all2std"])
+    exp.add_argument("-i", "--input", required=True,
+                     help="results.tsv / expression.txt / qseq / fastq")
+    exp.add_argument("-o", "--output", required=True)
+    exp.add_argument("-g", "--gtf",
+                     help="gene models gtf (circos-points)")
+    exp.add_argument("--filtered-only", action="store_true",
+                     help="circos-links: only rows past the "
+                          "probability threshold")
+    exp.add_argument("--threshold", type=float, default=0.5)
+
     bamq = sub.add_parser("bamfastq",
                           help="BAM -> paired fastq (bamfastq tool)")
     bamq.add_argument("-b", "--bam", required=True)
@@ -156,6 +171,31 @@ def main(argv=None) -> int:
             results_path=args.res or str(out_dir / "results.tsv"),
             fusion_id=args.fusid)
         print(res["plot"] or res["table"])
+        return 0
+
+    if args.command == "export":
+        from . import exporters
+        with open(args.output, "w") as out:
+            if args.kind == "circos-links":
+                exporters.results_to_circos_links(
+                    args.input, out, filtered_only=args.filtered_only,
+                    probability_threshold=args.threshold)
+            elif args.kind == "circos-points":
+                from ..annotate.gene_models import GeneModels
+                expression = {}
+                with open(args.input) as fh:
+                    for line in fh:
+                        f = line.rstrip("\n").split("\t")
+                        if len(f) >= 2:
+                            expression[f[0]] = float(f[1])
+                exporters.expression_to_circos_points(
+                    expression, GeneModels(args.gtf), out)
+            elif args.kind == "qseq2fastq":
+                with open(args.input) as fh:
+                    exporters.qseq2fastq(fh, out)
+            else:
+                with open(args.input) as fh:
+                    exporters.solexa_to_std_quality(fh, out)
         return 0
 
     if args.command == "bamfastq":

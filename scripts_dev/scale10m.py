@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""10M-pair sharded-scale demonstration (BASELINE config-3 shape).
+
+Reuses the sim_validation generator at 10M background pairs, then runs
+the REAL product path end to end: fastq files -> native ingest ->
+data-parallel frontend shards (reads_per_job=1M, defuse_run.pl:315-385)
+-> native shard merge (dt_globalize_ids) -> full pipeline ->
+results.filtered.tsv.  Reports recall, precision, and throughput;
+writes SCALE10M_r2.md at full scale.
+
+Usage: python scripts_dev/scale10m.py [n_background_pairs]
+"""
+
+import json
+import pathlib
+import random
+import sys
+import tempfile
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+sys.path.insert(0, str(REPO / "scripts_dev"))
+
+
+def write_fastqs(reads1, reads2, f1_path, f2_path, chunk=200_000):
+    for path, reads, end in ((f1_path, reads1, 1), (f2_path, reads2, 2)):
+        with open(path, "w", buffering=1 << 22) as f:
+            for lo in range(0, len(reads), chunk):
+                block = [f"@{i}/{end}\n{r}\n+\n{'I' * len(r)}"
+                         for i, r in enumerate(reads[lo:lo + chunk], lo)]
+                f.write("\n".join(block) + "\n")
+
+
+def main(n_background=10_000_000, reads_per_job=1_000_000):
+    from sim_validation import generate
+    from defuse_tpu.align.frontend import align_reads
+    from defuse_tpu.annotate.gene_models import GeneModels  # noqa: F401
+    from defuse_tpu.config import Config
+    from defuse_tpu.io.fasta import write_fasta
+    from defuse_tpu.pipeline.run import run_pipeline
+    from synthdata import SynthDataset, write_genome_fasta, write_gtf, \
+        write_repeats
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="defuse_10m_"))
+    rng = random.Random(777)
+    t0 = time.time()
+    marks = {}
+
+    def mark(label):
+        nonlocal t0
+        marks[label] = time.time() - t0
+        print(f"  {label}: {marks[label]:.1f}s", flush=True)
+        t0 = time.time()
+
+    genome, genes, reads1, reads2, truth, n_fusion_pairs = generate(
+        rng, n_background)
+    n_pairs = len(reads1)
+    mark(f"generate ({n_pairs} pairs)")
+
+    ds = SynthDataset(genome, genes, ("", 0, "", 0), "", [], [], [])
+    gtf = tmp / "genes.gtf"
+    write_gtf(ds, gtf)
+    genome_fa = tmp / "genome.fa"
+    write_genome_fasta(ds, genome_fa)
+    repeats = tmp / "repeats.regions"
+    write_repeats(ds, repeats)
+    cdna_seqs = {f"{g.name}|{g.transcript}": g.cdna(genome) + "A" * 50
+                 for g in genes}
+    cdna_fa = tmp / "cdna.fa"
+    write_fasta(str(cdna_fa), cdna_seqs)
+    ref_fa = tmp / "reference.fa"
+    allseq = dict(genome)
+    allseq.update(cdna_seqs)
+    write_fasta(str(ref_fa), allseq)
+    regions = tmp / "cdna.regions"
+    with open(regions, "w") as out:
+        for g in genes:
+            fields = [g.name, g.transcript, g.chromosome,
+                      "+" if g.strand == 0 else "-"]
+            for s, e in g.exons:
+                fields += [str(s), str(e)]
+            out.write("\t".join(fields) + "\t\n")
+
+    fq1, fq2 = tmp / "reads.1.fastq", tmp / "reads.2.fastq"
+    write_fastqs(reads1, reads2, fq1, fq2)
+    del reads1, reads2
+    mark("dataset + fastq files")
+
+    config = Config.defaults(
+        reference_fasta=str(ref_fa), cdna_regions=str(regions),
+        cdna_fasta=str(cdna_fa), genome_fasta=str(genome_fa),
+        gene_models=str(gtf), span_count_threshold=5,
+        reads_per_job=reads_per_job)
+    outdir = tmp / "out"
+
+    n_shards = (n_pairs + reads_per_job - 1) // reads_per_job
+    t_run = time.time()
+    inputs = align_reads(config, str(outdir), str(fq1), str(fq2))
+    frontend_s = time.time() - t_run
+    mark(f"frontend ({n_pairs / frontend_s / 1000:.0f}k pairs/s, "
+         f"{n_shards} shards)")
+
+    outs = run_pipeline(
+        config=config, output_dir=str(outdir), library_name="sim10m",
+        use_device=True, gene_models_gtf=str(gtf),
+        genome_fasta=str(genome_fa), repeats_regions=str(repeats),
+        expression={g.name: "10" for g in genes}, **inputs)
+    mark("pipeline")
+    e2e_s = time.time() - t_run
+
+    def pairs_of(path):
+        lines = open(path).read().splitlines()
+        header = lines[0].split("\t")
+        g1, g2 = header.index("gene1"), header.index("gene2")
+        return [frozenset((r.split("\t")[g1], r.split("\t")[g2]))
+                for r in lines[1:]]
+
+    classified = set(pairs_of(outs["classified"]))
+    filtered = pairs_of(outs["filtered"])
+    recall = sum(1 for f in truth if f in set(filtered))
+    fp = sum(1 for f in filtered if f not in truth)
+    report = {
+        "n_read_pairs": n_pairs,
+        "n_shards": n_shards,
+        "recall_classified":
+            f"{sum(1 for f in truth if f in classified)}/{len(truth)}",
+        "recall_filtered": f"{recall}/{len(truth)}",
+        "false_positives_filtered": fp,
+        "frontend_s": round(frontend_s, 1),
+        "e2e_s": round(e2e_s, 1),
+        "frontend_pairs_per_s": round(n_pairs / frontend_s),
+        "e2e_pairs_per_s": round(n_pairs / e2e_s),
+    }
+    print(json.dumps(report))
+    if n_pairs >= 5_000_000:
+        md = REPO / "SCALE10M_r2.md"
+        md.write_text(
+            "# 10M-pair sharded scale run (round 2)\n\n"
+            "Full product path: fastq -> native ingest -> "
+            f"{report['n_shards']} data-parallel frontend shards "
+            f"(reads_per_job={reads_per_job}) -> native shard merge -> "
+            "pipeline -> "
+            "results.filtered.tsv, on the 4-CPU host.\n\n"
+            "| metric | value |\n|---|---|\n" +
+            "".join(f"| {k} | {v} |\n" for k, v in report.items()) +
+            "\nGenerated by scripts_dev/scale10m.py (seed 777).\n")
+        print(f"wrote {md}")
+    return report
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    rpj = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    main(n, rpj)

@@ -140,3 +140,46 @@ def test_expression_plot(tmp_path):
     assert out["break_position"] == 151
     import pathlib as _pl
     assert out["plot"] and _pl.Path(out["plot"]).exists()
+
+
+def test_export_cli(tmp_path):
+    """The `export` subcommand drives every converter from the CLI."""
+    from defuse_tpu.cli.main import main as cli_main
+
+    results = tmp_path / "r.tsv"
+    results.write_text(
+        "cluster_id\tgene_chromosome1\tgenomic_break_pos1\t"
+        "gene_chromosome2\tgenomic_break_pos2\tprobability\n"
+        "0\t1\t1000\t2\t2000\t0.9\n1\t3\t500\t4\t700\t0.1\n")
+    links = tmp_path / "links.txt"
+    assert cli_main(["export", "circos-links", "-i", str(results),
+                     "-o", str(links), "--filtered-only"]) == 0
+    assert links.read_text() == "hs1 1000 1001 hs2 2000 2001\n"
+
+    qseq = tmp_path / "in.qseq"
+    qseq.write_text("M1\t5\t1\t2\t3\t4\t0\t1\tACG.T\tabcde\n")
+    fq = tmp_path / "out.fq"
+    assert cli_main(["export", "qseq2fastq", "-i", str(qseq),
+                     "-o", str(fq)]) == 0
+    assert fq.read_text().splitlines()[1] == "ACGNT"
+
+    sol = tmp_path / "sol.fq"
+    sol.write_text("@r/1\nACGT\n+\nabcd\n")
+    std = tmp_path / "std.fq"
+    assert cli_main(["export", "fq-all2std", "-i", str(sol),
+                     "-o", str(std)]) == 0
+    assert std.read_text().splitlines()[3] == \
+        "".join(chr(ord(c) - 31) for c in "abcd")
+
+    from synthdata import make_dataset, write_gtf
+    ds = make_dataset(seed=3)
+    gtf = tmp_path / "g.gtf"
+    write_gtf(ds, gtf)
+    expr = tmp_path / "expr.txt"
+    expr.write_text(f"{ds.genes[0].name}\t12.5\nUNKNOWN_GENE\t1\n")
+    pts = tmp_path / "points.txt"
+    assert cli_main(["export", "circos-points", "-i", str(expr),
+                     "-o", str(pts), "-g", str(gtf)]) == 0
+    row = pts.read_text().splitlines()
+    assert len(row) == 1 and row[0].startswith("hs") and \
+        row[0].endswith(" 12.5")
