@@ -167,7 +167,7 @@ def _best_proper_pairs(aligns1, aligns2, max_insert: int):
     return pairs
 
 
-def write_pair_sam(pairs, reads1, reads2, path) -> None:
+def write_pair_sam(pairs, reads1, reads2, path, frag_base=0) -> None:
     """Proper-pair SAM rows (flags 0x2 pairing) for read stats / calccov
     / expression.  A ``.gz`` path gzips (level 1 — checkpoint artifact
     on a ~70MB/s filesystem, speed over ratio)."""
@@ -189,12 +189,13 @@ def write_pair_sam(pairs, reads1, reads2, path) -> None:
                     flag |= 0x20
                 sign = 1 if a.start <= mate.start else -1
                 # bowtie-style bare qname; the flags carry the read end
-                out.write(f"{frag}\t{flag}\t{a.ref_name}\t"
+                out.write(f"{frag + frag_base}\t{flag}\t{a.ref_name}\t"
                           f"{a.start}\t255\t{len(seq)}M\t=\t{mate.start}\t"
                           f"{sign * isize}\t{seq}\t{'I' * len(seq)}\n")
 
 
-def write_pair_tbl(pairs, reads1, reads2, names, path) -> None:
+def write_pair_tbl(pairs, reads1, reads2, names, path,
+                   frag_base=0) -> None:
     """Binary proper-pair table twin of ``write_pair_sam`` (native
     ``PairRec`` layout: magic, n_pairs, name table, 32B records) —
     byte-identical to dt_align_job's ``cdna.pair.tbl``, letting read
@@ -211,7 +212,7 @@ def write_pair_tbl(pairs, reads1, reads2, names, path) -> None:
     recs = np.zeros(len(pairs), dtype=rec_dt)
     for i, frag in enumerate(sorted(pairs)):
         a1, a2, isize = pairs[frag]
-        recs[i] = (frag, name_to_id[a1.ref_name], a1.start,
+        recs[i] = (frag + frag_base, name_to_id[a1.ref_name], a1.start,
                    len(reads1[frag]), a2.start, len(reads2[frag]), isize)
     with open(path, "wb") as fh:
         fh.write(b"DPTBL1\n\x00")
@@ -262,8 +263,15 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
               dna_concordant_length: int = 2000, max_alignments: int = 100,
               ig_genes: set[str] | None = None, verify_fn=None,
               prefilter_index: SeedIndex | None = None,
-              force_python: bool = False):
+              force_python: bool = False, frag_base: int = 0):
     """Run the full alignjob flow.  Returns paths dict.
+
+    ``frag_base`` offsets every fragment id written to the artifact
+    files (spanning/improper/pair sam/pair tbl) so data-parallel shards
+    emit globally-correct ids and the shard merge degenerates to a raw
+    byte append (``defuse_run.pl:387-400`` merge semantics).  The
+    returned ``concordant_fragments``/``blacklist`` sets stay
+    shard-local indices.
 
     The hot path is the native C++ driver (``dt_align_job``): the whole
     flow — paired concordant screens, trimmed multimap alignment,
@@ -291,7 +299,7 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
                 discord_read_trim=discord_read_trim,
                 max_paired_alignments=max_paired_alignments,
                 dna_concordant_length=dna_concordant_length,
-                max_alignments=max_alignments)
+                max_alignments=max_alignments, frag_base=frag_base)
             if res is not None:
                 return res
 
@@ -313,10 +321,11 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
     concordant = set(cdna_pairs) | set(genome_pairs)
 
     cdna_pair_sam = out / "cdna.pair.sam.gz"
-    write_pair_sam(cdna_pairs, reads1, reads2, cdna_pair_sam)
+    write_pair_sam(cdna_pairs, reads1, reads2, cdna_pair_sam,
+                   frag_base=frag_base)
     cdna_pair_tbl = out / "cdna.pair.tbl"
     write_pair_tbl(cdna_pairs, reads1, reads2, cdna_index.names,
-                   cdna_pair_tbl)
+                   cdna_pair_tbl, frag_base=frag_base)
 
     # 2. read stats from the proper pairs
     isizes = [isize for (_a1, _a2, isize) in cdna_pairs.values()]
@@ -442,12 +451,14 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
                     ends_present.add(end)
             for end, a, seq in rows:
                 flag = 0x10 if a.strand else 0
-                sam_out.write(f"{frag}/{end + 1}\t{flag}\t{a.ref_name}\t"
+                sam_out.write(f"{frag + frag_base}/{end + 1}\t{flag}\t"
+                              f"{a.ref_name}\t"
                               f"{a.start}\t255\t{len(seq)}M\t*\t0\t0\t"
                               f"{seq}\t{'I' * len(seq)}\n")
             if len(ends_present) == 2:
                 for end, a, seq in rows:
-                    sp_out.write(f"{frag}\t{end}\t{a.ref_name}\t"
+                    sp_out.write(f"{frag + frag_base}\t{end}\t"
+                                 f"{a.ref_name}\t"
                                  f"{'-' if a.strand else '+'}\t{a.start}"
                                  f"\t{a.end}\n")
 
@@ -473,7 +484,7 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
                       prefilter_index, gene_models, ig_genes, reads1,
                       reads2, out, max_insert_size, discord_read_trim,
                       max_paired_alignments, dna_concordant_length,
-                      max_alignments):
+                      max_alignments, frag_base=0):
     """Native C++ alignjob driver glue (byte-identical outputs to the
     Python path; pinned by tests/test_frontend_native.py)."""
     from ..cluster import native
@@ -492,7 +503,7 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
         trim_len=discord_read_trim, max_insert=max_insert_size,
         max_paired=max_paired_alignments,
         concord_len=dna_concordant_length,
-        max_alignments=max_alignments)
+        max_alignments=max_alignments, frag_base=frag_base)
     if res is None:
         return None
     (n_pairs, sum_isize, sumsq_isize), concordant, blacklist = res
@@ -643,7 +654,7 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
         if tpu_backend_available():
             from ..ops.verify_batch import DeviceVerifier
             verify_fn = DeviceVerifier()
-    def run_shard(r1, r2, outdir):
+    def run_shard(r1, r2, outdir, frag_base=0):
         return align_job(
             cdna_index=cdna_index, genome_index=genome_index,
             rrna_index=rrna_index, gene_models=gene_models,
@@ -653,7 +664,7 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
             max_paired_alignments=config.get_int("max_paired_alignments"),
             dna_concordant_length=config.get_int("dna_concordant_length"),
             ig_genes=ig_genes, verify_fn=verify_fn,
-            prefilter_index=prefilter_index)
+            prefilter_index=prefilter_index, frag_base=frag_base)
 
     def slice_reads(reads, lo, hi):
         if isinstance(reads, tuple):
@@ -671,13 +682,15 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
         offsets = []
         for si, lo in enumerate(range(0, n_frags, reads_per_job)):
             hi = min(lo + reads_per_job, n_frags)
+            # shards emit globally-correct fragment ids (frag_base) so
+            # the merge below is a raw byte append, no id rewrite
             shard_results.append(run_shard(
                 slice_reads(reads1, lo, hi), slice_reads(reads2, lo, hi),
-                out / "aligned" / f"shard{si}"))
+                out / "aligned" / f"shard{si}", frag_base=lo))
             offsets.append(lo)
             _tmark(f"shard {si} ({hi - lo} pairs)")
         res = merge_frontend_shards(shard_results, offsets,
-                                    out / "aligned")
+                                    out / "aligned", ids_global=True)
         _tmark("shard merge")
     else:
         res = run_shard(reads1, reads2, out / "aligned")

@@ -629,10 +629,14 @@ def align_job_native(*, cdna_index, genome_index, rrna_index,
                      reads2, improper_path, spanning_path, pair_sam_path,
                      pair_tbl_path=None, trim_len, max_insert,
                      max_paired, concord_len, max_alignments,
-                     max_mismatch=2, max_per_seed=256, n_threads=0):
+                     max_mismatch=2, max_per_seed=256, n_threads=0,
+                     frag_base=0):
     """Full alignjob flow in C++.  Returns (stats, concordant set,
     blacklist set) or None when the native path cannot run (then the
-    caller uses the Python path)."""
+    caller uses the Python path).  ``frag_base`` offsets every emitted
+    fragment id (data-parallel shards write globally-correct ids so the
+    merge is a raw byte append — defuse_run.pl:387-400 semantics without
+    the rewrite pass); the returned sets stay shard-local."""
     lib = load_library()
     if lib is None:
         return None
@@ -707,6 +711,7 @@ def align_job_native(*, cdna_index, genome_index, rrna_index,
         ctypes.c_long(max_paired), ctypes.c_long(concord_len),
         ctypes.c_int(max_alignments), ctypes.c_int(max_mismatch),
         ctypes.c_int(max_per_seed), ctypes.c_int(n_threads),
+        ctypes.c_long(frag_base),
         ctypes.c_char_p(str(improper_path).encode()),
         ctypes.c_char_p(str(spanning_path).encode()),
         ctypes.c_char_p(str(pair_sam_path).encode()),

@@ -94,14 +94,19 @@ def divide_spanning_by_chr_pair(rows, chrom_of):
     return partitions
 
 
-def merge_frontend_shards(shard_results, shard_offsets, outdir):
+def merge_frontend_shards(shard_results, shard_offsets, outdir,
+                          ids_global=False):
     """Merge per-shard frontend artifacts into global-id files
     (``defuse_run.pl:387-400`` merge semantics; byte-identical to the
     unsharded run — pinned by ``tests/test_pipeline_sharded.py`` /
     ``test_frontend_sharding``).
 
     shard_results: list of align_job result dicts; shard_offsets: global
-    fragment-id base per shard.  Returns a merged result dict.
+    fragment-id base per shard.  ``ids_global=True`` marks shards that
+    already wrote global fragment ids (align_job ``frag_base``): the
+    text/gz artifacts are then raw-byte appended with no id rewrite
+    (concatenated gzip members are a valid stream), turning the merge
+    into pure sequential IO.  Returns a merged result dict.
     """
     from ..stats.readstats import merge_read_stats
 
@@ -122,6 +127,11 @@ def merge_frontend_shards(shard_results, shard_offsets, outdir):
 
         from ..cluster import native
         from ..io.sam import open_text
+        if ids_global:
+            import shutil
+            with open(src, "rb") as fin, open(dst, "ab") as fout:
+                shutil.copyfileobj(fin, fout, 1 << 22)
+            return
         if native.globalize_ids(src, dst, offset, qname_style) is not None:
             return
         if str(dst).endswith(".gz"):
@@ -153,7 +163,9 @@ def merge_frontend_shards(shard_results, shard_offsets, outdir):
     merged_tbl = None
     if all(p and pathlib.Path(p).exists() for p in tbl_parts):
         merged_tbl = out / "cdna.pair.tbl"
-        merge_pair_tables(tbl_parts, shard_offsets, merged_tbl)
+        merge_pair_tables(tbl_parts,
+                          [0] * len(tbl_parts) if ids_global
+                          else shard_offsets, merged_tbl)
 
     stats = merge_read_stats([r["stats"] for r in shard_results])
     return {
@@ -205,9 +217,10 @@ def merge_pair_tables(parts, offsets, dst):
         elif names != all_names:
             raise ValueError("pair table name tables differ across "
                              "shards (indices must match)")
-        shifted = recs.copy()
-        shifted["frag"] += offset
-        chunks.append(shifted)
+        if offset:
+            recs = recs.copy()
+            recs["frag"] += offset
+        chunks.append(recs)
     merged = np.concatenate(chunks) if chunks else \
         np.zeros(0, dtype=PAIR_REC_DTYPE)
     blob = "".join(all_names or []).encode()

@@ -2713,6 +2713,7 @@ long dt_align_job(
     // params
     int trim_len, long max_insert, long max_paired, long concord_len,
     int max_alignments, int max_mismatch, int max_per_seed, int n_threads,
+    long frag_base,
     // outputs
     const char* improper_path, const char* spanning_path,
     const char* pair_sam_path, const char* pair_tbl_path,
@@ -2865,8 +2866,8 @@ long dt_align_job(
           sq[t] += cp.isize * cp.isize;
           if (want_tbl)
             recs[t].push_back(PairRec{
-                f, cp.a1.seq, cp.a1.pos0 + 1, lens1[f], cp.a2.pos0 + 1,
-                lens2[f], (int32_t)cp.isize});
+                f + frag_base, cp.a1.seq, cp.a1.pos0 + 1, lens1[f],
+                cp.a2.pos0 + 1, lens2[f], (int32_t)cp.isize});
           for (int end = 0; end < 2; end++) {
             const Hit& a = end == 0 ? cp.a1 : cp.a2;
             const Hit& mate = end == 0 ? cp.a2 : cp.a1;
@@ -2877,7 +2878,7 @@ long dt_align_job(
             if (a.strand) flag |= 0x10;
             if (mate.strand) flag |= 0x20;
             long sign = (a.pos0 <= mate.pos0) ? 1 : -1;
-            snprintf(tmp, sizeof tmp, "%ld\t%d\t", f, flag);
+            snprintf(tmp, sizeof tmp, "%ld\t%d\t", f + frag_base, flag);
             buf += tmp;
             buf.append(c_names + c_name_off[a.seq],
                        c_name_off[a.seq + 1] - c_name_off[a.seq]);
@@ -3137,8 +3138,8 @@ long dt_align_job(
               const int64_t* noff = src == 0 ? g_name_off : c_name_off;
               for (const Hit& a : (src == 0 ? dna[end] : cdna_h[end])) {
                 int flag = a.strand ? 0x10 : 0;
-                snprintf(tmp, sizeof tmp, "%ld/%d\t%d\t", f, end + 1,
-                         flag);
+                snprintf(tmp, sizeof tmp, "%ld/%d\t%d\t", f + frag_base,
+                         end + 1, flag);
                 imp += tmp;
                 imp.append(names + noff[a.seq],
                            noff[a.seq + 1] - noff[a.seq]);
@@ -3150,7 +3151,8 @@ long dt_align_job(
                 imp.append(tl, 'I');
                 imp += '\n';
                 if (ends_present == 2) {
-                  snprintf(tmp, sizeof tmp, "%ld\t%d\t", f, end);
+                  snprintf(tmp, sizeof tmp, "%ld\t%d\t", f + frag_base,
+                           end);
                   spn += tmp;
                   spn.append(names + noff[a.seq],
                              noff[a.seq + 1] - noff[a.seq]);

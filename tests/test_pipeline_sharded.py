@@ -245,3 +245,60 @@ def test_align_reads_reads_per_job_sharding(tmp_path):
         assert pathlib.Path(sharded[key]).read_bytes() == \
             pathlib.Path(whole[key]).read_bytes(), key
     assert pathlib.Path(sharded["spanning"]).stat().st_size > 0
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_frag_base_global_ids(tmp_path, force_python):
+    """align_job(frag_base=k) writes globally-offset fragment ids in
+    every artifact, byte-identical (after decompression) to rewriting a
+    frag_base=0 run with +k — on both the native and oracle paths — so
+    merge_frontend_shards(ids_global=True) can raw-append shard files."""
+    from defuse_tpu.cluster import native
+    from defuse_tpu.io.sam import read_decompressed
+    from defuse_tpu.parallel.shard import read_pair_table
+
+    if force_python is False and not native.available():
+        pytest.skip("native library unavailable")
+
+    ds = make_dataset(seed=47, n_fusion_frags=60, n_background_frags=60)
+    paths = write_dataset(ds, tmp_path)
+    gtf = tmp_path / "genes.gtf"
+    write_gtf(ds, gtf)
+    reads1, reads2, _ = index_paired_fastq(
+        str(paths["fastq1"]), str(paths["fastq2"]),
+        str(tmp_path / "reads"))
+    gm = GeneModels(str(gtf))
+    cdna_index = SeedIndex(
+        {f"{g.name}|{g.transcript}": g.cdna(ds.genome) + "A" * 50
+         for g in ds.genes})
+    genome_index = SeedIndex(ds.genome)
+
+    def run(outdir, base):
+        return align_job(cdna_index=cdna_index, genome_index=genome_index,
+                         rrna_index=None, gene_models=gm, reads1=reads1,
+                         reads2=reads2, outdir=str(tmp_path / outdir),
+                         frag_base=base, force_python=force_python)
+
+    BASE = 1_000_000
+    local = run("local", 0)
+    shifted = run("shifted", BASE)
+
+    # local sets are base-independent
+    assert local["concordant_fragments"] == shifted["concordant_fragments"]
+    assert local["blacklist"] == shifted["blacklist"]
+
+    for key, style in (("spanning", "frag"), ("improper", "frag/end"),
+                       ("concordant_sam", "sam")):
+        rewritten = tmp_path / f"rewritten.{key}"
+        _globalize(local[key], rewritten, BASE, style)
+        assert read_decompressed(shifted[key]) == \
+            read_decompressed(rewritten), key
+        assert read_decompressed(shifted[key]) != \
+            read_decompressed(local[key]) or \
+            not read_decompressed(local[key]), key
+
+    names_l, recs_l = read_pair_table(local["pair_table"])
+    names_s, recs_s = read_pair_table(shifted["pair_table"])
+    assert names_l == names_s
+    assert len(recs_s) > 0
+    assert (recs_s["frag"] == recs_l["frag"] + BASE).all()
