@@ -167,16 +167,19 @@ def _best_proper_pairs(aligns1, aligns2, max_insert: int):
     return pairs
 
 
-def write_pair_sam(pairs, reads1, reads2, path, frag_base=0) -> None:
+def write_pair_sam(pairs, reads1, reads2, path, frag_base=0,
+                   append=False) -> None:
     """Proper-pair SAM rows (flags 0x2 pairing) for read stats / calccov
     / expression.  A ``.gz`` path gzips (level 1 — checkpoint artifact
-    on a ~70MB/s filesystem, speed over ratio)."""
+    on a ~70MB/s filesystem, speed over ratio).  ``append`` adds to an
+    existing file (a fresh gzip member on .gz — concatenated members
+    are a valid stream)."""
     import contextlib
     import gzip
     if str(path).endswith(".gz"):
-        ctx = gzip.open(path, "wt", compresslevel=1)
+        ctx = gzip.open(path, "at" if append else "wt", compresslevel=1)
     else:
-        ctx = open(path, "w")
+        ctx = open(path, "a" if append else "w")
     with contextlib.closing(ctx) as out:
         for frag in sorted(pairs):
             a1, a2, isize = pairs[frag]
@@ -195,11 +198,12 @@ def write_pair_sam(pairs, reads1, reads2, path, frag_base=0) -> None:
 
 
 def write_pair_tbl(pairs, reads1, reads2, names, path,
-                   frag_base=0) -> None:
+                   frag_base=0, append=False) -> None:
     """Binary proper-pair table twin of ``write_pair_sam`` (native
     ``PairRec`` layout: magic, n_pairs, name table, 32B records) —
     byte-identical to dt_align_job's ``cdna.pair.tbl``, letting read
-    stats / calccov skip the SAM text re-parse."""
+    stats / calccov skip the SAM text re-parse.  ``append`` adds a new
+    self-describing segment; readers stream all segments."""
     import numpy as np
     name_to_id = {n: i for i, n in enumerate(names)}
     blob = "".join(names).encode()
@@ -214,7 +218,7 @@ def write_pair_tbl(pairs, reads1, reads2, names, path,
         a1, a2, isize = pairs[frag]
         recs[i] = (frag + frag_base, name_to_id[a1.ref_name], a1.start,
                    len(reads1[frag]), a2.start, len(reads2[frag]), isize)
-    with open(path, "wb") as fh:
+    with open(path, "ab" if append else "wb") as fh:
         fh.write(b"DPTBL1\n\x00")
         fh.write(np.int64(len(recs)).tobytes())
         fh.write(np.int64(len(names)).tobytes())
@@ -263,7 +267,8 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
               dna_concordant_length: int = 2000, max_alignments: int = 100,
               ig_genes: set[str] | None = None, verify_fn=None,
               prefilter_index: SeedIndex | None = None,
-              force_python: bool = False, frag_base: int = 0):
+              force_python: bool = False, frag_base: int = 0,
+              append: bool = False):
     """Run the full alignjob flow.  Returns paths dict.
 
     ``frag_base`` offsets every fragment id written to the artifact
@@ -272,6 +277,12 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
     byte append (``defuse_run.pl:387-400`` merge semantics).  The
     returned ``concordant_fragments``/``blacklist`` sets stay
     shard-local indices.
+
+    ``append`` opens every artifact in append mode: sequential shards
+    can write straight into the final files (shard 0 truncates with
+    ``append=False``), removing the merge copy pass entirely — .gz
+    artifacts gain one gzip member per shard, the pair table gains one
+    self-describing segment per shard.
 
     The hot path is the native C++ driver (``dt_align_job``): the whole
     flow — paired concordant screens, trimmed multimap alignment,
@@ -299,7 +310,8 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
                 discord_read_trim=discord_read_trim,
                 max_paired_alignments=max_paired_alignments,
                 dna_concordant_length=dna_concordant_length,
-                max_alignments=max_alignments, frag_base=frag_base)
+                max_alignments=max_alignments, frag_base=frag_base,
+                append=append)
             if res is not None:
                 return res
 
@@ -322,10 +334,10 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
 
     cdna_pair_sam = out / "cdna.pair.sam.gz"
     write_pair_sam(cdna_pairs, reads1, reads2, cdna_pair_sam,
-                   frag_base=frag_base)
+                   frag_base=frag_base, append=append)
     cdna_pair_tbl = out / "cdna.pair.tbl"
     write_pair_tbl(cdna_pairs, reads1, reads2, cdna_index.names,
-                   cdna_pair_tbl, frag_base=frag_base)
+                   cdna_pair_tbl, frag_base=frag_base, append=append)
 
     # 2. read stats from the proper pairs
     isizes = [isize for (_a1, _a2, isize) in cdna_pairs.values()]
@@ -436,7 +448,9 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
     # 7. improper SAM + spanning rows
     improper_sam = out / "improper.sam"
     spanning = out / "spanning.compact"
-    with open(improper_sam, "w") as sam_out, open(spanning, "w") as sp_out:
+    _mode = "a" if append else "w"
+    with open(improper_sam, _mode) as sam_out, \
+            open(spanning, _mode) as sp_out:
         for frag in candidates:
             if frag in blacklist:
                 continue
@@ -484,7 +498,7 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
                       prefilter_index, gene_models, ig_genes, reads1,
                       reads2, out, max_insert_size, discord_read_trim,
                       max_paired_alignments, dna_concordant_length,
-                      max_alignments, frag_base=0):
+                      max_alignments, frag_base=0, append=False):
     """Native C++ alignjob driver glue (byte-identical outputs to the
     Python path; pinned by tests/test_frontend_native.py)."""
     from ..cluster import native
@@ -503,7 +517,8 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
         trim_len=discord_read_trim, max_insert=max_insert_size,
         max_paired=max_paired_alignments,
         concord_len=dna_concordant_length,
-        max_alignments=max_alignments, frag_base=frag_base)
+        max_alignments=max_alignments, frag_base=frag_base,
+        append=append)
     if res is None:
         return None
     (n_pairs, sum_isize, sumsq_isize), concordant, blacklist = res
@@ -654,7 +669,7 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
         if tpu_backend_available():
             from ..ops.verify_batch import DeviceVerifier
             verify_fn = DeviceVerifier()
-    def run_shard(r1, r2, outdir, frag_base=0):
+    def run_shard(r1, r2, outdir, frag_base=0, append=False):
         return align_job(
             cdna_index=cdna_index, genome_index=genome_index,
             rrna_index=rrna_index, gene_models=gene_models,
@@ -664,7 +679,8 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
             max_paired_alignments=config.get_int("max_paired_alignments"),
             dna_concordant_length=config.get_int("dna_concordant_length"),
             ig_genes=ig_genes, verify_fn=verify_fn,
-            prefilter_index=prefilter_index, frag_base=frag_base)
+            prefilter_index=prefilter_index, frag_base=frag_base,
+            append=append)
 
     def slice_reads(reads, lo, hi):
         if isinstance(reads, tuple):
@@ -675,23 +691,18 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
     reads_per_job = config.get_int("reads_per_job")
     if n_frags > reads_per_job:
         # data-parallel frontend shards (defuse_run.pl:315-385): bounds
-        # per-shard memory at reads_per_job pairs; shard merge is
-        # byte-identical to the unsharded run
-        from ..parallel.shard import merge_frontend_shards
-        shard_results = []
-        offsets = []
+        # per-shard memory at reads_per_job pairs.  Sequential shards
+        # emit globally-correct fragment ids (frag_base) and append
+        # straight into the final artifact files (shard 0 truncates) —
+        # there is no merge pass at all; .gz artifacts carry one gzip
+        # member per shard, the pair table one segment per shard.
+        res = None
         for si, lo in enumerate(range(0, n_frags, reads_per_job)):
             hi = min(lo + reads_per_job, n_frags)
-            # shards emit globally-correct fragment ids (frag_base) so
-            # the merge below is a raw byte append, no id rewrite
-            shard_results.append(run_shard(
+            res = run_shard(
                 slice_reads(reads1, lo, hi), slice_reads(reads2, lo, hi),
-                out / "aligned" / f"shard{si}", frag_base=lo))
-            offsets.append(lo)
+                out / "aligned", frag_base=lo, append=si > 0)
             _tmark(f"shard {si} ({hi - lo} pairs)")
-        res = merge_frontend_shards(shard_results, offsets,
-                                    out / "aligned", ids_global=True)
-        _tmark("shard merge")
     else:
         res = run_shard(reads1, reads2, out / "aligned")
     return {

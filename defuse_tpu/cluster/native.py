@@ -630,13 +630,15 @@ def align_job_native(*, cdna_index, genome_index, rrna_index,
                      pair_tbl_path=None, trim_len, max_insert,
                      max_paired, concord_len, max_alignments,
                      max_mismatch=2, max_per_seed=256, n_threads=0,
-                     frag_base=0):
+                     frag_base=0, append=False):
     """Full alignjob flow in C++.  Returns (stats, concordant set,
     blacklist set) or None when the native path cannot run (then the
     caller uses the Python path).  ``frag_base`` offsets every emitted
     fragment id (data-parallel shards write globally-correct ids so the
     merge is a raw byte append — defuse_run.pl:387-400 semantics without
-    the rewrite pass); the returned sets stay shard-local."""
+    the rewrite pass); the returned sets stay shard-local.  ``append``
+    opens every artifact in append mode so sequential shards write
+    straight into the final files (gzip members / table segments)."""
     lib = load_library()
     if lib is None:
         return None
@@ -711,7 +713,7 @@ def align_job_native(*, cdna_index, genome_index, rrna_index,
         ctypes.c_long(max_paired), ctypes.c_long(concord_len),
         ctypes.c_int(max_alignments), ctypes.c_int(max_mismatch),
         ctypes.c_int(max_per_seed), ctypes.c_int(n_threads),
-        ctypes.c_long(frag_base),
+        ctypes.c_long(frag_base), ctypes.c_int(1 if append else 0),
         ctypes.c_char_p(str(improper_path).encode()),
         ctypes.c_char_p(str(spanning_path).encode()),
         ctypes.c_char_p(str(pair_sam_path).encode()),

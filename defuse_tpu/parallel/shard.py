@@ -187,19 +187,34 @@ PAIR_REC_DTYPE = [("frag", "<i8"), ("seq", "<i4"), ("pos1", "<i4"),
 
 def read_pair_table(path):
     """(names, records) from a binary pair table (native PairRec
-    layout)."""
+    layout).  A file may hold several concatenated self-describing
+    segments (append-mode shard writes); all must share one name
+    table and their records concatenate in file order."""
     import numpy as np
+    names = None
+    chunks = []
     with open(path, "rb") as fh:
-        if fh.read(8) != PAIR_TBL_MAGIC:
-            raise ValueError(f"bad pair table magic: {path}")
-        n_pairs, n_names, blob_len = np.frombuffer(fh.read(24), "<i8")
-        off = np.frombuffer(fh.read(8 * (n_names + 1)), "<i8")
-        blob = fh.read(blob_len)
-        names = [blob[off[i]:off[i + 1]].decode()
-                 for i in range(n_names)]
-        recs = np.frombuffer(fh.read(32 * n_pairs),
-                             dtype=PAIR_REC_DTYPE)
-        return names, recs
+        while True:
+            magic = fh.read(8)
+            if not magic and names is not None:
+                break
+            if magic != PAIR_TBL_MAGIC:
+                raise ValueError(f"bad pair table magic: {path}")
+            n_pairs, n_names, blob_len = np.frombuffer(fh.read(24),
+                                                       "<i8")
+            off = np.frombuffer(fh.read(8 * (n_names + 1)), "<i8")
+            blob = fh.read(blob_len)
+            seg_names = [blob[off[i]:off[i + 1]].decode()
+                         for i in range(n_names)]
+            if names is None:
+                names = seg_names
+            elif seg_names != names:
+                raise ValueError(
+                    f"pair table segments disagree on names: {path}")
+            chunks.append(np.frombuffer(fh.read(32 * int(n_pairs)),
+                                        dtype=PAIR_REC_DTYPE))
+    recs = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    return names, recs
 
 
 def merge_pair_tables(parts, offsets, dst):

@@ -13,6 +13,9 @@
 // Exposed as a C ABI for ctypes (no pybind11 in this image).
 // Build: ./build.sh -> libdefuse_host.so
 
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <algorithm>
 #include <array>
 #include <atomic>
@@ -2387,27 +2390,45 @@ struct PairTbl {
   std::vector<PairRec> recs;
 };
 
+// A table file is one or more concatenated self-describing segments
+// (sequential append-mode shard writes, align_job ``append``); every
+// segment must carry the identical name table.
 inline bool LoadPairTbl(const char* path, PairTbl& t) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
-  char magic[8];
-  int64_t n_pairs = 0, n_names = 0, blob_len = 0;
-  bool ok = fread(magic, 1, 8, f) == 8 &&
-            memcmp(magic, kPairTblMagic, 8) == 0 &&
-            fread(&n_pairs, 8, 1, f) == 1 &&
-            fread(&n_names, 8, 1, f) == 1 &&
-            fread(&blob_len, 8, 1, f) == 1 && n_pairs >= 0 &&
-            n_names >= 0 && blob_len >= 0;
-  if (ok) {
-    t.name_off.resize(n_names + 1);
-    t.blob.resize(blob_len);
-    t.recs.resize(n_pairs);
-    ok = fread(t.name_off.data(), 8, n_names + 1, f) ==
+  bool ok = true;
+  bool first = true;
+  for (;;) {
+    char magic[8];
+    size_t got = fread(magic, 1, 8, f);
+    if (got == 0 && !first) break;  // clean EOF between segments
+    int64_t n_pairs = 0, n_names = 0, blob_len = 0;
+    ok = got == 8 && memcmp(magic, kPairTblMagic, 8) == 0 &&
+         fread(&n_pairs, 8, 1, f) == 1 &&
+         fread(&n_names, 8, 1, f) == 1 &&
+         fread(&blob_len, 8, 1, f) == 1 && n_pairs >= 0 &&
+         n_names >= 0 && blob_len >= 0;
+    if (!ok) break;
+    std::vector<int64_t> name_off(n_names + 1);
+    std::string blob(blob_len, '\0');
+    ok = fread(name_off.data(), 8, n_names + 1, f) ==
              (size_t)(n_names + 1) &&
          (blob_len == 0 ||
-          fread(&t.blob[0], 1, blob_len, f) == (size_t)blob_len) &&
-         (n_pairs == 0 || fread(t.recs.data(), sizeof(PairRec), n_pairs,
-                                f) == (size_t)n_pairs);
+          fread(&blob[0], 1, blob_len, f) == (size_t)blob_len);
+    if (!ok) break;
+    if (first) {
+      t.name_off.swap(name_off);
+      t.blob.swap(blob);
+    } else if (name_off != t.name_off || blob != t.blob) {
+      ok = false;  // segments must share one name table
+      break;
+    }
+    size_t base = t.recs.size();
+    t.recs.resize(base + n_pairs);
+    ok = n_pairs == 0 || fread(t.recs.data() + base, sizeof(PairRec),
+                               n_pairs, f) == (size_t)n_pairs;
+    if (!ok) break;
+    first = false;
   }
   fclose(f);
   return ok;
@@ -2713,7 +2734,7 @@ long dt_align_job(
     // params
     int trim_len, long max_insert, long max_paired, long concord_len,
     int max_alignments, int max_mismatch, int max_per_seed, int n_threads,
-    long frag_base,
+    long frag_base, int append_mode,
     // outputs
     const char* improper_path, const char* spanning_path,
     const char* pair_sam_path, const char* pair_tbl_path,
@@ -2844,7 +2865,7 @@ long dt_align_job(
   int64_t n_pairs = 0, sum_isize = 0, sumsq_isize = 0;
   const bool pair_gz = EndsWithGz(pair_sam_path);
   {
-    FILE* out = fopen(pair_sam_path, "w");
+    FILE* out = fopen(pair_sam_path, append_mode ? "a" : "w");
     if (!out) return -1;
     int nt = n_threads;
     std::vector<std::string> bufs(nt);
@@ -2912,7 +2933,7 @@ long dt_align_job(
     }
     fclose(out);
     if (want_tbl) {
-      FILE* tf = fopen(pair_tbl_path, "wb");
+      FILE* tf = fopen(pair_tbl_path, append_mode ? "ab" : "wb");
       if (!tf) return -1;
       int64_t n_names = (int64_t)cdna.n_seqs;
       int64_t blob_len = c_name_off[n_names];
@@ -2963,8 +2984,8 @@ long dt_align_job(
               offs_pre_2);
 
   const int64_t ext = concord_len / 2;
-  FILE* improper = fopen(improper_path, "w");
-  FILE* spanning = fopen(spanning_path, "w");
+  FILE* improper = fopen(improper_path, append_mode ? "a" : "w");
+  FILE* spanning = fopen(spanning_path, append_mode ? "a" : "w");
   if (!improper || !spanning) {
     if (improper) fclose(improper);
     if (spanning) fclose(spanning);
@@ -3364,22 +3385,61 @@ struct Handle {
   End ends[2];
 };
 
+inline bool CopyRange(const char* src, FILE* out, int64_t n) {
+  FILE* in = fopen(src, "rb");
+  if (!in) return false;
+  std::vector<char> buf(1 << 22);
+  int64_t left = n;
+  while (left > 0) {
+    size_t want = (size_t)std::min<int64_t>(left, (int64_t)buf.size());
+    size_t got = fread(buf.data(), 1, want, in);
+    if (got == 0 || fwrite(buf.data(), 1, got, out) != got) {
+      fclose(in);
+      return false;
+    }
+    left -= (int64_t)got;
+  }
+  fclose(in);
+  return true;
+}
+
+// Rewrite is lazy: while every record is already in canonical renamed
+// form ("@<i>/<end>\n<seq>\n+\n<'I' x len>\n") nothing is written; the
+// first divergent record copies the byte-identical prefix verbatim and
+// switches to rewrite mode.  A fully-canonical input (a re-run over our
+// own renamed files, or pre-normalized data) is hardlinked into place —
+// the ~GB rewrite disappears on the ~70MB/s filesystem.
 inline void ParseAndWrite(const char* in_path, const char* out_path,
                           int end, End& e) {
   std::ifstream in(in_path);
   if (!in) return;
-  FILE* out = fopen(out_path, "w");
-  if (!out) return;
+  FILE* out = nullptr;  // opened on the first non-canonical record
   std::string h, seq, plus, qual, buf;
   buf.reserve(1 << 20);
   e.off.push_back(0);
   int64_t wpos = 0;
   long i = 0;
   char tmp[64];
+  bool canon = true, io_fail = false;
   while (std::getline(in, h)) {
     if (!std::getline(in, seq)) break;
     std::getline(in, plus);
     std::getline(in, qual);
+    if (canon) {
+      int hn = snprintf(tmp, sizeof tmp, "@%ld/%d", i, end + 1);
+      bool rec_canon =
+          (long)h.size() == hn && memcmp(h.data(), tmp, hn) == 0 &&
+          plus == "+" && qual.size() == seq.size() &&
+          qual.find_first_not_of('I') == std::string::npos;
+      if (!rec_canon) {
+        out = fopen(out_path, "w");
+        if (!out || (wpos > 0 && !CopyRange(in_path, out, wpos))) {
+          io_fail = true;
+          break;
+        }
+        canon = false;
+      }
+    }
     if (end == 0) {
       std::string name = h.substr(1);
       size_t slash = name.rfind('/');
@@ -3390,22 +3450,62 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
     e.off.push_back((int64_t)e.bases.size());
     e.rec_off.push_back(wpos);
     int n = snprintf(tmp, sizeof tmp, "@%ld/%d\n", i, end + 1);
-    buf.append(tmp, n);
-    wpos += n;
-    buf += seq;
-    buf += "\n+\n";
-    buf.append(seq.size(), 'I');
-    buf += '\n';
-    wpos += (int64_t)seq.size() * 2 + 4;
-    if (buf.size() > (1 << 20) - 4096) {
-      fwrite(buf.data(), 1, buf.size(), out);
-      buf.clear();
+    if (!canon) {
+      buf.append(tmp, n);
+      buf += seq;
+      buf += "\n+\n";
+      buf.append(seq.size(), 'I');
+      buf += '\n';
+      if (buf.size() > (1 << 20) - 4096) {
+        fwrite(buf.data(), 1, buf.size(), out);
+        buf.clear();
+      }
     }
+    wpos += n + (int64_t)seq.size() * 2 + 4;
     i++;
   }
-  fwrite(buf.data(), 1, buf.size(), out);
+  if (io_fail) {
+    if (out) fclose(out);
+    return;
+  }
+  if (!canon) {
+    fwrite(buf.data(), 1, buf.size(), out);
+    fclose(out);
+    e.ok = true;
+    return;
+  }
+  // fully canonical input: link (or copy) it into place
+  struct stat st;
+  bool exact = stat(in_path, &st) == 0 && (int64_t)st.st_size == wpos;
+  unlink(out_path);
+  if (exact && link(in_path, out_path) == 0) {
+    e.ok = true;
+    return;
+  }
+  out = fopen(out_path, "w");
+  if (!out) return;
+  if (exact) {
+    e.ok = CopyRange(in_path, out, wpos);
+  } else if (i == 0) {
+    e.ok = true;  // empty input -> empty renamed file
+  } else {
+    // records are canonical but the file tail differs (missing final
+    // newline / trailing junk): copy the verbatim prefix, rewrite the
+    // last record canonically
+    int64_t last = e.rec_off.back();
+    int64_t lo = e.off[i - 1], hi = e.off[i];
+    e.ok = CopyRange(in_path, out, last);
+    if (e.ok) {
+      int n = snprintf(tmp, sizeof tmp, "@%ld/%d\n", i - 1, end + 1);
+      fwrite(tmp, 1, n, out);
+      fwrite(e.bases.data() + lo, 1, hi - lo, out);
+      fwrite("\n+\n", 1, 3, out);
+      std::string q(hi - lo, 'I');
+      fwrite(q.data(), 1, q.size(), out);
+      fwrite("\n", 1, 1, out);
+    }
+  }
   fclose(out);
-  e.ok = true;
 }
 }  // namespace fastq_ingest
 

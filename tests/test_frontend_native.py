@@ -251,3 +251,55 @@ def test_native_fastq_ingest_byte_parity(tmp_path):
     for i in (0, 1, len(r1_py) - 1):
         assert arr1[i, :lens1[i]].tobytes().decode() == r1_py[i]
         assert arr2[i, :lens2[i]].tobytes().decode() == r2_py[i]
+
+
+@pytest.mark.parametrize("style", ["rename", "mixed", "no_trailing_nl"])
+def test_native_fastq_ingest_lazy_rewrite(tmp_path, style):
+    """The lazy renamed-fastq writer: arbitrary-named inputs rewrite
+    (byte parity vs the Python indexer), a canonical prefix followed by
+    a divergent record copies the prefix verbatim before switching, and
+    a canonical file missing its final newline is repaired.  In every
+    case the .fqi offsets must resolve reads through ReadIndex."""
+    from defuse_tpu.cluster import native
+    from defuse_tpu.io.readindex import ReadIndex
+    if not native.available():
+        pytest.skip("native library not built")
+
+    seqs = ["ACGTACGTAA", "TTGGCCAATT", "GGGGCCCCAA", "ATATATATGC"]
+
+    def rec(i, end, seq, name=None, qual=None, plus="+"):
+        name = name if name is not None else f"{i}/{end}"
+        qual = qual if qual is not None else "I" * len(seq)
+        return f"@{name}\n{seq}\n{plus}\n{qual}\n"
+
+    for end, path in ((1, tmp_path / "in.1.fastq"),
+                      (2, tmp_path / "in.2.fastq")):
+        if style == "rename":
+            body = "".join(rec(i, end, s, name=f"SRR1.{i} len={len(s)}",
+                                qual="F" * len(s))
+                           for i, s in enumerate(seqs))
+        elif style == "mixed":
+            body = "".join(
+                rec(i, end, s) if i < 2 else
+                rec(i, end, s, name=f"weird{i}", plus="+junk")
+                for i, s in enumerate(seqs))
+        else:  # canonical but no trailing newline on the last record
+            body = "".join(rec(i, end, s)
+                           for i, s in enumerate(seqs)).rstrip("\n")
+        (path).write_text(body)
+
+    r1_py, r2_py, _ = index_paired_fastq(
+        str(tmp_path / "in.1.fastq"), str(tmp_path / "in.2.fastq"),
+        str(tmp_path / "py"))
+    ingested = native.ingest_fastq(
+        str(tmp_path / "in.1.fastq"), str(tmp_path / "in.2.fastq"),
+        str(tmp_path / "nat"))
+    assert ingested is not None
+    for name in ("reads.1.fastq", "reads.2.fastq", "reads.fqi",
+                 "reads.names"):
+        assert (tmp_path / "nat" / name).read_bytes() == \
+            (tmp_path / "py" / name).read_bytes(), name
+    with ReadIndex(str(tmp_path / "nat" / "reads")) as ri:
+        for i, s in enumerate(seqs):
+            assert ri.get(i, 0) == s
+            assert ri.get(i, 1) == s

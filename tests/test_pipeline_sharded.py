@@ -246,6 +246,26 @@ def test_align_reads_reads_per_job_sharding(tmp_path):
             pathlib.Path(whole[key]).read_bytes(), key
     assert pathlib.Path(sharded["spanning"]).stat().st_size > 0
 
+    # pair SAM: shards append one gzip member each — decompressed
+    # content identical to the unsharded single-member file
+    from defuse_tpu.io.sam import read_decompressed
+    assert read_decompressed(sharded["concordant_sam"]) == \
+        read_decompressed(whole["concordant_sam"])
+
+    # pair table: shards append one segment each — logical content
+    # identical via both the Python and the native segment readers
+    from defuse_tpu.cluster import native
+    from defuse_tpu.parallel.shard import read_pair_table
+    names_s, recs_s = read_pair_table(sharded["pair_table"])
+    names_w, recs_w = read_pair_table(whole["pair_table"])
+    assert names_s == names_w
+    assert len(recs_w) > 0
+    assert (recs_s == recs_w).all()
+    if native.available():
+        st_s = native.read_stats_tbl(sharded["pair_table"])
+        st_w = native.read_stats_tbl(whole["pair_table"])
+        assert st_s is not None and st_s == st_w
+
 
 @pytest.mark.parametrize("force_python", [False, True])
 def test_frag_base_global_ids(tmp_path, force_python):
