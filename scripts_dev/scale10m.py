@@ -88,6 +88,15 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
     del reads1, reads2
     mark("dataset + fastq files")
 
+    # create-ref phase: persist the seed indices next to the fastas the
+    # way pipeline/create_ref.py does (one-time dataset build; the
+    # frontend mmap-loads them, defuse_create_ref.pl's bowtie-build
+    # equivalent) so frontend_s below measures the serving path
+    from defuse_tpu.align.seedindex import SeedIndex
+    for fa in (cdna_fa, genome_fa):
+        SeedIndex.load_or_build(str(fa))
+    mark("create-ref seed indices (one-time)")
+
     config = Config.defaults(
         reference_fasta=str(ref_fa), cdna_regions=str(regions),
         cdna_fasta=str(cdna_fa), genome_fasta=str(genome_fa),
