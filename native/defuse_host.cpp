@@ -3373,6 +3373,19 @@ long dt_calccov(const char* sam_path, const char* names,
 // ---------------------------------------------------------------------
 
 namespace fastq_ingest {
+
+inline double IngestNow() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
+inline bool IngestTiming() {
+  static int flag = -1;
+  if (flag < 0) flag = getenv("DEFUSE_INGEST_TIMING") ? 1 : 0;
+  return flag == 1;
+}
+
 struct End {
   std::vector<char> bases;     // concatenated read bases
   std::vector<int64_t> off;    // n+1 offsets into bases
@@ -3450,6 +3463,7 @@ struct LineReader {
 // the ~GB rewrite disappears on the ~70MB/s filesystem.
 inline void ParseAndWrite(const char* in_path, const char* out_path,
                           int end, End& e) {
+  double t0 = IngestTiming() ? IngestNow() : 0.0;
   FILE* in_f = fopen(in_path, "rb");
   if (!in_f) return;
   LineReader lr(in_f);
@@ -3483,12 +3497,16 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
     }
     e.bases.insert(e.bases.end(), ps, ps + ns);
     e.off.push_back((int64_t)e.bases.size());
-    if (!lr.next(pp, np_)) np_ = 0;
+    // Each view must be validated before the next lr.next() call — a
+    // buffer refill memmoves the window and invalidates older views
+    // (a stale pp here used to randomly fail the canonicality check
+    // once per ~buffer boundary, silently forcing the full rewrite).
+    bool plus_ok = lr.next(pp, np_) && np_ == 1 && pp[0] == '+';
     if (!lr.next(pq, nq)) nq = 0;
     if (canon && rec_canon) {
       if (iqual.size() < nq) iqual.assign(nq, 'I');
       size_t seq_len = (size_t)(e.off[i + 1] - e.off[i]);
-      rec_canon = np_ == 1 && pp[0] == '+' && nq == seq_len &&
+      rec_canon = plus_ok && nq == seq_len &&
                   memcmp(pq, iqual.data(), nq) == 0;
     }
     if (canon && !rec_canon) {
@@ -3517,6 +3535,9 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
     i++;
   }
   fclose(in_f);
+  if (IngestTiming())
+    fprintf(stderr, "[ingest-timing] end%d parse loop %.2fs (%ld recs)\n",
+            end, IngestNow() - t0, i);
   if (io_fail) {
     if (out) fclose(out);
     return;
@@ -3569,12 +3590,19 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
                       const char* out2, const char* fqi_path,
                       const char* names_path, int64_t* dims) {
   auto* h = new fastq_ingest::Handle();
+  double t0 = fastq_ingest::IngestTiming() ? fastq_ingest::IngestNow()
+                                           : 0.0;
   std::thread t1(fastq_ingest::ParseAndWrite, fq1, out1, 0,
                  std::ref(h->ends[0]));
   std::thread t2(fastq_ingest::ParseAndWrite, fq2, out2, 1,
                  std::ref(h->ends[1]));
   t1.join();
   t2.join();
+  if (fastq_ingest::IngestTiming()) {
+    fprintf(stderr, "[ingest-timing] parse threads %.2fs\n",
+            fastq_ingest::IngestNow() - t0);
+    t0 = fastq_ingest::IngestNow();
+  }
   if (!h->ends[0].ok || !h->ends[1].ok) {
     delete h;
     return nullptr;
@@ -3585,6 +3613,11 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
     for (size_t i = 0; i < h->ends[0].names.size(); i++)
       fprintf(nf, "%zu\t%s\n", i, h->ends[0].names[i].c_str());
     fclose(nf);
+  }
+  if (fastq_ingest::IngestTiming()) {
+    fprintf(stderr, "[ingest-timing] names %.2fs\n",
+            fastq_ingest::IngestNow() - t0);
+    t0 = fastq_ingest::IngestNow();
   }
   // .fqi: two packed little-endian int64 offsets per fragment
   // (ReadIndex.cpp:67-129); 0 for a missing end
@@ -3600,6 +3633,9 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
     }
     fclose(ff);
   }
+  if (fastq_ingest::IngestTiming())
+    fprintf(stderr, "[ingest-timing] fqi %.2fs\n",
+            fastq_ingest::IngestNow() - t0);
   int64_t w = 0;
   for (int end = 0; end < 2; end++) {
     auto& e = h->ends[end];
