@@ -334,6 +334,32 @@ def load_reads_async(fastq1: str, fastq2: str):
     return lib.dt_reads_load(str(fastq1).encode(), str(fastq2).encode())
 
 
+def reads_index(fastq1: str, fastq2: str):
+    """Deferred .fqi-indexed read store: the realign driver preads only
+    its candidate records instead of parsing the whole library (the
+    full parse is ~1.5s/M pairs; candidates are typically <1% of
+    fragments).  Returns a handle, or None when no ``reads.fqi`` sits
+    next to the renamed fastqs (caller should use
+    :func:`load_reads_async`)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    import pathlib
+    p1 = pathlib.Path(fastq1)
+    fqi = p1.parent / "reads.fqi"
+    if not fqi.exists():
+        name = p1.name
+        if name.endswith(".1.fastq"):
+            fqi = p1.parent / (name[:-8] + ".fqi")
+        if not fqi.exists():
+            return None
+    lib.dt_reads_index.restype = ctypes.c_void_p
+    handle = lib.dt_reads_index(str(fastq1).encode(),
+                                str(fastq2).encode(),
+                                str(fqi).encode())
+    return handle or None
+
+
 class RealignDriver:
     """Two-phase native realign driver.
 

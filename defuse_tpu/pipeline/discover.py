@@ -50,8 +50,12 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     from ..cluster import native
     reads_handle = None
     if native.available():
-        # fastq loading (native threads) overlaps the clustering stage
-        reads_handle = native.load_reads_async(fastq1, fastq2)
+        # prefer the deferred .fqi-indexed store (the driver preads only
+        # its candidate records); fall back to the eager full parse in
+        # native threads, overlapping the clustering stage
+        reads_handle = native.reads_index(fastq1, fastq2)
+        if reads_handle is None:
+            reads_handle = native.load_reads_async(fastq1, fastq2)
     if em_mode in ("auto", "native") and native.available():
         # full native file->file driver: parse + bin + filter + EM + emit
         # all in C++ (byte-identical; test_cluster_parity pins it)

@@ -13,6 +13,7 @@
 // Exposed as a C ABI for ctypes (no pybind11 in this image).
 // Build: ./build.sh -> libdefuse_host.so
 
+#include <fcntl.h>
 #include <sys/stat.h>
 #include <unistd.h>
 
@@ -1886,11 +1887,21 @@ struct RealignDriver {
 };
 
 // async fastq read store: one loader thread per file (the /1 and /2 key
-// spaces are disjoint), overlapping IO/parse with the clustering stage
+// spaces are disjoint), overlapping IO/parse with the clustering stage.
+// Indexed mode defers all IO until the candidate set is known, then
+// pread()s only the needed records through the .fqi offset index — at
+// scale the realign driver touches a small fraction of the library, so
+// this replaces a full two-file parse with a few thousand seeks.
 struct ReadStoreHandle {
   std::thread th1, th2;
   std::unordered_map<uint32_t, std::string> reads1, reads2;
   bool ok1 = false, ok2 = false;
+  bool indexed = false;
+  std::string fq_path[2], fqi_path;
+  ~ReadStoreHandle() {
+    if (th1.joinable()) th1.join();
+    if (th2.joinable()) th2.join();
+  }
 };
 
 bool LoadFastqReads(const char* path,
@@ -1910,6 +1921,86 @@ bool LoadFastqReads(const char* path,
     reads[(uint32_t)fragment | ((uint32_t)end << 31)] = std::move(seq);
   }
   return true;
+}
+
+// Selective load: fetch exactly the candidate (fragment, end) records
+// from the renamed fastqs via the .fqi byte-offset index.  Sequences
+// are byte-identical to a full LoadFastqReads pass (same files, same
+// records); the parsed header is validated against the expected
+// fragment id, which also disambiguates the fqi's offset==0 convention
+// for missing ends (fragment 0's real offset is also 0).
+bool SelectiveLoadReads(ReadStoreHandle& rh,
+                        const std::vector<int32_t>& cand) {
+  FILE* fqi = fopen(rh.fqi_path.c_str(), "rb");
+  if (!fqi) return false;
+  struct stat st;
+  if (fstat(fileno(fqi), &st) != 0) {
+    fclose(fqi);
+    return false;
+  }
+  long n_entries = (long)(st.st_size / 16);
+  std::vector<uint32_t> ids;
+  ids.reserve(cand.size() / 4);
+  for (size_t c = 0; c + 3 < cand.size(); c += 4)
+    ids.push_back((uint32_t)cand[c + 1] |
+                  ((uint32_t)cand[c + 2] << 31));
+  std::sort(ids.begin(), ids.end());
+  ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+
+  // (read_id, record offset) work list via the fqi
+  std::vector<std::pair<uint32_t, int64_t>> work[2];
+  int fqi_fd = fileno(fqi);
+  for (uint32_t id : ids) {
+    long frag = (long)(id & 0x7FFFFFFFu);
+    int end = (int)(id >> 31);
+    if (frag >= n_entries) continue;
+    int64_t offs[2];
+    if (pread(fqi_fd, offs, 16, (off_t)frag * 16) != 16) continue;
+    if (offs[end] == 0 && frag != 0) continue;  // missing end
+    work[end].emplace_back(id, offs[end]);
+  }
+  fclose(fqi);
+
+  std::atomic<bool> ok{true};
+  std::thread ts[2];
+  for (int end = 0; end < 2; end++)
+    ts[end] = std::thread([&, end]() {
+      auto& out = end == 0 ? rh.reads1 : rh.reads2;
+      int fd = open(rh.fq_path[end].c_str(), O_RDONLY);
+      if (fd < 0) {
+        if (!work[end].empty()) ok.store(false);
+        return;
+      }
+      std::vector<char> buf(4096);
+      for (auto& [id, off] : work[end]) {
+        // read enough of the record for header + sequence lines
+        ssize_t got = pread(fd, buf.data(), buf.size(), (off_t)off);
+        const char* nl1;
+        const char* nl2 = nullptr;
+        for (;;) {
+          nl1 = got > 0 ? (const char*)memchr(buf.data(), '\n', got)
+                        : nullptr;
+          if (nl1)
+            nl2 = (const char*)memchr(
+                nl1 + 1, '\n', got - (nl1 + 1 - buf.data()));
+          if (nl2 || got < (ssize_t)buf.size()) break;
+          buf.resize(buf.size() * 4);  // pathological read length
+          got = pread(fd, buf.data(), buf.size(), (off_t)off);
+        }
+        if (!nl1 || !nl2 || buf[0] != '@') continue;
+        char* endp;
+        long frag = strtol(buf.data() + 1, &endp, 10);
+        if (frag != (long)(id & 0x7FFFFFFFu) || endp[0] != '/' ||
+            endp[1] != '1' + end)
+          continue;  // stale/missing record
+        out[id].assign(nl1 + 1, nl2);
+      }
+      close(fd);
+    });
+  ts[0].join();
+  ts[1].join();
+  rh.ok1 = rh.ok2 = ok.load();
+  return rh.ok1;
 }
 
 std::string RevComp(const std::string& s) {
@@ -1947,6 +2038,21 @@ void* dt_reads_load(const char* fastq1, const char* fastq2) {
   return h;
 }
 
+// Deferred .fqi-indexed read store: no IO until the driver knows its
+// candidate set, then only those records are pread.  Returns null when
+// the index file is absent (caller falls back to dt_reads_load).
+void* dt_reads_index(const char* fastq1, const char* fastq2,
+                     const char* fqi_path) {
+  struct stat st;
+  if (stat(fqi_path, &st) != 0 || st.st_size % 16 != 0) return nullptr;
+  auto* h = new ReadStoreHandle();
+  h->indexed = true;
+  h->fq_path[0] = fastq1;
+  h->fq_path[1] = fastq2;
+  h->fqi_path = fqi_path;
+  return h;
+}
+
 void* dt_driver_new(const char* sam_path, void* reads_handle,
                     const uint32_t* region_ids,
                     const int32_t* region_ref,
@@ -1961,17 +2067,25 @@ void* dt_driver_new(const char* sam_path, void* reads_handle,
                     const int64_t* flank2_off) {
   auto* d = new RealignDriver();
   auto* rh = (ReadStoreHandle*)reads_handle;
-  rh->th1.join();
-  rh->th2.join();
-  if (!rh->ok1 || !rh->ok2) {
-    delete rh;
-    delete d;
-    return nullptr;
-  }
   if (CollectCandidatesCore(sam_path, region_ids, region_ref,
                             region_strand, region_start, region_end,
                             n_regions, ref_names_concat, ref_name_off,
                             n_refs, bin_spacing, d->cand) < 0) {
+    delete rh;  // dtor joins any loader threads
+    delete d;
+    return nullptr;
+  }
+  if (rh->indexed) {
+    if (!SelectiveLoadReads(*rh, d->cand)) {
+      delete rh;
+      delete d;
+      return nullptr;
+    }
+  } else {
+    rh->th1.join();
+    rh->th2.join();
+  }
+  if (!rh->ok1 || !rh->ok2) {
     delete rh;
     delete d;
     return nullptr;
@@ -3607,11 +3721,30 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
     delete h;
     return nullptr;
   }
-  // names map (end-1 fragment names)
+  // names map (end-1 fragment names); formatted into per-range buffers
+  // in parallel, written in order (byte-identical to the fprintf loop)
   FILE* nf = fopen(names_path, "w");
   if (nf) {
-    for (size_t i = 0; i < h->ends[0].names.size(); i++)
-      fprintf(nf, "%zu\t%s\n", i, h->ends[0].names[i].c_str());
+    const auto& names = h->ends[0].names;
+    long n = (long)names.size();
+    int nt = (int)std::min<long>(4, std::max<long>(1, n / 250000));
+    std::vector<std::string> parts(nt);
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; t++)
+      ts.emplace_back([&, t]() {
+        long lo = n * t / nt, hi = n * (t + 1) / nt;
+        std::string& s = parts[t];
+        s.reserve((size_t)(hi - lo) * 24);
+        char tmp[32];
+        for (long i = lo; i < hi; i++) {
+          s.append(tmp, snprintf(tmp, sizeof tmp, "%ld\t", i));
+          s += names[i];
+          s += '\n';
+        }
+      });
+    for (auto& th : ts) th.join();
+    for (auto& s : parts)
+      if (!s.empty()) fwrite(s.data(), 1, s.size(), nf);
     fclose(nf);
   }
   if (fastq_ingest::IngestTiming()) {
@@ -3626,11 +3759,12 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
   FILE* ff = fopen(fqi_path, "wb");
   if (ff) {
     long n = std::max(n1, n2);
+    std::vector<int64_t> recs((size_t)n * 2);
     for (long i = 0; i < n; i++) {
-      int64_t rec[2] = {i < n1 ? h->ends[0].rec_off[i] : 0,
-                        i < n2 ? h->ends[1].rec_off[i] : 0};
-      fwrite(rec, sizeof(int64_t), 2, ff);
+      recs[(size_t)i * 2] = i < n1 ? h->ends[0].rec_off[i] : 0;
+      recs[(size_t)i * 2 + 1] = i < n2 ? h->ends[1].rec_off[i] : 0;
     }
+    fwrite(recs.data(), sizeof(int64_t), recs.size(), ff);
     fclose(ff);
   }
   if (fastq_ingest::IngestTiming())
@@ -3654,12 +3788,19 @@ void dt_fastq_matrix(void* handle, int end, uint8_t* out, int32_t* lens,
   auto* h = (fastq_ingest::Handle*)handle;
   auto& e = h->ends[end];
   long n = (long)e.off.size() - 1;
-  for (long i = 0; i < n; i++) {
-    int64_t lo = e.off[i], hi = e.off[i + 1];
-    int64_t len = std::min<int64_t>(hi - lo, width);
-    memcpy(out + (size_t)i * width, e.bases.data() + lo, len);
-    lens[i] = (int32_t)len;
-  }
+  int nt = (int)std::min<long>(4, std::max<long>(1, n / 250000));
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; t++)
+    ts.emplace_back([&, t]() {
+      long lo_i = n * t / nt, hi_i = n * (t + 1) / nt;
+      for (long i = lo_i; i < hi_i; i++) {
+        int64_t lo = e.off[i], hi = e.off[i + 1];
+        int64_t len = std::min<int64_t>(hi - lo, width);
+        memcpy(out + (size_t)i * width, e.bases.data() + lo, len);
+        lens[i] = (int32_t)len;
+      }
+    });
+  for (auto& th : ts) th.join();
 }
 
 void dt_fastq_free(void* handle) {

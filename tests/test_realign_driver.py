@@ -87,6 +87,45 @@ def test_driver_rows_match_python(setup, tmp_path):
     driver.close()
 
 
+def test_driver_indexed_store_matches_eager(setup, tmp_path):
+    """The deferred .fqi-indexed read store (selective pread of only the
+    candidate records) must reproduce the eager full-parse driver
+    byte-for-byte: same candidate count, same read matrix, same rows."""
+    from defuse_tpu.cluster import native
+    tmp, paths, tasks, realigner = setup
+
+    ingested = native.ingest_fastq(str(paths["fastq1"]),
+                                   str(paths["fastq2"]),
+                                   str(tmp_path / "reads"))
+    assert ingested is not None
+    r1 = tmp_path / "reads" / "reads.1.fastq"
+    r2 = tmp_path / "reads" / "reads.2.fastq"
+    handle = native.reads_index(str(r1), str(r2))
+    assert handle is not None
+
+    cluster_ids = sorted(tasks)
+    flank1s = [tasks[c].split_align_seq[0] for c in cluster_ids]
+    flank2s = [tasks[c].split_align_seq[1] for c in cluster_ids]
+    indexed = native.RealignDriver(
+        str(paths["improper"]), handle, realigner.binned, cluster_ids,
+        flank1s, flank2s)
+    eager = _make_driver(native, paths, tasks, realigner)
+    assert indexed.n_candidates == eager.n_candidates
+
+    ri, li, fi = indexed.read_matrix(64)
+    re_, le, fe = eager.read_matrix(64)
+    assert (li == le).all() and (fi == fe).all()
+    assert (ri == re_).all()
+
+    out_i = tmp_path / "rows.indexed"
+    out_e = tmp_path / "rows.eager"
+    indexed.emit(out_i)
+    eager.emit(out_e)
+    assert out_i.read_bytes() == out_e.read_bytes()
+    indexed.close()
+    eager.close()
+
+
 def test_driver_survivors_mask(setup, tmp_path):
     from defuse_tpu.cluster import native
     tmp, paths, tasks, realigner = setup
