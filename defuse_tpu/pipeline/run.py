@@ -183,20 +183,30 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
 
     _mark("discover")
     # --- p-values -------------------------------------------------------
+    # the three sample files merge independently; the native merge
+    # releases the GIL, so a thread per file runs them concurrently
     covariances = {}
+
+    def _merge_one(path):
+        from ..cluster import native
+        from ..stats.pvalues import (cov_samples_merge_arrays,
+                                     load_cov_samples)
+        merged = native.cov_merge_file(path) \
+            if native.available() else None
+        if merged is None:
+            merged = cov_samples_merge_arrays(*load_cov_samples(path))
+        return merged[1]
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        futures = {n: _pool.submit(_merge_one, cov_paths[n])
+                   for n in ("span", "pos", "min")
+                   if cov_paths[n].exists()}
     for n in ("span", "pos", "min"):
         path = cov_paths[n]
         if path.exists():
-            from ..cluster import native
-            from ..stats.pvalues import (cov_samples_merge_arrays,
-                                         load_cov_samples)
             try:
-                merged = native.cov_merge_file(path) \
-                    if native.available() else None
-                if merged is None:
-                    merged = cov_samples_merge_arrays(
-                        *load_cov_samples(path))
-                covariances[n] = merged[1]
+                covariances[n] = futures[n].result()
             except ValueError as e:
                 # The reference hard-aborts here (merge_cov_samples.pl:38
                 # "not enough concordant read samples").  We degrade to

@@ -26,6 +26,7 @@
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <limits>
 #include <map>
 #include <set>
 #include <sstream>
@@ -4148,12 +4149,18 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
         tbl.name_off[i], tbl.name_off[i + 1] - tbl.name_off[i]));
     if (it != ref_of.end()) seq2ref[i] = it->second;
   }
-  std::unordered_map<int64_t, std::vector<int32_t>> bins;
-  bins.reserve(n_markers * 2);
+  // per-ref position-sorted marker lists: a contained() query becomes
+  // one binary search + a short scan.  Hits are re-sorted to ascending
+  // marker index, so the emitted sample set and order are identical to
+  // the previous bin-hash formulation (the caller's exact-position
+  // filter made bin granularity invisible in the output).
+  (void)kBin;
+  std::vector<std::vector<std::pair<int64_t, int32_t>>> byref(
+      n_refs > 0 ? n_refs : 0);
   for (long i = 0; i < n_markers; i++)
-    bins[((int64_t)marker_ref[i] << 32) |
-         (uint32_t)(marker_pos[i] / kBin)]
-        .push_back((int32_t)i);
+    if (marker_ref[i] >= 0 && marker_ref[i] < n_refs)
+      byref[marker_ref[i]].emplace_back(marker_pos[i], (int32_t)i);
+  for (auto& v : byref) std::sort(v.begin(), v.end());
 
   long n_recs = (long)tbl.recs.size();
   int nt = n_threads;
@@ -4167,13 +4174,13 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
       char tmp[64];
       auto contained = [&](int32_t ref, int64_t s, int64_t e) {
         hits.clear();
-        for (int64_t b = s / kBin; b <= e / kBin; b++) {
-          auto it = bins.find(((int64_t)ref << 32) | (uint32_t)b);
-          if (it == bins.end()) continue;
-          hits.insert(hits.end(), it->second.begin(), it->second.end());
-        }
+        const auto& v = byref[ref];
+        auto it = std::lower_bound(
+            v.begin(), v.end(),
+            std::make_pair(s, std::numeric_limits<int32_t>::min()));
+        for (; it != v.end() && it->first <= e; ++it)
+          hits.push_back(it->second);
         std::sort(hits.begin(), hits.end());
-        hits.erase(std::unique(hits.begin(), hits.end()), hits.end());
       };
       for (long i = lo; i < hi; i++) {
         const PairRec& r = tbl.recs[i];
