@@ -216,7 +216,11 @@ def write_pair_tbl(pairs, reads1, reads2, names, path,
     recs = np.zeros(len(pairs), dtype=rec_dt)
     for i, frag in enumerate(sorted(pairs)):
         a1, a2, isize = pairs[frag]
-        recs[i] = (frag + frag_base, name_to_id[a1.ref_name], a1.start,
+        # seq high bit carries the end-1 strand so the SAM flag bits are
+        # regenerable exactly (pos1 == pos2 leaves fwd/rev ambiguous)
+        seq_id = np.int32(np.uint32(name_to_id[a1.ref_name])
+                          | (np.uint32(a1.strand) << np.uint32(31)))
+        recs[i] = (frag + frag_base, seq_id, a1.start,
                    len(reads1[frag]), a2.start, len(reads2[frag]), isize)
     with open(path, "ab" if append else "wb") as fh:
         fh.write(b"DPTBL1\n\x00")
@@ -226,6 +230,52 @@ def write_pair_tbl(pairs, reads1, reads2, names, path,
         fh.write(off.tobytes())
         fh.write(blob)
         fh.write(recs.tobytes())
+
+
+def pair_sam_from_tbl(tbl_path, reads_prefix, out_path) -> str:
+    """Regenerate the proper-pair SAM text from the binary pair table
+    plus the indexed renamed fastqs (``reads_prefix`` as for
+    ``ReadIndex``) — the lazy twin of ``write_pair_sam``.  Decompressed
+    content is byte-identical to the eager writer's (pinned by
+    tests/test_pair_tbl_lazy.py); fragment ids in the table are global,
+    matching the read index keys."""
+    import contextlib
+    import gzip
+
+    from ..io.readindex import ReadIndex
+    from ..parallel.shard import read_pair_table, unpack_seq_strand
+    names, recs = read_pair_table(tbl_path)
+    seq_id, strand1 = unpack_seq_strand(recs)
+    if str(out_path).endswith(".gz"):
+        ctx = gzip.open(out_path, "wt", compresslevel=1)
+    else:
+        ctx = open(out_path, "w")
+    cols = (recs["frag"].tolist(), seq_id.tolist(), strand1.tolist(),
+            recs["pos1"].tolist(), recs["pos2"].tolist(),
+            recs["isize"].tolist())
+    with contextlib.closing(ctx) as out, \
+            ReadIndex(str(reads_prefix)) as ri:
+        buf = []
+        for frag, sid, s1, pos1, pos2, isize in zip(*cols):
+            ref = names[sid]
+            for end, (strand, pos, mpos) in enumerate(
+                    ((s1, pos1, pos2), (1 - s1, pos2, pos1))):
+                flag = 0x1 | 0x2 | (0x40 if end == 0 else 0x80)
+                if strand:
+                    flag |= 0x10
+                if strand == 0:  # mate is reverse iff this end is fwd
+                    flag |= 0x20
+                seq = ri.get(frag, end)
+                sign = 1 if pos <= mpos else -1
+                buf.append(
+                    f"{frag}\t{flag}\t{ref}\t{pos}\t255\t{len(seq)}M"
+                    f"\t=\t{mpos}\t{sign * isize}\t{seq}\t"
+                    f"{'I' * len(seq)}\n")
+            if len(buf) >= 65536:
+                out.write("".join(buf))
+                buf.clear()
+        out.write("".join(buf))
+    return str(out_path)
 
 
 def _genomic_loci_count(aligns, gene_models: GeneModels) -> int:
@@ -268,8 +318,14 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
               ig_genes: set[str] | None = None, verify_fn=None,
               prefilter_index: SeedIndex | None = None,
               force_python: bool = False, frag_base: int = 0,
-              append: bool = False):
+              append: bool = False, write_sam: bool = True):
     """Run the full alignjob flow.  Returns paths dict.
+
+    ``write_sam=False`` (native path only) skips the pair-SAM text
+    checkpoint: the binary pair table carries everything the SAM does
+    (incl. the end-1 strand bit), and ``pair_sam_from_tbl`` regenerates
+    the text on demand.  The Python oracle path always writes the SAM —
+    it is the byte contract the regeneration is pinned against.
 
     ``frag_base`` offsets every fragment id written to the artifact
     files (spanning/improper/pair sam/pair tbl) so data-parallel shards
@@ -311,7 +367,7 @@ def align_job(*, cdna_index: SeedIndex, genome_index: SeedIndex,
                 max_paired_alignments=max_paired_alignments,
                 dna_concordant_length=dna_concordant_length,
                 max_alignments=max_alignments, frag_base=frag_base,
-                append=append)
+                append=append, write_sam=write_sam)
             if res is not None:
                 return res
 
@@ -498,14 +554,19 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
                       prefilter_index, gene_models, ig_genes, reads1,
                       reads2, out, max_insert_size, discord_read_trim,
                       max_paired_alignments, dna_concordant_length,
-                      max_alignments, frag_base=0, append=False):
+                      max_alignments, frag_base=0, append=False,
+                      write_sam=True):
     """Native C++ alignjob driver glue (byte-identical outputs to the
-    Python path; pinned by tests/test_frontend_native.py)."""
+    Python path; pinned by tests/test_frontend_native.py).
+
+    ``write_sam=False`` skips the pair-SAM text checkpoint (the binary
+    pair table carries the same information, including the end-1 strand
+    bit; ``pair_sam_from_tbl`` regenerates the SAM on demand)."""
     from ..cluster import native
 
     improper_sam = out / "improper.sam"
     spanning = out / "spanning.compact"
-    cdna_pair_sam = out / "cdna.pair.sam.gz"
+    cdna_pair_sam = out / "cdna.pair.sam.gz" if write_sam else ""
     cdna_pair_tbl = out / "cdna.pair.tbl"
     res = native.align_job_native(
         cdna_index=cdna_index, genome_index=genome_index,
@@ -540,7 +601,7 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
     return {
         "spanning": str(spanning),
         "improper": str(improper_sam),
-        "concordant_sam": str(cdna_pair_sam),
+        "concordant_sam": str(cdna_pair_sam) if write_sam else None,
         "pair_table": str(cdna_pair_tbl),
         "stats": stats,
         "concordant_fragments": concordant,
@@ -680,7 +741,12 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
             dna_concordant_length=config.get_int("dna_concordant_length"),
             ig_genes=ig_genes, verify_fn=verify_fn,
             prefilter_index=prefilter_index, frag_base=frag_base,
-            append=append)
+            append=append,
+            # "lazy" (default) skips the pair-SAM text checkpoint on the
+            # native path; `defuse_tpu export pair-sam` / consumers
+            # regenerate it from the binary table on demand
+            write_sam=config.get_value("pair_sam_checkpoint") != "lazy"
+            if config.has_value("pair_sam_checkpoint") else False)
 
     def slice_reads(reads, lo, hi):
         if isinstance(reads, tuple):

@@ -131,15 +131,20 @@ class SeedIndex:
 
     def save(self, prefix: str) -> None:
         import json
+        import os
 
         import numpy as _np
         _np.save(prefix + ".codes.npy", self.codes)
         _np.save(prefix + ".offsets.npy", self.offsets)
         _np.save(prefix + ".keys.npy", self.keys)
         _np.save(prefix + ".positions.npy", self.positions)
-        with open(prefix + ".meta.json", "w") as fh:
+        # meta last, atomically: saved_exists requires it, so a crash
+        # mid-save can never leave a loadable partial index
+        tmp = f"{prefix}.meta.json.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
             json.dump({"names": self.names, "seed_len": self.seed_len},
                       fh)
+        os.replace(tmp, prefix + ".meta.json")
 
     @classmethod
     def load(cls, prefix: str) -> "SeedIndex":
@@ -257,12 +262,19 @@ class SeedIndex:
     def load_or_build(cls, fasta_path: str, prefix: str | None = None
                       ) -> "SeedIndex":
         """Load the saved index beside ``fasta_path`` (or at ``prefix``)
-        when present; otherwise build from the fasta."""
+        when present; otherwise build from the fasta and persist it
+        beside the fasta (bowtie-build semantics: the index outlives
+        the process so later runs mmap-load instead of rebuilding)."""
         from ..io.fasta import FastaStore
         prefix = prefix or (str(fasta_path) + ".seedidx")
         if cls.saved_exists(prefix):
             return cls.load(prefix)
-        return cls(FastaStore.from_file(str(fasta_path))._seqs)
+        idx = cls(FastaStore.from_file(str(fasta_path))._seqs)
+        try:
+            idx.save(prefix)
+        except OSError:
+            pass  # read-only dataset dir: serve the in-memory build
+        return idx
 
     # -- queries ---------------------------------------------------------
 

@@ -29,6 +29,31 @@ def index_sam_by_ref(sam_lines):
     return by_ref
 
 
+def index_tbl_by_ref(tbl_path):
+    """``index_sam_by_ref`` equivalent fed from the binary pair table —
+    identical output to parsing the (lazy) pair SAM: records are in
+    fragment order, each contributing its end-1 then end-2 row, with
+    strands from the table's packed end-1 strand bit (proper pairs are
+    always opposite-strand).  Pinned against the SAM indexer by
+    tests/test_pair_tbl_lazy.py."""
+    from ..parallel.shard import read_pair_table, unpack_seq_strand
+    names, recs = read_pair_table(tbl_path)
+    seq_id, strand1 = unpack_seq_strand(recs)
+    by_ref: dict[str, list] = {}
+    cols = zip(recs["frag"].tolist(), seq_id.tolist(),
+               strand1.tolist(), recs["pos1"].tolist(),
+               recs["len1"].tolist(), recs["pos2"].tolist(),
+               recs["len2"].tolist())
+    for frag, sid, s1, pos1, len1, pos2, len2 in cols:
+        rows = by_ref.setdefault(names[sid], [])
+        qname = str(frag)
+        rows.append((qname, "-" if s1 else "+", pos1,
+                     pos1 + len1 - 1))
+        rows.append((qname, "+" if s1 else "-", pos2,
+                     pos2 + len2 - 1))
+    return by_ref
+
+
 def _breakpos_genomic(gene_models, reference, strand, breakpos,
                       splice_bias):
     if strand == "+":

@@ -62,9 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
         "export", help="format converters / circos exporters "
                        "(results_to_circos, qseq2fastq, fq_all2std)")
     exp.add_argument("kind", choices=["circos-links", "circos-points",
-                                      "qseq2fastq", "fq-all2std"])
+                                      "qseq2fastq", "fq-all2std",
+                                      "pair-sam"])
     exp.add_argument("-i", "--input", required=True,
-                     help="results.tsv / expression.txt / qseq / fastq")
+                     help="results.tsv / expression.txt / qseq / fastq "
+                          "/ run output dir (pair-sam)")
     exp.add_argument("-o", "--output", required=True)
     exp.add_argument("-g", "--gtf",
                      help="gene models gtf (circos-points)")
@@ -82,6 +84,26 @@ def build_parser() -> argparse.ArgumentParser:
     bamq.add_argument("-m", "--multiples", action="store_true")
     bamq.add_argument("-p", "--paired-names", action="store_true")
     return p
+
+
+def _find_or_materialize_pair_sam(out_dir):
+    """Locate the concordant pair SAM under a run directory,
+    regenerating it from the binary pair table when the frontend ran
+    with the lazy checkpoint (pair_sam_checkpoint=lazy)."""
+    import pathlib
+    out_dir = pathlib.Path(out_dir)
+    for cand in ("cdna.pair.sam.gz", "cdna.pair.sam",
+                 "aligned/cdna.pair.sam.gz", "aligned/cdna.pair.sam"):
+        if (out_dir / cand).exists():
+            return out_dir / cand
+    for tbl in ("cdna.pair.tbl", "aligned/cdna.pair.tbl"):
+        if (out_dir / tbl).exists() \
+                and (out_dir / "reads" / "reads.fqi").exists():
+            from ..align.frontend import pair_sam_from_tbl
+            return pathlib.Path(pair_sam_from_tbl(
+                out_dir / tbl, out_dir / "reads" / "reads",
+                out_dir / "cdna.pair.sam.gz"))
+    return out_dir / "cdna.pair.sam.gz"  # original not-found behavior
 
 
 def main(argv=None) -> int:
@@ -161,9 +183,7 @@ def main(argv=None) -> int:
         from ..cli.expression_plot import expression_plot
         config = Config.read(args.config, args.dataset)
         out_dir = pathlib.Path(args.output)
-        pair_sam = out_dir / "cdna.pair.sam.gz"
-        if not pair_sam.exists():
-            pair_sam = out_dir / "cdna.pair.sam"
+        pair_sam = _find_or_materialize_pair_sam(out_dir)
         res = expression_plot(
             concordant_sam=str(pair_sam),
             cdna_regions=config.get_value("cdna_regions"),
@@ -175,6 +195,19 @@ def main(argv=None) -> int:
 
     if args.command == "export":
         from . import exporters
+        if args.kind == "pair-sam":
+            # regenerate the concordant pair SAM from the binary pair
+            # table (lazy pair_sam_checkpoint runs)
+            import pathlib
+            import shutil
+            src = _find_or_materialize_pair_sam(pathlib.Path(args.input))
+            if not pathlib.Path(src).exists():
+                raise SystemExit(f"no pair table or SAM under "
+                                 f"{args.input}")
+            if str(src) != args.output:
+                shutil.copyfile(src, args.output)
+            print(args.output)
+            return 0
         with open(args.output, "w") as out:
             if args.kind == "circos-links":
                 exporters.results_to_circos_links(

@@ -21,6 +21,9 @@ DEFAULTS = {
     "dna_concordant_length": "2000",
     "discord_read_trim": "50",
     "calculate_extra_annotations": "no",
+    # pair-SAM text checkpoint: "lazy" derives it on demand from the
+    # binary pair table (native frontend); "eager" writes it up front
+    "pair_sam_checkpoint": "lazy",
     "denovo_assembly": "no",
     "clustering_precision": "0.95",
     "span_count_threshold": "5",

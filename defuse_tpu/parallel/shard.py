@@ -150,12 +150,14 @@ def merge_frontend_shards(shard_results, shard_offsets, outdir,
 
     concordant: set[int] = set()
     blacklist: set[int] = set()
+    have_sam = all(r.get("concordant_sam") for r in shard_results)
     for res, offset in zip(shard_results, shard_offsets):
         globalize(res["spanning"], merged["spanning"], offset, "frag")
         globalize(res["improper"], merged["improper"], offset,
                   "frag/end")
-        globalize(res["concordant_sam"], merged["concordant_sam"],
-                  offset, "sam")
+        if have_sam:  # lazy checkpoint: regenerable from the table
+            globalize(res["concordant_sam"], merged["concordant_sam"],
+                      offset, "sam")
         concordant |= {f + offset for f in res["concordant_fragments"]}
         blacklist |= {f + offset for f in res["blacklist"]}
 
@@ -171,7 +173,8 @@ def merge_frontend_shards(shard_results, shard_offsets, outdir,
     return {
         "spanning": str(merged["spanning"]),
         "improper": str(merged["improper"]),
-        "concordant_sam": str(merged["concordant_sam"]),
+        "concordant_sam": str(merged["concordant_sam"]) if have_sam
+        else None,
         "pair_table": str(merged_tbl) if merged_tbl else None,
         "stats": stats,
         "concordant_fragments": concordant,
@@ -215,6 +218,17 @@ def read_pair_table(path):
                                         dtype=PAIR_REC_DTYPE))
     recs = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
     return names, recs
+
+
+def unpack_seq_strand(recs):
+    """Split the packed ``seq`` field into (name index, end-1 strand).
+    The writer packs the end-1 strand into the seq high bit (name
+    indices stay < 2^31); files from before the bit existed read back
+    as all-forward."""
+    import numpy as np
+    raw = recs["seq"].astype(np.int64) & 0xFFFFFFFF
+    return (raw & 0x7FFFFFFF).astype(np.int64), \
+        (raw >> 31).astype(np.uint8)
 
 
 def merge_pair_tables(parts, offsets, dst):

@@ -72,21 +72,40 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     reference_fasta = reference_fasta or config.get_value("reference_fasta")
     cdna_regions = cdna_regions or config.get_value("cdna_regions")
 
+    def _pair_sam():
+        """Path to the concordant pair SAM, materializing it from the
+        binary pair table on first use when the frontend ran with the
+        lazy checkpoint (pair_sam_checkpoint=lazy)."""
+        nonlocal concordant_sam
+        if concordant_sam:
+            return concordant_sam
+        if not pair_table:
+            raise ValueError("no concordant pair SAM or pair table")
+        from ..align.frontend import pair_sam_from_tbl
+        prefix = str(fastq1)
+        for suf in (".1.fastq", ".1.fq"):
+            if prefix.endswith(suf):
+                prefix = prefix[:-len(suf)]
+                break
+        concordant_sam = pair_sam_from_tbl(
+            pair_table, prefix, out / "cdna.pair.sam.gz")
+        return concordant_sam
+
     # --- read stats -----------------------------------------------------
     stats_path = out / "concordant.read.stats"
 
     def stage_read_stats(tmp_outputs):
-        if concordant_sam:
+        if concordant_sam or pair_table:
             from ..cluster import native
             stats = None
             if native.available():
                 if pair_table:
                     stats = native.read_stats_tbl(pair_table)
-                if stats is None:
+                if stats is None and concordant_sam:
                     stats = native.read_stats_native(concordant_sam)
             if stats is None:
                 from ..io.sam import open_text
-                with open_text(concordant_sam) as fh:
+                with open_text(_pair_sam()) as fh:
                     stats = read_stats_from_sam(fh)
         else:
             stats = ReadStats(0, config.get_float("fallback_frag_mean"),
@@ -110,7 +129,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     # --- covariance samples --------------------------------------------
     cov_paths = {n: out / f"cov.{n}.samples" for n in
                  ("span", "pos", "min")}
-    if concordant_sam and cdna_regions:
+    if (concordant_sam or pair_table) and cdna_regions:
         def stage_calccov(tmp_outputs):
             er = ExonRegions.from_file(cdna_regions)
             trim = config.get_int("discord_read_trim")
@@ -139,7 +158,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                         min_path=tmp_outputs[2])
                 if rc is None:
                     rc = native.calccov_native(
-                        concordant_sam, names,
+                        _pair_sam(), names,
                         [r for r, _p in positions],
                         [p for _r, p in positions],
                         trim_length=trim, anchor=anchor,
@@ -149,7 +168,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                 if rc is not None:
                     return
             span, spos, smin = calccov(
-                concordant_sam, er, trim_length=trim,
+                _pair_sam(), er, trim_length=trim,
                 split_min_anchor=anchor, density=density,
                 multi_exon=multi)
             write_samples(span, tmp_outputs[0], float_values=False)
@@ -157,7 +176,8 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             write_samples(smin, tmp_outputs[2], float_values=True)
 
         runner.run("covariance samples", stage_calccov,
-                   inputs=[concordant_sam, cdna_regions]
+                   inputs=([concordant_sam] if concordant_sam else [])
+                   + [cdna_regions]
                    + ([pair_table] if pair_table else []),
                    outputs=[cov_paths["span"], cov_paths["pos"],
                             cov_paths["min"]])
@@ -305,14 +325,18 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
         mstats = mapping_stats(spanning_rows, solution, gm)
         extra_kwargs = {}
         if config.get_bool("calculate_extra_annotations") \
-                and concordant_sam:
+                and (concordant_sam or pair_table):
             from ..annotate.extra import (break_concordant,
-                                          index_sam_by_ref, interrupted,
+                                          index_sam_by_ref,
+                                          index_tbl_by_ref, interrupted,
                                           interrupted_index,
                                           splicing_index)
-            from ..io.sam import open_text
-            with open_text(concordant_sam) as fh:
-                by_ref = index_sam_by_ref(fh)
+            if pair_table:
+                by_ref = index_tbl_by_ref(pair_table)
+            else:
+                from ..io.sam import open_text
+                with open_text(concordant_sam) as fh:
+                    by_ref = index_sam_by_ref(fh)
             max_frag = int(frag_mean + 3 * frag_std)
             bias = config.get_int("splice_bias")
             bc = break_concordant(breaks, gm, by_ref, max_frag, bias)

@@ -37,6 +37,9 @@
 #include <vector>
 
 #include <zlib.h>
+#ifdef HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 namespace {
 
@@ -50,6 +53,26 @@ namespace {
 
 inline bool GzipMember(const std::string& in, std::string& out,
                        int level = 1) {
+#ifdef HAVE_LIBDEFLATE
+  // libdeflate one-shot gzip: ~2-3x zlib's deflate rate at the same
+  // level, standard gzip stream (zlib/gzip readers decompress it).
+  // Inputs past 1GB (or allocator failure) fall through to the
+  // streaming zlib path below.
+  if (in.size() < (1u << 30)) {
+    libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+    if (c) {
+      size_t bound = libdeflate_gzip_compress_bound(c, in.size());
+      out.resize(bound);
+      size_t n = libdeflate_gzip_compress(c, in.data(), in.size(),
+                                          &out[0], bound);
+      libdeflate_free_compressor(c);
+      if (n) {
+        out.resize(n);
+        return true;
+      }
+    }
+  }
+#endif
   z_stream zs{};
   if (deflateInit2(&zs, level, Z_DEFLATED, 15 + 16, 8,
                    Z_DEFAULT_STRATEGY) != Z_OK)
@@ -2503,6 +2526,11 @@ struct PairTbl {
   std::vector<int64_t> name_off;
   std::string blob;
   std::vector<PairRec> recs;
+  // end-1 strand (0 fwd / 1 rev), unpacked from the seq high bit by
+  // LoadPairTbl; recs[i].seq is left masked to the bare name index.
+  // Needed to regenerate the pair SAM's flag bits exactly (the proper
+  // pair rule fwd.start <= rev.start leaves pos1 == pos2 ambiguous).
+  std::vector<uint8_t> strand1;
 };
 
 // A table file is one or more concatenated self-describing segments
@@ -2543,6 +2571,11 @@ inline bool LoadPairTbl(const char* path, PairTbl& t) {
     ok = n_pairs == 0 || fread(t.recs.data() + base, sizeof(PairRec),
                                n_pairs, f) == (size_t)n_pairs;
     if (!ok) break;
+    t.strand1.resize(base + n_pairs);
+    for (size_t i = base; i < base + (size_t)n_pairs; i++) {
+      t.strand1[i] = (uint8_t)(((uint32_t)t.recs[i].seq) >> 31);
+      t.recs[i].seq = (int32_t)(((uint32_t)t.recs[i].seq) & 0x7fffffffu);
+    }
     first = false;
   }
   fclose(f);
@@ -2978,10 +3011,14 @@ long dt_align_job(
   // content is byte-identical to a sequential pass.  A ".gz" path makes
   // each range a gzip member, deflated inside its own thread.
   int64_t n_pairs = 0, sum_isize = 0, sumsq_isize = 0;
-  const bool pair_gz = EndsWithGz(pair_sam_path);
+  const bool want_sam = pair_sam_path && pair_sam_path[0];
+  const bool pair_gz = want_sam && EndsWithGz(pair_sam_path);
   {
-    FILE* out = fopen(pair_sam_path, append_mode ? "a" : "w");
-    if (!out) return -1;
+    FILE* out = nullptr;
+    if (want_sam) {
+      out = fopen(pair_sam_path, append_mode ? "a" : "w");
+      if (!out) return -1;
+    }
     int nt = n_threads;
     std::vector<std::string> bufs(nt);
     std::vector<std::vector<PairRec>> recs(nt);
@@ -3002,8 +3039,14 @@ long dt_align_job(
           sq[t] += cp.isize * cp.isize;
           if (want_tbl)
             recs[t].push_back(PairRec{
-                f + frag_base, cp.a1.seq, cp.a1.pos0 + 1, lens1[f],
+                f + frag_base,
+                // seq high bit carries the end-1 strand (LoadPairTbl /
+                // read_pair_table unpack it); name indices stay < 2^31
+                (int32_t)((uint32_t)cp.a1.seq |
+                          ((uint32_t)(cp.a1.strand ? 1 : 0) << 31)),
+                cp.a1.pos0 + 1, lens1[f],
                 cp.a2.pos0 + 1, lens2[f], (int32_t)cp.isize});
+          if (!want_sam) continue;
           for (int end = 0; end < 2; end++) {
             const Hit& a = end == 0 ? cp.a1 : cp.a2;
             const Hit& mate = end == 0 ? cp.a2 : cp.a1;
@@ -3035,6 +3078,12 @@ long dt_align_job(
         }
       });
     for (auto& th : ts) th.join();
+    if (aj_timing) {
+      size_t zb = 0;
+      for (auto& b : bufs) zb += b.size();
+      fprintf(stderr, "[alignjob-timing]   fmt+gzip %.3fs (%zu MB out)\n",
+              aj_now() - aj_t0, zb >> 20);
+    }
     if (gz_fail.load()) {
       fclose(out);
       return -1;
@@ -3043,10 +3092,10 @@ long dt_align_job(
       n_pairs += np[t];
       sum_isize += si[t];
       sumsq_isize += sq[t];
-      if (!bufs[t].empty())
+      if (out && !bufs[t].empty())
         fwrite(bufs[t].data(), 1, bufs[t].size(), out);
     }
-    fclose(out);
+    if (out) fclose(out);
     if (want_tbl) {
       FILE* tf = fopen(pair_tbl_path, append_mode ? "ab" : "wb");
       if (!tf) return -1;

@@ -231,26 +231,34 @@ def test_align_reads_reads_per_job_sharding(tmp_path):
                 {f"{g.name}|{g.transcript}": g.cdna(ds.genome) + "A" * 50
                  for g in ds.genes})
 
-    def run(outdir, rpj):
+    def run(outdir, rpj, checkpoint):
         config = Config.defaults(
             genome_fasta=str(genome_fa), gene_models=str(gtf),
-            cdna_fasta=str(cdna_fa), reads_per_job=rpj)
+            cdna_fasta=str(cdna_fa), reads_per_job=rpj,
+            pair_sam_checkpoint=checkpoint)
         return align_reads(config, str(tmp_path / outdir),
                            str(paths["fastq1"]), str(paths["fastq2"]),
                            use_device=False)
 
-    whole = run("whole", 10_000_000)
-    sharded = run("sharded", 40)  # forces several shards
+    whole = run("whole", 10_000_000, "eager")
+    sharded = run("sharded", 40, "lazy")  # forces several shards
     for key in ("spanning", "improper"):
         assert pathlib.Path(sharded[key]).read_bytes() == \
             pathlib.Path(whole[key]).read_bytes(), key
     assert pathlib.Path(sharded["spanning"]).stat().st_size > 0
 
-    # pair SAM: shards append one gzip member each — decompressed
-    # content identical to the unsharded single-member file
+    # pair SAM: the lazy sharded run writes none up front; the SAM
+    # regenerated from its (multi-segment) pair table must match the
+    # unsharded eager writer's text exactly
     from defuse_tpu.io.sam import read_decompressed
-    assert read_decompressed(sharded["concordant_sam"]) == \
+    assert sharded["concordant_sam"] is None
+    from defuse_tpu.align.frontend import pair_sam_from_tbl
+    lazy_sam = pair_sam_from_tbl(
+        sharded["pair_table"], tmp_path / "sharded" / "reads" / "reads",
+        tmp_path / "lazy.pair.sam.gz")
+    assert read_decompressed(lazy_sam) == \
         read_decompressed(whole["concordant_sam"])
+    assert read_decompressed(whole["concordant_sam"])
 
     # pair table: shards append one segment each — logical content
     # identical via both the Python and the native segment readers
