@@ -127,7 +127,12 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                       config.get_int("span_count_threshold"))
 
     # --- covariance samples --------------------------------------------
-    cov_paths = {n: out / f"cov.{n}.samples" for n in
+    # ~30B/sample of text at scale: the native table path gzips the
+    # artifacts (readers sniff magic, never the extension)
+    from ..cluster import native as _native
+    _cov_suffix = ".samples.gz" \
+        if (_native.available() and pair_table) else ".samples"
+    cov_paths = {n: out / f"cov.{n}{_cov_suffix}" for n in
                  ("span", "pos", "min")}
     if (concordant_sam or pair_table) and cdna_regions:
         def stage_calccov(tmp_outputs):

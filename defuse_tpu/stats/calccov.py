@@ -118,7 +118,12 @@ def _cxx_double(x: float) -> str:
 
 
 def write_samples(samples, path, float_values: bool) -> None:
-    with open(path, "w") as out:
+    if str(path).endswith(".gz"):
+        import gzip
+        ctx = gzip.open(path, "wt", compresslevel=1)
+    else:
+        ctx = open(path, "w")
+    with ctx as out:
         for idx, value in samples:
             if float_values:
                 out.write(f"{idx}\t{_cxx_double(value)}\n")

@@ -62,16 +62,26 @@ def load_cov_samples(path):
     Decimal→double conversion must be correctly rounded (the merge is a
     bit-exact contract), so the pandas path pins
     ``float_precision="round_trip"`` and the fallback uses numpy's text
-    parser (ascii_strtod)."""
+    parser (ascii_strtod).  Compression is sniffed from the magic bytes
+    (never the extension — fallback writers may leave plain text at a
+    .gz-named artifact)."""
     import numpy as np
+    with open(path, "rb") as probe:
+        gz = probe.read(2) == b"\x1f\x8b"
     try:
         import pandas as pd
         df = pd.read_csv(path, sep="\t", header=None,
                          dtype={0: np.int64, 1: np.float64},
+                         compression="gzip" if gz else None,
                          float_precision="round_trip")
         return df[0].to_numpy(), df[1].to_numpy()
     except ImportError:
-        flat = np.array(open(path).read().split(), dtype=np.float64)
+        if gz:
+            import gzip
+            text = gzip.open(path, "rt").read()
+        else:
+            text = open(path).read()
+        flat = np.array(text.split(), dtype=np.float64)
         return flat[0::2].astype(np.int64), flat[1::2]
 
 

@@ -224,6 +224,33 @@ def test_pair_table_scanners_match_sam(rich_dataset):
         assert a == b
     assert any(outs["sam"][1]), "no covariance samples produced"
 
+    # .gz destinations: per-thread gzip members whose decompressed
+    # bytes equal the plain run, and whose merged covariance is
+    # bit-identical through the magic-sniffing readers
+    import gzip
+    gz_paths = [str(d["tmp"] / f"cov.gz.{k}.gz") for k in
+                ("span", "pos", "min")]
+    rc = native.calccov_tbl(res["pair_table"], names, marker_refs,
+                            marker_pos, trim_length=25, anchor=4,
+                            span_path=gz_paths[0], pos_path=gz_paths[1],
+                            min_path=gz_paths[2])
+    assert rc == outs["tbl"][0]
+    from defuse_tpu.stats.pvalues import cov_samples_merge_arrays, \
+        load_cov_samples
+    for gz_p, plain in zip(gz_paths, outs["tbl"][1]):
+        assert gzip.open(gz_p, "rb").read() == plain
+
+        def _merge(fn, *a):
+            try:
+                return fn(*a)
+            except ValueError as e:  # <=100-samples contract
+                return ("raises", str(e))
+
+        a = _merge(native.cov_merge_file, gz_p)
+        b = _merge(lambda p: cov_samples_merge_arrays(
+            *load_cov_samples(p)), gz_p)
+        assert a == b
+
 
 def test_native_fastq_ingest_byte_parity(tmp_path):
     """dt_fastq_ingest writes byte-identical renamed fastqs + .fqi +

@@ -205,11 +205,20 @@ def test_pair_table_fast_path_equivalence(tmp_path):
     for artifact in ("results", "classified", "filtered"):
         assert pathlib.Path(outs["tbl"][artifact]).read_bytes() == \
             pathlib.Path(outs["sam"][artifact]).read_bytes(), artifact
-    # intermediate stage artifacts identical too
+    # intermediate stage artifacts identical too (the tbl path gzips
+    # the covariance samples — compare decompressed content)
+    from defuse_tpu.io.sam import read_decompressed
+
+    def _inter(name, inter):
+        p = tmp_path / name / inter
+        if not p.exists():
+            p = tmp_path / name / (inter + ".gz")
+        return read_decompressed(p)
+
     for inter in ("concordant.read.stats", "cov.span.samples",
                   "cov.pos.samples", "cov.min.samples"):
-        assert (tmp_path / "out_tbl" / inter).read_bytes() == \
-            (tmp_path / "out_sam" / inter).read_bytes(), inter
+        assert _inter("out_tbl", inter) == _inter("out_sam", inter), \
+            inter
     assert len(pathlib.Path(
         outs["tbl"]["results"]).read_text().splitlines()) > 1
 
