@@ -3625,11 +3625,47 @@ struct LineReader {
 // switches to rewrite mode.  A fully-canonical input (a re-run over our
 // own renamed files, or pre-normalized data) is hardlinked into place —
 // the ~GB rewrite disappears on the ~70MB/s filesystem.
+// exact "%ld" for non-negative values (the per-record snprintf pair
+// cost ~40% of the parse loop)
+inline char* PutDecimal(char* p, unsigned long u) {
+  char b[20];
+  char* q = b + 20;
+  do {
+    *--q = (char)('0' + (u % 10));
+    u /= 10;
+  } while (u);
+  while (q < b + 20) *p++ = *q++;
+  return p;
+}
+
+// canonical header "@<i>/<end>" writer + length, exact snprintf twin
+inline int CanonHeader(char* dst, long i, int end1) {
+  char* p = dst;
+  *p++ = '@';
+  p = PutDecimal(p, (unsigned long)i);
+  *p++ = '/';
+  *p++ = (char)('0' + end1);
+  return (int)(p - dst);
+}
+
 inline void ParseAndWrite(const char* in_path, const char* out_path,
                           int end, End& e) {
   double t0 = IngestTiming() ? IngestNow() : 0.0;
   FILE* in_f = fopen(in_path, "rb");
   if (!in_f) return;
+  {
+    // pre-size the retained arrays from the input size (~half the
+    // bytes are read bases; reallocation copies of a ~GB vector cost
+    // real time at the 10M-pair scale)
+    struct stat st;
+    if (stat(in_path, &st) == 0 && st.st_size > 0) {
+      e.bases.reserve((size_t)(st.st_size / 2));
+      size_t est_recs = (size_t)(st.st_size / 60) + 16;
+      e.off.reserve(est_recs + 1);
+      e.rec_off.reserve(est_recs);
+      if (end == 0) e.names.reserve(est_recs);
+    }
+  }
   LineReader lr(in_f);
   FILE* out = nullptr;  // opened on the first non-canonical record
   std::string buf, iqual;
@@ -3652,7 +3688,7 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
     }
     bool rec_canon = false;
     if (canon) {
-      int hn = snprintf(tmp, sizeof tmp, "@%ld/%d", i, end + 1);
+      int hn = CanonHeader(tmp, i, end + 1);
       rec_canon = (long)nh == hn && memcmp(ph, tmp, hn) == 0;
     }
     if (!lr.next(ps, ns)) {
@@ -3683,7 +3719,8 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
     }
     e.rec_off.push_back(wpos);
     int64_t lo = e.off[i], hi = e.off[i + 1];
-    int n = snprintf(tmp, sizeof tmp, "@%ld/%d\n", i, end + 1);
+    int n = CanonHeader(tmp, i, end + 1) + 1;
+    tmp[n - 1] = '\n';
     if (!canon) {
       buf.append(tmp, n);
       buf.append(e.bases.data() + lo, hi - lo);
@@ -3787,7 +3824,9 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
         s.reserve((size_t)(hi - lo) * 24);
         char tmp[32];
         for (long i = lo; i < hi; i++) {
-          s.append(tmp, snprintf(tmp, sizeof tmp, "%ld\t", i));
+          s.append(tmp, (size_t)(fastq_ingest::PutDecimal(
+                            tmp, (unsigned long)i) - tmp));
+          s += '\t';
           s += names[i];
           s += '\n';
         }
