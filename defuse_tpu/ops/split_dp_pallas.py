@@ -12,8 +12,10 @@ vs the host oracle), hand-scheduled for TPU v5e:
 * the cascade rolls are *mask-free*: the lane axis is padded so that
   every circular roll wraps lanes that are provably NEG (invalid ref
   lanes are re-masked to NEG each row, and ``W >= max_ref_len + 1 +
-  s_max`` guarantees wrapped lanes always come from that tail), saving
-  one select per cascade step per row;
+  2*s_max`` guarantees wrapped lanes always come from that tail —
+  the final shift pulls from tail lanes whose own windows reach
+  ``s_max - 1`` further back), saving one select per cascade step
+  per row;
 * the i==0 DP boundary column (``m[0][j] = j*gap``) emerges from the
   recurrence itself: lane 0 only ever receives ``prev[0] + gap``;
 * DP values are bounded by ``±2*n_rows`` (MATCH=2 decays GAP=-2 per
@@ -69,6 +71,19 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
     """
     dtype = jnp.int16 if i16 else jnp.int32
     neg = NEG16 if i16 else NEG
+
+    def roll_lanes(x, sh):
+        # Mosaic's dynamic_rotate only lowers 32-bit data.  16-bit
+        # vectors pack PAIRS OF SUBLANES into each 32-bit vreg row, so
+        # a lane roll of the int32 bitcast ((TB, W) i16 -> (TB/2, W)
+        # i32) rolls both packed sublanes by exactly sh int16 lanes —
+        # an exact i16 lane roll for any shift.
+        if x.dtype.itemsize == 2:
+            return pltpu.bitcast(
+                pltpu.roll(pltpu.bitcast(x, jnp.int32), sh, 1),
+                jnp.int16)
+        return pltpu.roll(x, sh, 1)
+
     refs = refs_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, refs.shape, 1)
     decay = (GAP * lane).astype(dtype)
@@ -104,13 +119,13 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
         sub = jnp.where(refs == ch, match_, mismatch)
         # prev shifted right one lane; the wrapped lane W-1 is always an
         # invalid (NEG) lane, so no boundary select is needed
-        prev_s = pltpu.roll(prev, 1, 1)
+        prev_s = roll_lanes(prev, 1)
         vert = jnp.maximum(prev_s + sub, prev + gap)
         # prefix max of (vert - decay) along lanes; invalid lanes pinned
         # to NEG so the mask-free circular rolls wrap only NEG values
         x = jnp.where(valid, vert - decay, neg)
         for sh in shifts:
-            x = jnp.maximum(x, pltpu.roll(x, sh, 1))
+            x = jnp.maximum(x, roll_lanes(x, sh))
         col = x + decay
         # invalid lanes hold neg+decay << any valid value: plain row max
         # (in int32 — Mosaic has no int16 reductions; the cascade, which
@@ -126,6 +141,28 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
 
 
 _I16_OK: dict = {}
+
+
+def _tighten(refs, ref_lens, reads, read_lens):
+    """Host-side static shape tightening: inputs here are concrete, so
+    slice away all-pad read rows and ref lanes before the jitted
+    dispatch — the row loop and the cascade width then cover only real
+    data (padded 64-wide 50bp reads waste 22% of the row loop).  The
+    caller pads the returned rowmax back to the original width."""
+    L = reads.shape[1]
+    lmax = int(np.max(read_lens)) if np.size(read_lens) else 0
+    lmax = max(1, min(L, lmax))
+    rmax = int(np.max(ref_lens)) if np.size(ref_lens) else 0
+    rmax = max(1, min(refs.shape[1], rmax))
+    return (refs[:, :rmax] if rmax < refs.shape[1] else refs,
+            reads[:, :lmax] if lmax < L else reads, lmax)
+
+
+def _pad_rowmax(rowmax, L):
+    lmax = rowmax.shape[1] - 1
+    if lmax >= L:
+        return rowmax
+    return jnp.pad(rowmax, ((0, 0), (0, L - lmax)))
 
 
 def dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256):
@@ -149,8 +186,11 @@ def dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256):
                 _I16_OK[key] = False
         else:
             _I16_OK[key] = False
-    return _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens,
-                                 batch_tile, interpret, _I16_OK[key])
+    L = reads.shape[1]
+    refs_t, reads_t, _lmax = _tighten(refs, ref_lens, reads, read_lens)
+    rowmax = _dp_row_maxima_pallas(refs_t, ref_lens, reads_t, read_lens,
+                                   batch_tile, interpret, _I16_OK[key])
+    return _pad_rowmax(rowmax, L)
 
 
 @functools.partial(jax.jit,
@@ -165,9 +205,16 @@ def _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256,
     """
     B, R = refs.shape
     L = reads.shape[1]
-    # lane padding: mask-free cascade rolls require the wrapped lanes
-    # (the last s_max of the width) to be invalid for every row
-    W = _round_up(R + 1 + _max_shift(L), LANES)
+    # lane padding: the mask-free cascade requires every wrapped
+    # contribution into a valid lane to be provably NEG.  The final
+    # cascade step (shift s_max) pulls from tail lanes whose own
+    # accumulated window reaches s_max - 1 further back, so the tail
+    # must span 2*s_max lanes past the valid region: W >= R + 1 +
+    # 2*s_max.  (The earlier R + 1 + s_max bound was wrong whenever
+    # lane rounding added < s_max - 1 slack — e.g. R=130, L=64 —
+    # and wrapped real maxima into the low lanes; pinned by
+    # test_lane_padding_widths.)
+    W = _round_up(R + 1 + 2 * _max_shift(L), LANES)
     Lp = _round_up(L + 1, LANES)
     TB = min(batch_tile, _round_up(B, 8))
     Bp = _round_up(B, TB)
@@ -225,7 +272,17 @@ def screen_candidates_pallas(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
                              ulen1.astype(jnp.int32)[:1],
                              reads.astype(jnp.int32)[:1],
                              read_lens.astype(jnp.int32)[:1])
-    return _screen_candidates(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
+    # static shape tightening (see _tighten): slice to the true max
+    # read / flank lengths before the jitted dispatch
+    lmax = int(np.max(read_lens)) if np.size(read_lens) else 0
+    lmax = max(1, min(reads.shape[1], lmax))
+    rmax = 0
+    for ln in (ulen1, ulen2):
+        if np.size(ln):
+            rmax = max(rmax, int(np.max(ln)))
+    rmax = max(1, min(uref1.shape[1], rmax))
+    return _screen_candidates(uref1[:, :rmax], ulen1, uref2r[:, :rmax],
+                              ulen2, ref_idx, reads[:, :lmax],
                               read_lens, min_scores, interpret,
                               _I16_OK[key])
 

@@ -85,3 +85,26 @@ def test_pallas_screen_matches_batch_screen():
                                    jnp.asarray(mins))
     assert (got == np.asarray(want)).all()
     assert got.max() > 0, "no candidate passed — screen untested"
+
+
+def test_lane_padding_widths():
+    """Width sweep vs the XLA oracle: the mask-free cascade needs
+    W >= R + 1 + 2*s_max; shapes where lane rounding adds little slack
+    (e.g. R=90/L=24, R=130/L=64) wrapped real maxima into the low
+    lanes under the old R + 1 + s_max bound."""
+    import numpy as np
+
+    from defuse_tpu.ops.split_dp_batch import dp_row_maxima
+    from defuse_tpu.ops.split_dp_pallas import _dp_row_maxima_pallas
+    rng = np.random.default_rng(7)
+    for (R, L) in ((60, 24), (90, 24), (100, 24), (130, 64),
+                   (128, 64), (257, 64), (384, 64)):
+        refs = rng.integers(1, 5, (16, R)).astype(np.int32)
+        rl = rng.integers(max(1, R // 2), R + 1, 16).astype(np.int32)
+        reads = rng.integers(1, 5, (16, L)).astype(np.int32)
+        ql = rng.integers(max(1, L // 2), L + 1, 16).astype(np.int32)
+        want = np.asarray(dp_row_maxima(refs, rl, reads, ql))
+        for i16 in (False, True):
+            got = np.asarray(_dp_row_maxima_pallas(
+                refs, rl, reads, ql, 256, True, i16))
+            assert (got == want).all(), (R, L, i16)
