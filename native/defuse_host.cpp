@@ -2571,14 +2571,27 @@ inline bool LoadPairTbl(const char* path, PairTbl& t) {
     ok = n_pairs == 0 || fread(t.recs.data() + base, sizeof(PairRec),
                                n_pairs, f) == (size_t)n_pairs;
     if (!ok) break;
-    t.strand1.resize(base + n_pairs);
-    for (size_t i = base; i < base + (size_t)n_pairs; i++) {
-      t.strand1[i] = (uint8_t)(((uint32_t)t.recs[i].seq) >> 31);
-      t.recs[i].seq = (int32_t)(((uint32_t)t.recs[i].seq) & 0x7fffffffu);
-    }
     first = false;
   }
   fclose(f);
+  if (ok) {
+    // one threaded strand-unpack/mask pass over all segments (the
+    // 9.5M-record loop is measurable at the 10M-pair scale)
+    size_t n = t.recs.size();
+    t.strand1.resize(n);
+    int nt = (int)std::min<size_t>(4, std::max<size_t>(1, n / 500000));
+    std::vector<std::thread> ts;
+    for (int w = 0; w < nt; w++)
+      ts.emplace_back([&t, n, nt, w]() {
+        size_t lo = n * w / nt, hi = n * (w + 1) / nt;
+        for (size_t i = lo; i < hi; i++) {
+          t.strand1[i] = (uint8_t)(((uint32_t)t.recs[i].seq) >> 31);
+          t.recs[i].seq =
+              (int32_t)(((uint32_t)t.recs[i].seq) & 0x7fffffffu);
+        }
+      });
+    for (auto& th : ts) th.join();
+  }
   return ok;
 }
 
