@@ -9,13 +9,13 @@ vs the host oracle), hand-scheduled for TPU v5e:
 * the horizontal gap recurrence ``col[i] = max(vert[i], col[i-1]+gap)``
   is a prefix max with linear decay, computed with a lane-wise
   log-step shift-max cascade (exact for ints);
-* the cascade rolls are *mask-free*: the lane axis is padded so that
-  every circular roll wraps lanes that are provably NEG (invalid ref
-  lanes are re-masked to NEG each row, and ``W >= max_ref_len + 1 +
-  2*s_max`` guarantees wrapped lanes always come from that tail —
-  the final shift pulls from tail lanes whose own windows reach
-  ``s_max - 1`` further back), saving one select per cascade step
-  per row;
+* the cascade rolls are *mask-free* except the final step: the lane
+  axis is padded so that every non-final circular roll wraps lanes
+  that are provably NEG (invalid ref lanes are re-masked to NEG each
+  row; ``W >= max_ref_len + 1 + s_max`` covers reach-back up to
+  ``2*s_{k-1} - 1 = s_max - 1``), and the final step — whose wrapped
+  tail would otherwise need another ``s_max`` of padding — masks its
+  wrapped lanes to NEG with one select per row;
 * the i==0 DP boundary column (``m[0][j] = j*gap``) emerges from the
   recurrence itself: lane 0 only ever receives ``prev[0] + gap``;
 * DP values are bounded by ``±2*n_rows`` (MATCH=2 decays GAP=-2 per
@@ -122,10 +122,21 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
         prev_s = roll_lanes(prev, 1)
         vert = jnp.maximum(prev_s + sub, prev + gap)
         # prefix max of (vert - decay) along lanes; invalid lanes pinned
-        # to NEG so the mask-free circular rolls wrap only NEG values
+        # to NEG so the mask-free circular rolls wrap only NEG values.
+        # Only the FINAL step needs a wrap select: steps j < k pull
+        # from tail lanes whose accumulated windows reach back at most
+        # 2*s_{k-1} - 1 = s_max - 1 lanes, which the W >= R + 1 + s_max
+        # padding covers; the final step's own wrapped lanes would need
+        # another s_max of padding, so they are masked to NEG instead
+        # (exactly the non-circular semantics: lanes i < s_max receive
+        # nothing from a shift past lane 0).
         x = jnp.where(valid, vert - decay, neg)
-        for sh in shifts:
+        for sh in shifts[:-1]:
             x = jnp.maximum(x, roll_lanes(x, sh))
+        if shifts:
+            sh = shifts[-1]
+            x = jnp.maximum(x, jnp.where(lane >= sh,
+                                         roll_lanes(x, sh), neg))
         col = x + decay
         # invalid lanes hold neg+decay << any valid value: plain row max
         # (in int32 — Mosaic has no int16 reductions; the cascade, which
@@ -205,16 +216,13 @@ def _dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256,
     """
     B, R = refs.shape
     L = reads.shape[1]
-    # lane padding: the mask-free cascade requires every wrapped
-    # contribution into a valid lane to be provably NEG.  The final
-    # cascade step (shift s_max) pulls from tail lanes whose own
-    # accumulated window reaches s_max - 1 further back, so the tail
-    # must span 2*s_max lanes past the valid region: W >= R + 1 +
-    # 2*s_max.  (The earlier R + 1 + s_max bound was wrong whenever
-    # lane rounding added < s_max - 1 slack — e.g. R=130, L=64 —
-    # and wrapped real maxima into the low lanes; pinned by
-    # test_lane_padding_widths.)
-    W = _round_up(R + 1 + 2 * _max_shift(L), LANES)
+    # lane padding: mask-free cascade rolls (all but the final step,
+    # which carries its own wrap select — see _dp_kernel) require the
+    # wrapped lanes to be provably NEG: W >= R + 1 + s_max.  (Without
+    # the final-step select this bound was wrong whenever lane rounding
+    # added < s_max - 1 slack — e.g. R=130, L=64 wrapped real maxima
+    # into the low lanes; pinned by test_lane_padding_widths.)
+    W = _round_up(R + 1 + _max_shift(L), LANES)
     Lp = _round_up(L + 1, LANES)
     TB = min(batch_tile, _round_up(B, 8))
     Bp = _round_up(B, TB)
