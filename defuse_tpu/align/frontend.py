@@ -223,7 +223,7 @@ def write_pair_tbl(pairs, reads1, reads2, names, path,
         recs[i] = (frag + frag_base, seq_id, a1.start,
                    len(reads1[frag]), a2.start, len(reads2[frag]), isize)
     with open(path, "ab" if append else "wb") as fh:
-        fh.write(b"DPTBL1\n\x00")
+        fh.write(b"DPTBL2\n\x00")  # v2: strand bit packed in seq
         fh.write(np.int64(len(recs)).tobytes())
         fh.write(np.int64(len(names)).tobytes())
         fh.write(np.int64(off[-1]).tobytes())
@@ -234,47 +234,88 @@ def write_pair_tbl(pairs, reads1, reads2, names, path,
 
 def pair_sam_from_tbl(tbl_path, reads_prefix, out_path) -> str:
     """Regenerate the proper-pair SAM text from the binary pair table
-    plus the indexed renamed fastqs (``reads_prefix`` as for
-    ``ReadIndex``) — the lazy twin of ``write_pair_sam``.  Decompressed
-    content is byte-identical to the eager writer's (pinned by
+    plus the renamed fastqs (``reads_prefix`` as for ``ReadIndex``) —
+    the lazy twin of ``write_pair_sam``.  Decompressed content is
+    byte-identical to the eager writer's (pinned by
     tests/test_pair_tbl_lazy.py); fragment ids in the table are global,
-    matching the read index keys."""
+    matching renamed-fastq record order, so the reads are streamed
+    sequentially (no per-record seeks).  The output is written to a
+    tmp file and renamed — a killed regeneration never leaves a
+    truncated artifact at the final name."""
     import contextlib
     import gzip
+    import os
 
-    from ..io.readindex import ReadIndex
-    from ..parallel.shard import read_pair_table, unpack_seq_strand
+    from ..parallel.shard import pair_table_has_strand, \
+        read_pair_table, unpack_seq_strand
+    if not pair_table_has_strand(tbl_path):
+        raise ValueError(
+            f"{tbl_path} is a v1 pair table (no packed strand bit); "
+            "the SAM flags cannot be regenerated from it — rerun the "
+            "frontend or use the eager pair SAM")
+    for end in (1, 2):
+        if not os.path.exists(f"{reads_prefix}.{end}.fastq"):
+            raise ValueError(
+                "lazy pair-SAM regeneration needs the frontend's "
+                f"renamed fastqs at {reads_prefix}.<end>.fastq")
     names, recs = read_pair_table(tbl_path)
     seq_id, strand1 = unpack_seq_strand(recs)
+
+    def seq_stream(end):
+        """Yield read sequences for ascending table fragments from the
+        renamed fastq (4-line records in fragment order)."""
+        frags = recs["frag"].tolist()
+        with open(f"{reads_prefix}.{end + 1}.fastq", "r",
+                  buffering=1 << 20) as fh:
+            pos = -1
+            for frag in frags:
+                while pos < frag:
+                    if not fh.readline():
+                        raise ValueError("renamed fastq shorter than "
+                                         "the pair table")
+                    seq = fh.readline().rstrip("\n")
+                    fh.readline()
+                    fh.readline()
+                    pos += 1
+                yield seq
+
+    tmp_path = f"{out_path}.tmp.gz" if str(out_path).endswith(".gz") \
+        else f"{out_path}.tmp"
     if str(out_path).endswith(".gz"):
-        ctx = gzip.open(out_path, "wt", compresslevel=1)
+        ctx = gzip.open(tmp_path, "wt", compresslevel=1)
     else:
-        ctx = open(out_path, "w")
+        ctx = open(tmp_path, "w")
     cols = (recs["frag"].tolist(), seq_id.tolist(), strand1.tolist(),
             recs["pos1"].tolist(), recs["pos2"].tolist(),
             recs["isize"].tolist())
-    with contextlib.closing(ctx) as out, \
-            ReadIndex(str(reads_prefix)) as ri:
-        buf = []
-        for frag, sid, s1, pos1, pos2, isize in zip(*cols):
-            ref = names[sid]
-            for end, (strand, pos, mpos) in enumerate(
-                    ((s1, pos1, pos2), (1 - s1, pos2, pos1))):
-                flag = 0x1 | 0x2 | (0x40 if end == 0 else 0x80)
-                if strand:
-                    flag |= 0x10
-                if strand == 0:  # mate is reverse iff this end is fwd
-                    flag |= 0x20
-                seq = ri.get(frag, end)
-                sign = 1 if pos <= mpos else -1
-                buf.append(
-                    f"{frag}\t{flag}\t{ref}\t{pos}\t255\t{len(seq)}M"
-                    f"\t=\t{mpos}\t{sign * isize}\t{seq}\t"
-                    f"{'I' * len(seq)}\n")
-            if len(buf) >= 65536:
-                out.write("".join(buf))
-                buf.clear()
-        out.write("".join(buf))
+    try:
+        with contextlib.closing(ctx) as out:
+            buf = []
+            streams = (seq_stream(0), seq_stream(1))
+            for frag, sid, s1, pos1, pos2, isize in zip(*cols):
+                ref = names[sid]
+                for end, (strand, pos, mpos) in enumerate(
+                        ((s1, pos1, pos2), (1 - s1, pos2, pos1))):
+                    flag = 0x1 | 0x2 | (0x40 if end == 0 else 0x80)
+                    if strand:
+                        flag |= 0x10
+                    if strand == 0:  # mate reverse iff this end fwd
+                        flag |= 0x20
+                    seq = next(streams[end])
+                    sign = 1 if pos <= mpos else -1
+                    buf.append(
+                        f"{frag}\t{flag}\t{ref}\t{pos}\t255\t"
+                        f"{len(seq)}M\t=\t{mpos}\t{sign * isize}\t"
+                        f"{seq}\t{'I' * len(seq)}\n")
+                if len(buf) >= 65536:
+                    out.write("".join(buf))
+                    buf.clear()
+            out.write("".join(buf))
+    except BaseException:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+        raise
+    os.replace(tmp_path, out_path)
     return str(out_path)
 
 

@@ -129,21 +129,30 @@ class SeedIndex:
     # -- persistence (bowtie-build equivalence: build once at create-ref,
     #    mmap-load at run; arrays stay on-disk until touched) ------------
 
-    def save(self, prefix: str) -> None:
+    def save(self, prefix: str, source: dict | None = None) -> None:
+        """Persist the index.  Every file is written to a pid-unique
+        tmp name and renamed, meta last: concurrent savers cannot
+        expose each other's half-written arrays, and saved_exists
+        (which requires meta) can never see a loadable partial index.
+        ``source`` (fasta size/mtime) is stamped into meta so
+        load_or_build can detect a regenerated fasta."""
         import json
         import os
 
         import numpy as _np
-        _np.save(prefix + ".codes.npy", self.codes)
-        _np.save(prefix + ".offsets.npy", self.offsets)
-        _np.save(prefix + ".keys.npy", self.keys)
-        _np.save(prefix + ".positions.npy", self.positions)
-        # meta last, atomically: saved_exists requires it, so a crash
-        # mid-save can never leave a loadable partial index
+        for name, arr in (("codes", self.codes), ("offsets", self.offsets),
+                          ("keys", self.keys),
+                          ("positions", self.positions)):
+            tmp = f"{prefix}.{name}.npy.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                _np.save(fh, arr)
+            os.replace(tmp, f"{prefix}.{name}.npy")
+        meta = {"names": self.names, "seed_len": self.seed_len}
+        if source:
+            meta["source"] = source
         tmp = f"{prefix}.meta.json.tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
-            json.dump({"names": self.names, "seed_len": self.seed_len},
-                      fh)
+            json.dump(meta, fh)
         os.replace(tmp, prefix + ".meta.json")
 
     @classmethod
@@ -262,16 +271,34 @@ class SeedIndex:
     def load_or_build(cls, fasta_path: str, prefix: str | None = None
                       ) -> "SeedIndex":
         """Load the saved index beside ``fasta_path`` (or at ``prefix``)
-        when present; otherwise build from the fasta and persist it
-        beside the fasta (bowtie-build semantics: the index outlives
-        the process so later runs mmap-load instead of rebuilding)."""
+        when present and not stale; otherwise build from the fasta and
+        persist it beside the fasta (bowtie-build semantics: the index
+        outlives the process so later runs mmap-load instead of
+        rebuilding).  Staleness: auto-persisted indices stamp the
+        fasta's size/mtime into meta; a regenerated fasta at the same
+        path triggers a rebuild.  create-ref-persisted indices carry no
+        stamp and are trusted (explicit dataset-build contract)."""
+        import json
+        import os
+
         from ..io.fasta import FastaStore
         prefix = prefix or (str(fasta_path) + ".seedidx")
+
+        def _source():
+            st = os.stat(str(fasta_path))
+            return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
         if cls.saved_exists(prefix):
-            return cls.load(prefix)
+            try:
+                with open(prefix + ".meta.json") as fh:
+                    src = json.load(fh).get("source")
+            except (OSError, ValueError):
+                src = None
+            if src is None or src == _source():
+                return cls.load(prefix)
         idx = cls(FastaStore.from_file(str(fasta_path))._seqs)
         try:
-            idx.save(prefix)
+            idx.save(prefix, source=_source())
         except OSError:
             pass  # read-only dataset dir: serve the in-memory build
         return idx

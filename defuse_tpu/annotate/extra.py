@@ -36,7 +36,12 @@ def index_tbl_by_ref(tbl_path):
     strands from the table's packed end-1 strand bit (proper pairs are
     always opposite-strand).  Pinned against the SAM indexer by
     tests/test_pair_tbl_lazy.py."""
-    from ..parallel.shard import read_pair_table, unpack_seq_strand
+    from ..parallel.shard import pair_table_has_strand, \
+        read_pair_table, unpack_seq_strand
+    if not pair_table_has_strand(tbl_path):
+        raise ValueError(
+            f"{tbl_path} is a v1 pair table (no strand bit); index "
+            "from the pair SAM instead")
     names, recs = read_pair_table(tbl_path)
     seq_id, strand1 = unpack_seq_strand(recs)
     by_ref: dict[str, list] = {}

@@ -89,20 +89,27 @@ def build_parser() -> argparse.ArgumentParser:
 def _find_or_materialize_pair_sam(out_dir):
     """Locate the concordant pair SAM under a run directory,
     regenerating it from the binary pair table when the frontend ran
-    with the lazy checkpoint (pair_sam_checkpoint=lazy)."""
+    with the lazy checkpoint (pair_sam_checkpoint=lazy).  An existing
+    SAM older than the pair table (a lazy rerun over an old eager
+    dir) is treated as stale and regenerated."""
     import pathlib
     out_dir = pathlib.Path(out_dir)
+    tbl_path = next((out_dir / t for t in
+                     ("cdna.pair.tbl", "aligned/cdna.pair.tbl")
+                     if (out_dir / t).exists()), None)
+    tbl_mtime = tbl_path.stat().st_mtime if tbl_path else None
     for cand in ("cdna.pair.sam.gz", "cdna.pair.sam",
                  "aligned/cdna.pair.sam.gz", "aligned/cdna.pair.sam"):
-        if (out_dir / cand).exists():
-            return out_dir / cand
-    for tbl in ("cdna.pair.tbl", "aligned/cdna.pair.tbl"):
-        if (out_dir / tbl).exists() \
-                and (out_dir / "reads" / "reads.fqi").exists():
-            from ..align.frontend import pair_sam_from_tbl
-            return pathlib.Path(pair_sam_from_tbl(
-                out_dir / tbl, out_dir / "reads" / "reads",
-                out_dir / "cdna.pair.sam.gz"))
+        p = out_dir / cand
+        if p.exists() and (tbl_mtime is None
+                           or p.stat().st_mtime >= tbl_mtime):
+            return p
+    if tbl_path is not None \
+            and (out_dir / "reads" / "reads.1.fastq").exists():
+        from ..align.frontend import pair_sam_from_tbl
+        return pathlib.Path(pair_sam_from_tbl(
+            tbl_path, out_dir / "reads" / "reads",
+            out_dir / "cdna.pair.sam.gz"))
     return out_dir / "cdna.pair.sam.gz"  # original not-found behavior
 
 
@@ -197,15 +204,33 @@ def main(argv=None) -> int:
         from . import exporters
         if args.kind == "pair-sam":
             # regenerate the concordant pair SAM from the binary pair
-            # table (lazy pair_sam_checkpoint runs)
+            # table (lazy pair_sam_checkpoint runs); the requested
+            # output extension decides the compression, independent of
+            # how the source happens to be stored
+            import gzip
+            import os
             import pathlib
             import shutil
             src = _find_or_materialize_pair_sam(pathlib.Path(args.input))
             if not pathlib.Path(src).exists():
                 raise SystemExit(f"no pair table or SAM under "
                                  f"{args.input}")
-            if str(src) != args.output:
+            if os.path.exists(args.output) \
+                    and os.path.samefile(src, args.output):
+                print(args.output)
+                return 0
+            with open(src, "rb") as probe:
+                src_gz = probe.read(2) == b"\x1f\x8b"
+            dst_gz = args.output.endswith(".gz")
+            if src_gz == dst_gz:
                 shutil.copyfile(src, args.output)
+            else:
+                fin = gzip.open(src, "rb") if src_gz \
+                    else open(src, "rb")
+                fout = gzip.open(args.output, "wb", compresslevel=1) \
+                    if dst_gz else open(args.output, "wb")
+                with fin, fout:
+                    shutil.copyfileobj(fin, fout, 1 << 20)
             print(args.output)
             return 0
         with open(args.output, "w") as out:

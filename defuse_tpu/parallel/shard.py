@@ -182,7 +182,11 @@ def merge_frontend_shards(shard_results, shard_offsets, outdir,
     }
 
 
-PAIR_TBL_MAGIC = b"DPTBL1\n\x00"
+# v2 packs the end-1 strand into the seq high bit; v1 (pre-bit) tables
+# still load, but strand-dependent consumers must check
+# pair_table_has_strand first
+PAIR_TBL_MAGIC = b"DPTBL2\n\x00"
+PAIR_TBL_MAGIC_V1 = b"DPTBL1\n\x00"
 PAIR_REC_DTYPE = [("frag", "<i8"), ("seq", "<i4"), ("pos1", "<i4"),
                   ("len1", "<i4"), ("pos2", "<i4"), ("len2", "<i4"),
                   ("isize", "<i4")]
@@ -201,7 +205,7 @@ def read_pair_table(path):
             magic = fh.read(8)
             if not magic and names is not None:
                 break
-            if magic != PAIR_TBL_MAGIC:
+            if magic not in (PAIR_TBL_MAGIC, PAIR_TBL_MAGIC_V1):
                 raise ValueError(f"bad pair table magic: {path}")
             n_pairs, n_names, blob_len = np.frombuffer(fh.read(24),
                                                        "<i8")
@@ -220,11 +224,32 @@ def read_pair_table(path):
     return names, recs
 
 
+def pair_table_has_strand(path) -> bool:
+    """True when every segment of the table carries the packed end-1
+    strand bit (magic DPTBL2); v1 tables decode as all-forward and must
+    not feed strand-dependent consumers (SAM regeneration,
+    index_tbl_by_ref)."""
+    with open(path, "rb") as fh:
+        import numpy as np
+        while True:
+            magic = fh.read(8)
+            if not magic:
+                return True
+            if magic == PAIR_TBL_MAGIC_V1:
+                return False
+            if magic != PAIR_TBL_MAGIC:
+                raise ValueError(f"bad pair table magic: {path}")
+            n_pairs, n_names, blob_len = np.frombuffer(fh.read(24),
+                                                       "<i8")
+            fh.seek(8 * (n_names + 1) + blob_len + 32 * int(n_pairs), 1)
+
+
 def unpack_seq_strand(recs):
     """Split the packed ``seq`` field into (name index, end-1 strand).
-    The writer packs the end-1 strand into the seq high bit (name
-    indices stay < 2^31); files from before the bit existed read back
-    as all-forward."""
+    The v2 writer packs the end-1 strand into the seq high bit (name
+    indices stay < 2^31); v1 records have the bit clear and read back
+    as all-forward — gate on ``pair_table_has_strand`` where the
+    strand matters."""
     import numpy as np
     raw = recs["seq"].astype(np.int64) & 0xFFFFFFFF
     return (raw & 0x7FFFFFFF).astype(np.int64), \
@@ -256,8 +281,11 @@ def merge_pair_tables(parts, offsets, dst):
     off = np.zeros(len(all_names or []) + 1, dtype="<i8")
     for i, n in enumerate(all_names or []):
         off[i + 1] = off[i] + len(n.encode())
+    # a merge of any pre-strand-bit (v1) part must not claim v2
+    magic = PAIR_TBL_MAGIC if all(pair_table_has_strand(p)
+                                  for p in parts) else PAIR_TBL_MAGIC_V1
     with open(dst, "wb") as fh:
-        fh.write(PAIR_TBL_MAGIC)
+        fh.write(magic)
         fh.write(np.int64(len(merged)).tobytes())
         fh.write(np.int64(len(all_names or [])).tobytes())
         fh.write(np.int64(off[-1]).tobytes())

@@ -336,11 +336,14 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                                           index_tbl_by_ref, interrupted,
                                           interrupted_index,
                                           splicing_index)
-            if pair_table:
+            from ..parallel.shard import pair_table_has_strand
+            if pair_table and pair_table_has_strand(pair_table):
                 by_ref = index_tbl_by_ref(pair_table)
             else:
+                # v1 table (no strand bit) or no table: the SAM is the
+                # only strand-bearing source
                 from ..io.sam import open_text
-                with open_text(concordant_sam) as fh:
+                with open_text(_pair_sam()) as fh:
                     by_ref = index_sam_by_ref(fh)
             max_frag = int(frag_mean + 3 * frag_std)
             bias = config.get_int("splice_bias")

@@ -76,7 +76,12 @@ class Runner:
             self._log(f"skipping {name}: up to date")
             return False
 
-        tmp_outputs = [o + ".tmp" for o in outputs]
+        # keep a .gz extension LAST on the tmp name: stage writers pick
+        # their compression from the path they are handed (e.g. the
+        # covariance-sample writers), so "<x>.gz" becomes "<x>.tmp.gz",
+        # not "<x>.gz.tmp"
+        tmp_outputs = [o[:-3] + ".tmp.gz" if o.endswith(".gz")
+                       else o + ".tmp" for o in outputs]
         start = time.time()
         try:
             if callable(fn):

@@ -2520,7 +2520,12 @@ struct PairRec {
   int32_t isize;         // insert size (positive)
 };
 static_assert(sizeof(PairRec) == 32, "packed pair record");
-constexpr char kPairTblMagic[8] = {'D', 'P', 'T', 'B', 'L', '1', '\n', 0};
+// v2 packs the end-1 strand into the seq high bit; v1 predates the bit
+// (readers accept both, but only v2 tables can regenerate SAM flags /
+// strand-dependent indices — consumers check PairTbl.has_strand)
+constexpr char kPairTblMagic[8] = {'D', 'P', 'T', 'B', 'L', '2', '\n', 0};
+constexpr char kPairTblMagicV1[8] = {'D', 'P', 'T', 'B', 'L', '1', '\n',
+                                     0};
 
 struct PairTbl {
   std::vector<int64_t> name_off;
@@ -2531,6 +2536,7 @@ struct PairTbl {
   // Needed to regenerate the pair SAM's flag bits exactly (the proper
   // pair rule fwd.start <= rev.start leaves pos1 == pos2 ambiguous).
   std::vector<uint8_t> strand1;
+  bool has_strand = true;  // false when any segment is v1 (pre-bit)
 };
 
 // A table file is one or more concatenated self-describing segments
@@ -2546,7 +2552,10 @@ inline bool LoadPairTbl(const char* path, PairTbl& t) {
     size_t got = fread(magic, 1, 8, f);
     if (got == 0 && !first) break;  // clean EOF between segments
     int64_t n_pairs = 0, n_names = 0, blob_len = 0;
-    ok = got == 8 && memcmp(magic, kPairTblMagic, 8) == 0 &&
+    bool v1 = got == 8 && memcmp(magic, kPairTblMagicV1, 8) == 0;
+    if (v1) t.has_strand = false;
+    ok = got == 8 &&
+         (v1 || memcmp(magic, kPairTblMagic, 8) == 0) &&
          fread(&n_pairs, 8, 1, f) == 1 &&
          fread(&n_names, 8, 1, f) == 1 &&
          fread(&blob_len, 8, 1, f) == 1 && n_pairs >= 0 &&

@@ -162,3 +162,87 @@ def test_pipeline_lazy_vs_eager_identical(tmp_path):
         assert pathlib.Path(lazy[key]).read_bytes() == \
             pathlib.Path(eager[key]).read_bytes(), key
     assert pathlib.Path(lazy["results"]).stat().st_size > 0
+
+
+def test_v1_table_compat(tmp_path):
+    """Pre-strand-bit (v1, DPTBL1) tables still load, but
+    strand-dependent consumers refuse them instead of silently decoding
+    all-forward; merging any v1 part yields a v1 table."""
+    from defuse_tpu.annotate.extra import index_tbl_by_ref
+    from defuse_tpu.parallel.shard import (
+        PAIR_TBL_MAGIC_V1, merge_pair_tables, pair_table_has_strand,
+        read_pair_table)
+
+    r1, r2 = "ACGTACGTAC", "TTGCATGCAT"
+    fq1, fq2 = tmp_path / "a.1.fastq", tmp_path / "a.2.fastq"
+    fq1.write_text(f"@f/1\n{r1}\n+\n{'I' * 10}\n")
+    fq2.write_text(f"@f/2\n{r2}\n+\n{'I' * 10}\n")
+    reads1, reads2, _ = index_paired_fastq(str(fq1), str(fq2),
+                                           str(tmp_path / "rd"))
+    a1 = SingleAlignment("T1", 1, 5, 14, 0)
+    a2 = SingleAlignment("T1", 0, 7, 16, 0)
+    tbl = tmp_path / "pair.tbl"
+    write_pair_tbl({0: (a1, a2, 12)}, reads1, reads2, ["T1"], tbl)
+    assert pair_table_has_strand(tbl)
+
+    v1 = tmp_path / "pair.v1.tbl"
+    data = bytearray(tbl.read_bytes())
+    data[:8] = PAIR_TBL_MAGIC_V1
+    # v1 files never carried the bit: clear it from the packed seq
+    import numpy as np
+    rec = np.frombuffer(bytes(data[-32:]), dtype="<i4").copy()
+    rec[2] &= 0x7FFFFFFF
+    data[-32:] = rec.tobytes()
+    v1.write_bytes(bytes(data))
+    assert not pair_table_has_strand(v1)
+    names, recs = read_pair_table(v1)  # loads fine
+    assert names == ["T1"] and len(recs) == 1
+
+    with pytest.raises(ValueError):
+        index_tbl_by_ref(v1)
+    with pytest.raises(ValueError):
+        pair_sam_from_tbl(v1, tmp_path / "rd" / "reads",
+                          tmp_path / "x.sam")
+
+    merged = tmp_path / "merged.tbl"
+    merge_pair_tables([str(tbl), str(v1)], [0, 10], merged)
+    assert not pair_table_has_strand(merged)
+
+
+def test_cov_samples_gz_engages_in_pipeline(tmp_path):
+    """The runner hands stages '<x>.tmp.gz' tmp names so the gzip
+    decision survives staging: a native+table pipeline run must leave
+    real gzip bytes at cov.*.samples.gz."""
+    from defuse_tpu.cluster import native
+    if not native.available():
+        pytest.skip("native library not built")
+    from defuse_tpu.align.frontend import align_reads
+    from defuse_tpu.io.fasta import write_fasta
+    from defuse_tpu.pipeline.run import run_pipeline
+    from synthdata import write_genome_fasta, write_gtf
+
+    ds = make_dataset(seed=31, n_fusion_frags=60, n_background_frags=60)
+    paths = write_dataset(ds, tmp_path)
+    gtf = tmp_path / "genes.gtf"
+    write_gtf(ds, gtf)
+    genome_fa = tmp_path / "genome.fa"
+    write_genome_fasta(ds, genome_fa)
+    cdna_fa = tmp_path / "cdna.fa"
+    write_fasta(str(cdna_fa),
+                {f"{g.name}|{g.transcript}": g.cdna(ds.genome) + "A" * 50
+                 for g in ds.genes})
+    config = Config.defaults(
+        reference_fasta=str(paths["reference"]),
+        cdna_regions=str(paths["exons"]),
+        genome_fasta=str(genome_fa), gene_models=str(gtf),
+        cdna_fasta=str(cdna_fa), span_count_threshold=3)
+    outdir = tmp_path / "out"
+    inputs = align_reads(config, str(outdir), str(paths["fastq1"]),
+                         str(paths["fastq2"]), use_device=False)
+    run_pipeline(config=config, output_dir=str(outdir),
+                 library_name="gz", gene_models_gtf=str(gtf),
+                 genome_fasta=str(genome_fa), use_device=False, **inputs)
+    p = outdir / "cov.span.samples.gz"
+    assert p.exists()
+    assert p.read_bytes()[:2] == b"\x1f\x8b", \
+        "cov samples artifact is not gzipped"
