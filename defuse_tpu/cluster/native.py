@@ -791,9 +791,15 @@ def calccov_native(sam_path, ref_names, marker_refs, marker_positions,
 
 def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
                 trim_length, anchor, span_path, pos_path, min_path,
-                n_threads=0):
+                n_threads=0, merge_seed=None):
     """dt_calccov over the binary pair table (threaded; byte-identical
-    sample files to the SAM scan).  Returns sample count or None."""
+    sample files to the SAM scan).  Returns sample count or None.
+
+    With ``merge_seed`` set, also runs the fused covariance merge over
+    the in-memory samples (bit-identical to re-reading the emitted
+    files through ``cov_merge_file``) and returns
+    (count, {kind: (mean, cov) | None}) — None marks the reference's
+    not-enough-samples abort for that kind."""
     lib = load_library()
     if lib is None:
         return None
@@ -803,6 +809,9 @@ def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
     blob, noff = _names_blob(ref_names)
     mref = np.ascontiguousarray(marker_refs, dtype=np.int32)
     mpos = np.ascontiguousarray(marker_positions, dtype=np.int64)
+    want_merge = merge_seed is not None
+    merged = np.zeros(6, dtype=np.float64)
+    mcounts = np.zeros(3, dtype=np.int64)
     fn = lib.dt_calccov_tbl
     fn.restype = ctypes.c_long
     rc = fn(ctypes.c_char_p(str(tbl_path).encode()),
@@ -816,10 +825,21 @@ def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
             ctypes.c_char_p(str(span_path).encode()),
             ctypes.c_char_p(str(pos_path).encode()),
             ctypes.c_char_p(str(min_path).encode()),
-            ctypes.c_int(n_threads))
+            ctypes.c_int(n_threads),
+            ctypes.c_long(merge_seed if want_merge else 0),
+            merged.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            if want_merge else None,
+            mcounts.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+            if want_merge else None)
     if rc < 0:
         return None
-    return int(rc)
+    if not want_merge:
+        return int(rc)
+    out = {}
+    for k, kind in enumerate(("span", "pos", "min")):
+        out[kind] = (float(merged[2 * k]), float(merged[2 * k + 1])) \
+            if mcounts[k] > 0 else None
+    return int(rc), out
 
 
 def cov_merge_file(path, seed=11):

@@ -134,6 +134,21 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
         if (_native.available() and pair_table) else ".samples"
     cov_paths = {n: out / f"cov.{n}{_cov_suffix}" for n in
                  ("span", "pos", "min")}
+    # fused merge result (mean/cov per kind, hexfloat-exact): written
+    # by the calccov stage so the pvalues stage skips re-parsing the
+    # ~100MB-per-kind sample files; "insufficient" records the
+    # reference's not-enough-samples abort for that kind
+    cov_merged_path = out / "cov.merged.tsv"
+
+    def _write_cov_merged(dst, merged):
+        with open(dst, "w") as fh:
+            for kind in ("span", "pos", "min"):
+                mc = merged.get(kind)
+                if mc is None:
+                    fh.write(f"{kind}\tinsufficient\n")
+                else:
+                    fh.write(f"{kind}\t{mc[0].hex()}\t{mc[1].hex()}\n")
+
     if (concordant_sam or pair_table) and cdna_regions:
         def stage_calccov(tmp_outputs):
             er = ExonRegions.from_file(cdna_regions)
@@ -145,6 +160,25 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             # stream stays in Python, the hot SAM scan runs in C++)
             from ..cluster import native
             from ..stats.calccov import sample_positions
+
+            def _merge_written():
+                """Fallback paths: derive the merged artifact from the
+                just-written sample files (bit-identical source)."""
+                from ..stats.pvalues import (cov_samples_merge_arrays,
+                                             load_cov_samples)
+                merged = {}
+                for kind, p in zip(("span", "pos", "min"), tmp_outputs):
+                    try:
+                        mc = native.cov_merge_file(p) \
+                            if native.available() else None
+                        if mc is None:
+                            mc = cov_samples_merge_arrays(
+                                *load_cov_samples(p))
+                        merged[kind] = mc
+                    except ValueError:
+                        merged[kind] = None
+                _write_cov_merged(tmp_outputs[3], merged)
+
             if native.available():
                 ref_index, positions = sample_positions(er, density,
                                                         multi)
@@ -160,17 +194,20 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                         trim_length=trim, anchor=anchor,
                         span_path=tmp_outputs[0],
                         pos_path=tmp_outputs[1],
-                        min_path=tmp_outputs[2])
-                if rc is None:
-                    rc = native.calccov_native(
-                        _pair_sam(), names,
-                        [r for r, _p in positions],
-                        [p for _r, p in positions],
-                        trim_length=trim, anchor=anchor,
-                        span_path=tmp_outputs[0],
-                        pos_path=tmp_outputs[1],
-                        min_path=tmp_outputs[2])
+                        min_path=tmp_outputs[2], merge_seed=11)
+                    if rc is not None:
+                        _write_cov_merged(tmp_outputs[3], rc[1])
+                        return
+                rc = native.calccov_native(
+                    _pair_sam(), names,
+                    [r for r, _p in positions],
+                    [p for _r, p in positions],
+                    trim_length=trim, anchor=anchor,
+                    span_path=tmp_outputs[0],
+                    pos_path=tmp_outputs[1],
+                    min_path=tmp_outputs[2])
                 if rc is not None:
+                    _merge_written()
                     return
             span, spos, smin = calccov(
                 _pair_sam(), er, trim_length=trim,
@@ -179,13 +216,14 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             write_samples(span, tmp_outputs[0], float_values=False)
             write_samples(spos, tmp_outputs[1], float_values=True)
             write_samples(smin, tmp_outputs[2], float_values=True)
+            _merge_written()
 
         runner.run("covariance samples", stage_calccov,
                    inputs=([concordant_sam] if concordant_sam else [])
                    + [cdna_regions]
                    + ([pair_table] if pair_table else []),
                    outputs=[cov_paths["span"], cov_paths["pos"],
-                            cov_paths["min"]])
+                            cov_paths["min"], cov_merged_path])
 
     from ..utils.profiling import Tracer
     _tracer = Tracer(str(out))
@@ -208,9 +246,21 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
 
     _mark("discover")
     # --- p-values -------------------------------------------------------
-    # the three sample files merge independently; the native merge
-    # releases the GIL, so a thread per file runs them concurrently
+    # preferred source: the calccov stage's fused merge artifact
+    # (hexfloat-exact, bit-identical to re-merging the sample files);
+    # otherwise the three sample files merge independently — the native
+    # merge releases the GIL, so a thread per file runs them
+    # concurrently
     covariances = {}
+    premerged = {}
+    if cov_merged_path.exists():
+        for line in open(cov_merged_path):
+            f = line.rstrip("\n").split("\t")
+            if len(f) == 3:
+                premerged[f[0]] = (float.fromhex(f[1]),
+                                   float.fromhex(f[2]))
+            elif len(f) == 2 and f[1] == "insufficient":
+                premerged[f[0]] = "insufficient"
 
     def _merge_one(path):
         from ..cluster import native
@@ -226,9 +276,27 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     with ThreadPoolExecutor(max_workers=3) as _pool:
         futures = {n: _pool.submit(_merge_one, cov_paths[n])
                    for n in ("span", "pos", "min")
-                   if cov_paths[n].exists()}
+                   if n not in premerged and cov_paths[n].exists()}
     for n in ("span", "pos", "min"):
         path = cov_paths[n]
+        if n in premerged:
+            try:
+                if premerged[n] == "insufficient":
+                    raise ValueError(
+                        "not enough concordant read samples; set "
+                        "multi_exon_transcripts_stats = yes")
+                covariances[n] = premerged[n][1]
+                continue
+            except ValueError as e:
+                import sys as _sys
+                print(f"WARNING: {n} covariance merge failed ({e}); "
+                      "falling back to covariance 0.0 — p-values will "
+                      "deviate from a full-size run. Check that "
+                      "multi_exon_transcripts covered enough concordant "
+                      "pairs (reference aborts here).",
+                      file=_sys.stderr)
+                covariances[n] = 0.0
+                continue
         if path.exists():
             try:
                 covariances[n] = futures[n].result()

@@ -4100,23 +4100,15 @@ long dt_globalize_ids(const char* src, const char* dst, long offset,
 // accumulate in the oracle's operation order.  out[0]=mean, out[1]=cov.
 // Returns marker-pair count, -1 on IO/parse error, -2 when count<=100
 // (the reference hard-aborts there).
-long dt_cov_merge(const char* path, long seed, double* out) {
-  GzIn in;
-  if (!in.open(path)) return -1;
-  std::vector<int64_t> ids;
-  std::vector<double> vals;
-  std::string line;
+// Merge core over in-memory sample arrays (file order): counting-sort
+// grouping, exact drand48 stream, oracle-order accumulation — shared
+// by the file reader below and the fused calccov+merge path.
+inline long CovMergeArrays(const std::vector<int64_t>& ids,
+                           const std::vector<double>& vals, long seed,
+                           double* out) {
   int64_t max_id = -1;
-  while (in.getline(line)) {
-    if (line.empty()) continue;
-    char* endp = nullptr;
-    long id = strtol(line.c_str(), &endp, 10);
-    if (!endp || *endp != '\t' || id < 0) return -1;
-    double v = strtod(endp + 1, nullptr);
-    ids.push_back(id);
-    vals.push_back(v);
+  for (int64_t id : ids)
     if (id > max_id) max_id = id;
-  }
   // counting-sort by marker id, stable (file order within a marker)
   std::vector<int64_t> counts(max_id + 2, 0);
   for (int64_t id : ids) counts[id + 1]++;
@@ -4150,6 +4142,24 @@ long dt_cov_merge(const char* path, long seed, double* out) {
   out[0] = (s1 + s2) / (2.0 * count);
   out[1] = (cross - s1 * s2 / count) / count;
   return (long)count;
+}
+
+long dt_cov_merge(const char* path, long seed, double* out) {
+  GzIn in;
+  if (!in.open(path)) return -1;
+  std::vector<int64_t> ids;
+  std::vector<double> vals;
+  std::string line;
+  while (in.getline(line)) {
+    if (line.empty()) continue;
+    char* endp = nullptr;
+    long id = strtol(line.c_str(), &endp, 10);
+    if (!endp || *endp != '\t' || id < 0) return -1;
+    double v = strtod(endp + 1, nullptr);
+    ids.push_back(id);
+    vals.push_back(v);
+  }
+  return CovMergeArrays(ids, vals, seed, out);
 }
 
 // Batch SimpleAligner scores (tools/SimpleAligner.cpp:23-63 contract,
@@ -4234,12 +4244,19 @@ long dt_read_stats_tbl(const char* tbl_path, double* out_scalars,
 // with in-order buffer writes — byte-identical span/pos/min sample
 // files to the SAM-scanning dt_calccov (each record is one flushed
 // group; per-record arithmetic is replicated exactly).
+// merged_out (6 doubles: mean,cov for span/pos/min) + merged_counts
+// (3 longs; -2 = insufficient samples) optionally receive the fused
+// covariance merge — same sample order and %.6g-quantized values as
+// reading the emitted files back through dt_cov_merge, so the results
+// are bit-identical while skipping the ~100MB-per-kind re-parse.
 long dt_calccov_tbl(const char* tbl_path, const char* names,
                     const int64_t* name_off, int n_refs,
                     const int32_t* marker_ref, const int64_t* marker_pos,
                     long n_markers, long trim_length, long anchor,
                     const char* span_path, const char* pos_path,
-                    const char* min_path, int n_threads) {
+                    const char* min_path, int n_threads,
+                    long merge_seed, double* merged_out,
+                    long* merged_counts) {
   using namespace alignjob;
   constexpr int64_t kBin = 10000;  // calccov.py BIN_SPACING
   PairTbl tbl;
@@ -4276,6 +4293,12 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
   int nt = n_threads;
   std::vector<std::string> span_bufs(nt), pos_bufs(nt), min_bufs(nt);
   std::vector<long> totals(nt, 0);
+  const bool want_merge = merged_out != nullptr &&
+                          merged_counts != nullptr;
+  std::vector<std::vector<int64_t>> span_ids(nt), pos_ids(nt),
+      min_ids(nt);
+  std::vector<std::vector<double>> span_vals(nt), pos_vals(nt),
+      min_vals(nt);
   std::vector<std::thread> ts;
   for (int t = 0; t < nt; t++)
     ts.emplace_back([&, t]() {
@@ -4297,16 +4320,23 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
       // "%.6g" of v/r memoized on the (integer-valued) numerator and
       // denominator — read lengths are bounded by the trim, so only a
       // few thousand distinct fractions ever occur; each is formatted
-      // once by snprintf itself, keeping the emitted bytes exact
-      std::unordered_map<uint64_t, std::string> fracs;
-      auto frac6g = [&](double v, double r) -> const std::string& {
+      // once by snprintf itself (text) and read back once by strtod
+      // (the %.6g-quantized double the merge must consume), keeping
+      // both representations exact
+      std::unordered_map<uint64_t, std::pair<std::string, double>> fracs;
+      auto frac6g = [&](double v,
+                        double r) -> const std::pair<std::string,
+                                                     double>& {
         uint64_t key = ((uint64_t)(uint32_t)(int32_t)v << 32) |
                        (uint64_t)(uint32_t)(int32_t)r;
         auto it = fracs.find(key);
         if (it != fracs.end()) return it->second;
         char b[64];
         snprintf(b, sizeof b, "%.6g", v / r);
-        return fracs.emplace(key, std::string(b)).first->second;
+        return fracs
+            .emplace(key, std::make_pair(std::string(b),
+                                         strtod(b, nullptr)))
+            .first->second;
       };
       auto contained = [&](int32_t ref, int64_t s, int64_t e) {
         hits.clear();
@@ -4340,6 +4370,11 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
             span_bufs[t] += '\t';
             append_int(span_bufs[t], frag_len);
             span_bufs[t] += '\n';
+            if (want_merge) {
+              span_ids[t].push_back(m);
+              // "%ld" text round-trips integers exactly
+              span_vals[t].push_back((double)frag_len);
+            }
             totals[t]++;
           }
         }
@@ -4354,9 +4389,10 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
                   std::max(0.0, (double)(pos - a[e].start - anchor));
               double r1 =
                   (double)(a[e].end - a[e].start) + 1.0 - 2.0 * anchor;
+              const auto& f1 = frac6g(v1, r1);
               append_int(pos_bufs[t], m);
               pos_bufs[t] += '\t';
-              pos_bufs[t] += frac6g(v1, r1);
+              pos_bufs[t] += f1.first;
               pos_bufs[t] += '\n';
               int64_t mn = std::min(pos - a[e].start - anchor,
                                     a[e].end + 1 - pos - anchor);
@@ -4364,10 +4400,17 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
               double r2 = std::floor(0.5 * ((double)(a[e].end -
                                                      a[e].start) +
                                             1.0 - 2.0 * anchor));
+              const auto& f2 = frac6g(v2, r2);
               append_int(min_bufs[t], m);
               min_bufs[t] += '\t';
-              min_bufs[t] += frac6g(v2, r2);
+              min_bufs[t] += f2.first;
               min_bufs[t] += '\n';
+              if (want_merge) {
+                pos_ids[t].push_back(m);
+                pos_vals[t].push_back(f1.second);
+                min_ids[t].push_back(m);
+                min_vals[t].push_back(f2.second);
+              }
               totals[t] += 2;
             }
           }
@@ -4403,6 +4446,32 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
       if (!(*bufs[k])[t].empty())
         fwrite((*bufs[k])[t].data(), 1, (*bufs[k])[t].size(), f);
     fclose(f);
+  }
+  if (want_merge) {
+    // fused covariance merge over the in-memory samples: per-thread
+    // arrays concatenated in thread order ARE the file byte order, and
+    // values carry the %.6g-quantized doubles, so the result is
+    // bit-identical to dt_cov_merge over the emitted files
+    std::vector<std::vector<int64_t>>* idsets[3] = {&span_ids, &pos_ids,
+                                                    &min_ids};
+    std::vector<std::vector<double>>* valsets[3] = {&span_vals,
+                                                    &pos_vals,
+                                                    &min_vals};
+    std::vector<std::thread> ms;
+    for (int k = 0; k < 3; k++)
+      ms.emplace_back([&, k]() {
+        std::vector<int64_t> ids;
+        std::vector<double> vals;
+        for (int t = 0; t < nt; t++) {
+          ids.insert(ids.end(), (*idsets[k])[t].begin(),
+                     (*idsets[k])[t].end());
+          vals.insert(vals.end(), (*valsets[k])[t].begin(),
+                      (*valsets[k])[t].end());
+        }
+        merged_counts[k] = CovMergeArrays(ids, vals, merge_seed,
+                                          merged_out + 2 * k);
+      });
+    for (auto& th : ms) th.join();
   }
   for (int t = 0; t < nt; t++) total += totals[t];
   return total;

@@ -251,6 +251,26 @@ def test_pair_table_scanners_match_sam(rich_dataset):
             *load_cov_samples(p)), gz_p)
         assert a == b
 
+    # fused merge (merge_seed): bit-identical to re-reading the emitted
+    # files, incl. the %.6g quantization of the pos/min fractions and
+    # the insufficient-samples contract
+    fused_paths = [str(d["tmp"] / f"cov.fz.{k}.gz") for k in
+                   ("span", "pos", "min")]
+    fused = native.calccov_tbl(res["pair_table"], names, marker_refs,
+                               marker_pos, trim_length=25, anchor=4,
+                               span_path=fused_paths[0],
+                               pos_path=fused_paths[1],
+                               min_path=fused_paths[2], merge_seed=11)
+    assert fused is not None
+    count, merged = fused
+    assert count == outs["tbl"][0]
+    for kind, p in zip(("span", "pos", "min"), fused_paths):
+        try:
+            want = native.cov_merge_file(p)
+        except ValueError:
+            want = None
+        assert merged[kind] == want, kind
+
 
 def test_native_fastq_ingest_byte_parity(tmp_path):
     """dt_fastq_ingest writes byte-identical renamed fastqs + .fqi +
