@@ -220,14 +220,25 @@ def tpu_alive(timeout_s: int = 300) -> bool:
              "print(float(numpy.asarray(jnp.ones(4).sum())))")
     attempts = int(os.environ.get("DEFUSE_BENCH_TPU_RETRIES", "4"))
     pause = float(os.environ.get("DEFUSE_BENCH_TPU_RETRY_SLEEP", "45"))
+    # total wall budget for the whole probe dance: a live tunnel answers
+    # in well under two minutes (first-compile included); a dead one must
+    # not eat the bench window (4 x 300s timeouts + sleeps > 20 min)
+    budget = float(os.environ.get("DEFUSE_BENCH_TPU_BUDGET", "360"))
+    per_attempt = float(os.environ.get("DEFUSE_BENCH_TPU_PROBE_TIMEOUT",
+                                       str(min(timeout_s, 150))))
+    t_start = time.time()
     for attempt in range(max(1, attempts)):
         if attempt:
+            if time.time() - t_start + pause + per_attempt > budget:
+                print("bench: TPU probe budget exhausted; host path",
+                      file=sys.stderr)
+                break
             print(f"bench: TPU probe retry {attempt} in {pause:.0f}s",
                   file=sys.stderr)
             time.sleep(pause)
         try:
             proc = subprocess.run([sys.executable, "-c", probe],
-                                  capture_output=True, timeout=timeout_s)
+                                  capture_output=True, timeout=per_attempt)
             if proc.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
