@@ -115,3 +115,47 @@ def test_split_realign_fuzz(native, seed):
         nat_rows.append(SplitRow(ci, ci, 0, 0, (i1, j2), (k, ln - k),
                                  score))
     assert [r.format() for r in nat_rows] == [r.format() for r in py_rows]
+
+
+def test_exp_twin_bit_exact_vs_libm():
+    """The vectorized exp twin (native/defuse_host.cpp, vexp::) must be
+    bit-identical to the host libm's exp — the EM E-step's exponentials
+    flow into emitted cluster probabilities, so byte parity of the
+    cluster outputs (tools/MatePairEM.cpp contract) rides on this.
+    When the twin's self-check fails on a host, the scalar path runs and
+    this test only asserts the batch entry still matches libm."""
+    import ctypes
+    import math
+
+    import numpy as np
+
+    from defuse_tpu.cluster import native
+
+    lib = native.load_library()
+    if lib is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(2024)
+    x = np.concatenate([
+        rng.uniform(-40, 0, 200_000),        # EM-typical band
+        rng.uniform(-760, -700, 20_000),     # subnormal-result band
+        rng.uniform(-2000, -746, 20_000),    # hard underflow
+        rng.uniform(-520, -500, 20_000),     # fast-path boundary
+        rng.uniform(0, 700, 20_000),         # positive side
+        rng.uniform(-2.0 ** -50, 2.0 ** -50, 20_000),  # 1+x band
+        np.array([0.0, -0.0, np.inf, -np.inf, 512.0, -512.0,
+                  -745.133, -746.0, 709.78, 710.0]),
+    ])
+    dst = np.empty_like(x)
+    lib.dt_exp_batch(dst.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                     x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                     ctypes.c_long(len(x)))
+    # compare against libm (math.exp), not numpy's own SIMD exp, which
+    # differs from libm by 1 ulp on a few percent of deep-negative args
+    for i, v in enumerate(x):
+        try:
+            w = math.exp(v)
+        except OverflowError:
+            w = math.inf
+        assert np.array([w]).view(np.uint64)[0] == \
+            np.array([dst[i]]).view(np.uint64)[0], (v, dst[i], w)
