@@ -502,6 +502,21 @@ def set_cover(clusters: list[list[int]]) -> list[list[int]]:
     return out
 
 
+def setcover_file(in_path, out_path, min_cluster_size) -> int | None:
+    """Whole setcover stage file -> file in C++ (parse + solve +
+    rewrite; byte-identical to read_cluster_fragments/set_cover/
+    rewrite_clusters).  Returns kept row count or None on failure."""
+    lib = load_library()
+    if lib is None:
+        return None
+    fn = lib.dt_setcover_file
+    fn.restype = ctypes.c_long
+    rc = fn(ctypes.c_char_p(str(in_path).encode()),
+            ctypes.c_char_p(str(out_path).encode()),
+            ctypes.c_long(int(min_cluster_size)))
+    return int(rc) if rc >= 0 else None
+
+
 # ---------------------------------------------------------------------
 # Native alignment frontend (dt_align_job): the full alignjob flow in
 # C++ (align/frontend.py::align_job byte contract; alignjob.pl:216-331).

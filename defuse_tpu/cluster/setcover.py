@@ -88,8 +88,13 @@ def rewrite_clusters(in_path: str, out_path: str,
 
 def run_setcover_file(in_path: str, out_path: str,
                       min_cluster_size: int) -> None:
-    clusters = read_cluster_fragments(in_path)
     from . import native
+    if native.available():
+        # whole stage in C++ (parse + solve + rewrite, byte-identical)
+        if native.setcover_file(in_path, out_path,
+                                min_cluster_size) is not None:
+            return
+    clusters = read_cluster_fragments(in_path)
     if native.available():
         solution = native.set_cover(clusters)
     else:

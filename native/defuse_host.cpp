@@ -1130,8 +1130,104 @@ void dt_em_cluster_batch(const double* x, const double* y, const double* u,
 
 // Greedy set cover (canonical lowest-id tie-break).  clusters given as
 // flat member array + offsets; out_keep is a 0/1 mask per member slot.
+static void SetCoverCore(const int* members, const int64_t* offsets,
+                         int n_clusters, int64_t n_members_total,
+                         int* out_keep);
+
 void dt_setcover(const int* members, const int64_t* offsets,
                  int n_clusters, int64_t n_members_total, int* out_keep) {
+  SetCoverCore(members, offsets, n_clusters, n_members_total, out_keep);
+}
+
+// Whole setcover stage file -> file (tools/setcover.cpp:30-110 +
+// Parsers.cpp:86-170 semantics, byte-identical to the Python
+// read/rewrite pair in cluster/setcover.py): parse cluster rows once,
+// solve over the end-0 fragment lists indexed by cluster id, and emit
+// the rows whose (cluster, fragment) is in the cover with cluster size
+// >= min_cluster_size.  Returns kept row count, -1 on IO/parse error.
+long dt_setcover_file(const char* in_path, const char* out_path,
+                      long min_cluster_size) {
+  std::string data;
+  {
+    std::ifstream in(in_path, std::ios::binary);
+    if (!in.good()) return -1;
+    std::ostringstream ss;
+    ss << in.rdbuf();
+    data = ss.str();
+  }
+  struct Row {
+    int32_t cid;
+    int32_t frag;
+    int64_t start, len;
+  };
+  std::vector<Row> rows;
+  rows.reserve(1 + data.size() / 48);
+  int32_t max_cid = -1;
+  std::vector<int64_t> counts;  // end-0 members per cid
+  size_t pos = 0;
+  std::vector<std::pair<int32_t, int32_t>> end0;  // (cid, frag) file order
+  while (pos < data.size()) {
+    size_t eol = data.find('\n', pos);
+    size_t end = (eol == std::string::npos) ? data.size() : eol;
+    const char* s = data.data() + pos;
+    char* endp;
+    long cid = strtol(s, &endp, 10);
+    if (endp == s || *endp != '\t') return -1;
+    long cend = strtol(endp + 1, &endp, 10);
+    if (*endp != '\t') return -1;
+    long frag = strtol(endp + 1, &endp, 10);
+    rows.push_back({(int32_t)cid, (int32_t)frag, (int64_t)pos,
+                    (int64_t)(end - pos + (eol != std::string::npos))});
+    if (cid > max_cid) max_cid = cid;
+    if (cend == 0) end0.emplace_back((int32_t)cid, (int32_t)frag);
+    pos = end + 1;
+  }
+  int n_clusters = max_cid + 1;
+  counts.assign(n_clusters + 1, 0);
+  for (auto& cf : end0) counts[cf.first + 1]++;
+  std::vector<int64_t> offsets(n_clusters + 1, 0);
+  for (int c = 0; c < n_clusters; c++)
+    offsets[c + 1] = offsets[c] + counts[c + 1];
+  std::vector<int> members(end0.size());
+  {
+    std::vector<int64_t> cur(offsets.begin(), offsets.end() - 1);
+    for (auto& cf : end0) members[cur[cf.first]++] = cf.second;
+  }
+  std::vector<int> keep(end0.size(), 0);
+  SetCoverCore(members.data(), offsets.data(), n_clusters,
+               (int64_t)end0.size(), keep.data());
+  // per-cluster kept fragment sets (sorted vectors), dropping clusters
+  // under min_cluster_size
+  std::vector<std::vector<int32_t>> kept(n_clusters);
+  for (int c = 0; c < n_clusters; c++) {
+    auto& v = kept[c];
+    for (int64_t i = offsets[c]; i < offsets[c + 1]; i++)
+      if (keep[i]) v.push_back(members[i]);
+    if ((long)v.size() < min_cluster_size)
+      v.clear();
+    else
+      std::sort(v.begin(), v.end());
+  }
+  FILE* out = fopen(out_path, "wb");
+  if (!out) return -1;
+  std::string buf;
+  buf.reserve(data.size() / 2 + 64);
+  long n_kept = 0;
+  for (const Row& r : rows) {
+    const auto& v = kept[r.cid];
+    if (std::binary_search(v.begin(), v.end(), r.frag)) {
+      buf.append(data, (size_t)r.start, (size_t)r.len);
+      n_kept++;
+    }
+  }
+  size_t nw = fwrite(buf.data(), 1, buf.size(), out);
+  if (fclose(out) != 0 || nw != buf.size()) return -1;
+  return n_kept;
+}
+
+static void SetCoverCore(const int* members, const int64_t* offsets,
+                         int n_clusters, int64_t n_members_total,
+                         int* out_keep) {
   std::vector<int64_t> sizes(n_clusters);
   int max_element = -1;
   for (int c = 0; c < n_clusters; c++) {
