@@ -84,6 +84,15 @@ def load_library(build_if_missing: bool = True):
     lib.dt_driver_emit.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p,
         ctypes.c_int]
+    lib.dt_driver_emit_eval.restype = ctypes.c_long
+    lib.dt_driver_emit_eval.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_long, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8)]
     lib.dt_driver_free.restype = None
     lib.dt_driver_free.argtypes = [ctypes.c_void_p]
     lib.dt_build_seed_index.restype = ctypes.c_long
@@ -437,6 +446,58 @@ class RealignDriver:
         if total < 0:
             raise RuntimeError("dt_driver_emit failed")
         return int(total)
+
+    def emit_eval(self, tasks, cluster_ids, out_path, sorted_path,
+                  seq_path, break_path, pred_path, survivors=None,
+                  n_threads: int = 0):
+        """Full realign tail in C++: emit + sort + per-fusion breakpoint
+        vote/sequence reconstruction (``evalsplitalign`` contract) —
+        byte-identical to emit() + the Python sort + ``evaluate_file``.
+        Returns the split row count, or None on failure (caller falls
+        back to the Python chain)."""
+        if n_threads <= 0:
+            import os
+            n_threads = max(1, os.cpu_count() or 2)
+        if survivors is None:
+            mask = None
+        else:
+            mask = np.ascontiguousarray(survivors, dtype=np.uint8)
+            mask = mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        rems, names = [], []
+        starts = np.zeros(2 * len(cluster_ids), dtype=np.int64)
+        lengths = np.zeros(2 * len(cluster_ids), dtype=np.int64)
+        sstrand = np.zeros(2 * len(cluster_ids), dtype=np.int8)
+        astrand = np.zeros(2 * len(cluster_ids), dtype=np.int8)
+        for i, cid in enumerate(cluster_ids):
+            t = tasks[cid]
+            for e in (0, 1):
+                rems.append(t.split_remainder_seq[e])
+                names.append(t.align_ref_name[e])
+                starts[2 * i + e] = t.split_align_seq_start[e]
+                lengths[2 * i + e] = t.split_align_seq_length[e]
+                sstrand[2 * i + e] = t.split_seq_strand[e]
+                astrand[2 * i + e] = t.align_strand[e]
+        rem_buf, rem_off = _concat_seqs(rems)
+        nm_buf, nm_off = _concat_seqs(names)
+        cids = np.asarray(cluster_ids, dtype=np.uint32)
+
+        def _p(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        fn = self._lib.dt_driver_emit_eval
+        fn.restype = ctypes.c_long
+        total = fn(self._h, mask, str(out_path).encode(),
+                   str(sorted_path).encode(), str(seq_path).encode(),
+                   str(break_path).encode(), str(pred_path).encode(),
+                   n_threads, _p(cids, ctypes.c_uint32),
+                   ctypes.c_long(len(cids)),
+                   rem_buf.ctypes.data_as(ctypes.c_char_p),
+                   _p(rem_off, ctypes.c_int64),
+                   _p(starts, ctypes.c_int64), _p(lengths, ctypes.c_int64),
+                   _p(sstrand, ctypes.c_int8),
+                   nm_buf.ctypes.data_as(ctypes.c_char_p),
+                   _p(nm_off, ctypes.c_int64), _p(astrand, ctypes.c_int8))
+        return int(total) if total >= 0 else None
 
     def close(self):
         if self._h:

@@ -218,9 +218,29 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                     read_lens, min_scores))
             _mark("screen:device")
             survivors = max_scores > 0
-        driver.emit(split_path, survivors)
+        # full realign tail in C++ when possible: emit + sort +
+        # breakpoint vote (byte-identical artifacts; falls back to the
+        # Python sort/evaluate chain below on failure)
+        _sorted_path = out / "splitreads.alignments.sorted"
+        _eval_outs = {name: out / f"splitreads.{name}" for name in
+                      ("seq", "break", "predalign")}
+        _native_eval = driver.emit_eval(
+            tasks, cluster_ids, split_path, _sorted_path,
+            _eval_outs["seq"], _eval_outs["break"],
+            _eval_outs["predalign"], survivors) is not None
+        if not _native_eval:
+            driver.emit(split_path, survivors)
         _mark("realign:emit")
         driver.close()
+        if _native_eval:
+            _mark("sort")
+            checks.check_split_alignments_sorted(str(_sorted_path))
+            _mark("evaluate")
+            _tracer.flush()
+            return {name: str(path)
+                    for name, path in _eval_outs.items()} | {
+                "clusters": str(clusters_path), "clusters_sc": str(sc_path),
+                "regions": str(regions_path), "split": str(split_path)}
     else:
         realigner.add_reads_fastq(fastq1)
         realigner.add_reads_fastq(fastq2)

@@ -2550,11 +2550,17 @@ void dt_driver_read_matrix(void* handle, uint8_t* out_reads,
   }
 }
 
-// Realign candidates (survivors mask optional; NULL = all) and write
-// the split rows file.  Returns the row count, or <0 on error.
-long dt_driver_emit(void* handle, const uint8_t* survivors,
-                    const char* out_path, int n_threads) {
-  auto* d = (RealignDriver*)handle;
+// Realign the (optionally screened) candidate set and materialize the
+// formatted split rows.  Shared by dt_driver_emit (rows file only) and
+// dt_driver_emit_eval (rows + sorted + breakpoint vote artifacts).
+// Each row keeps its parsed fields alongside the formatted line.
+struct EmittedRow {
+  int32_t fid, i1, j2, k, lnk, score;
+  std::string line;  // formatted incl. trailing "\t\n"
+};
+
+static long EmitRowsCore(RealignDriver* d, const uint8_t* survivors,
+                         int n_threads, std::vector<EmittedRow>& out_rows) {
   long n_cand = (long)(d->cand.size() / 4);
   std::vector<int32_t> sel;
   for (long c = 0; c < n_cand; c++)
@@ -2591,21 +2597,177 @@ long dt_driver_emit(void* handle, const uint8_t* survivors,
                      (const uint8_t*)rdbuf.data(), rdoff.data(),
                      (int)sel.size(), n_threads, rows.data(), total);
   }
-
-  std::ofstream out(out_path);
-  if (!out.good()) return -1;
+  out_rows.resize(total);
   char buf[256];
   for (long t = 0; t < total; t++) {
     int32_t ci = rows[5 * t], i1 = rows[5 * t + 1], j2 = rows[5 * t + 2],
             k = rows[5 * t + 3], score = rows[5 * t + 4];
     int32_t c = sel[ci];
     int ln = (int)d->reads[c].size();
+    EmittedRow& er = out_rows[t];
+    er.fid = d->cand[4 * c];
+    er.i1 = i1;
+    er.j2 = j2;
+    er.k = k;
+    er.lnk = ln - k;
+    er.score = score;
     snprintf(buf, sizeof(buf),
-             "%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t\n", d->cand[4 * c],
+             "%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t\n", er.fid,
              d->cand[4 * c + 1], d->cand[4 * c + 2], d->cand[4 * c + 3],
-             i1, j2, k, ln - k, score);
-    out << buf;
+             i1, j2, k, er.lnk, score);
+    er.line = buf;
   }
+  return total;
+}
+
+// Realign candidates (survivors mask optional; NULL = all) and write
+// the split rows file.  Returns the row count, or <0 on error.
+long dt_driver_emit(void* handle, const uint8_t* survivors,
+                    const char* out_path, int n_threads) {
+  auto* d = (RealignDriver*)handle;
+  std::vector<EmittedRow> rows;
+  long total = EmitRowsCore(d, survivors, n_threads, rows);
+  std::ofstream out(out_path);
+  if (!out.good()) return -1;
+  for (const EmittedRow& r : rows) out << r.line;
+  return total;
+}
+
+// Full realign tail: emit + numeric-stable sort + per-fusion breakpoint
+// vote and sequence reconstruction (SplitAlignment.cpp:484-594 /
+// evalsplitalign.cpp:96-114 contract; byte-identical to the Python
+// sort + align/tasks.py::evaluate_file chain).  Task metadata arrays
+// are indexed like the cluster_ids list given to dt_driver_new; rem/ref
+// concats carry 2 entries per cluster (offsets length 2n+1).  Returns
+// the split row count, or <0 on error/unknown fusion id (the caller
+// falls back to the Python path without trusting partial outputs).
+long dt_driver_emit_eval(
+    void* handle, const uint8_t* survivors, const char* out_path,
+    const char* sorted_path, const char* seq_path, const char* break_path,
+    const char* pred_path, int n_threads, const uint32_t* cluster_ids,
+    long n_clusters, const char* rem_concat, const int64_t* rem_off,
+    const int64_t* seq_start, const int64_t* seq_length,
+    const int8_t* seq_strand, const char* refname_concat,
+    const int64_t* refname_off, const int8_t* align_strand) {
+  auto* d = (RealignDriver*)handle;
+  std::vector<EmittedRow> rows;
+  long total = EmitRowsCore(d, survivors, n_threads, rows);
+
+  std::vector<int32_t> order(rows.size());
+  for (size_t i = 0; i < rows.size(); i++) order[i] = (int32_t)i;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    if (rows[a].fid != rows[b].fid) return rows[a].fid < rows[b].fid;
+    return rows[a].line < rows[b].line;
+  });
+
+  std::string seq_buf, break_buf, pred_buf;
+  char fbuf[512];
+  for (size_t g = 0; g < order.size();) {
+    size_t h = g;
+    int32_t fid = rows[order[g]].fid;
+    while (h < order.size() && rows[order[h]].fid == fid) h++;
+    // task lookup (cluster_ids ascending)
+    const uint32_t* lo = cluster_ids;
+    const uint32_t* hi = cluster_ids + n_clusters;
+    const uint32_t* pos = std::lower_bound(lo, hi, (uint32_t)fid);
+    if (pos == hi || *pos != (uint32_t)fid) return -1;
+    long ti = pos - lo;
+    // vote: sum score per (i1, j2), best = strict max over ascending
+    // split order
+    std::map<std::pair<int32_t, int32_t>, int64_t> split_score;
+    for (size_t t = g; t < h; t++) {
+      const EmittedRow& r = rows[order[t]];
+      split_score[{r.i1, r.j2}] += r.score;
+    }
+    int64_t max_score = -1;
+    std::pair<int32_t, int32_t> best{0, 0};
+    for (const auto& kv : split_score)
+      if (kv.second > max_score) {
+        best = kv.first;
+        max_score = kv.second;
+      }
+    // sequence: rem1 + flank1[:i1] | flank2[j2+1:] + rem2
+    const std::string& f1 = d->flank1[ti];
+    const std::string& f2 = d->flank2[ti];
+    std::string sequence;
+    sequence.append(rem_concat + rem_off[2 * ti],
+                    rem_concat + rem_off[2 * ti + 1]);
+    sequence.append(f1, 0, (size_t)std::min<int64_t>(best.first,
+                                                     (int64_t)f1.size()));
+    sequence += '|';
+    if ((size_t)(best.second + 1) < f2.size())
+      sequence.append(f2, (size_t)(best.second + 1), std::string::npos);
+    sequence.append(rem_concat + rem_off[2 * ti + 1],
+                    rem_concat + rem_off[2 * ti + 2]);
+    // breakpoint genome positions
+    int64_t break_pos[2];
+    if (seq_strand[2 * ti] == 0)
+      break_pos[0] = seq_start[2 * ti] + best.first - 1;
+    else
+      break_pos[0] = seq_start[2 * ti] + seq_length[2 * ti] - best.first;
+    if (seq_strand[2 * ti + 1] == 0)
+      break_pos[1] = seq_start[2 * ti + 1] + best.second + 1;
+    else
+      break_pos[1] = seq_start[2 * ti + 1] + seq_length[2 * ti + 1] -
+                     best.second - 2;
+    // stats over kept rows in sorted order (oracle accumulation order)
+    double pos_sum = 0.0, min_sum = 0.0;
+    long n_kept = 0;
+    for (size_t t = g; t < h; t++) {
+      const EmittedRow& r = rows[order[t]];
+      if (r.i1 != best.first || r.j2 != best.second) continue;
+      pred_buf += r.line;
+      n_kept++;
+      const int kMinAnchor = 4;  // align/split_dp.py MIN_ANCHOR
+      double pos_range = (double)(r.k + r.lnk - 2 * kMinAnchor);
+      double pos_value = (double)std::max(0, r.k - kMinAnchor);
+      double min_range = std::floor(
+          0.5 * (double)(r.k + r.lnk - 2 * kMinAnchor));
+      double min_value = (double)std::max(
+          0, std::min(r.k - kMinAnchor, r.lnk - kMinAnchor));
+      pos_sum += pos_value / pos_range;
+      min_sum += min_value / min_range;
+    }
+    char pos_str[64], min_str[64];
+    snprintf(pos_str, sizeof pos_str, "%.6g", pos_sum / (double)n_kept);
+    snprintf(min_str, sizeof min_str, "%.6g", min_sum / (double)n_kept);
+    snprintf(fbuf, sizeof fbuf, "%d\t", fid);
+    seq_buf += fbuf;
+    seq_buf += sequence;
+    snprintf(fbuf, sizeof fbuf, "\t0\t%ld\t%s\t%s\n", n_kept, pos_str,
+             min_str);
+    seq_buf += fbuf;
+    for (int e = 0; e < 2; e++) {
+      snprintf(fbuf, sizeof fbuf, "%d\t%d\t", fid, e);
+      break_buf += fbuf;
+      break_buf.append(refname_concat + refname_off[2 * ti + e],
+                       refname_concat + refname_off[2 * ti + e + 1]);
+      snprintf(fbuf, sizeof fbuf, "\t%c\t%ld\n",
+               align_strand[2 * ti + e] == 0 ? '+' : '-',
+               (long)break_pos[e]);
+      break_buf += fbuf;
+    }
+    g = h;
+  }
+
+  // all evaluation succeeded: write the five artifacts
+  auto write_all = [](const char* path, const std::string& s) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return false;
+    size_t nw = fwrite(s.data(), 1, s.size(), f);
+    return fclose(f) == 0 && nw == s.size();
+  };
+  {
+    std::string buf;
+    for (const EmittedRow& r : rows) buf += r.line;
+    if (!write_all(out_path, buf)) return -1;
+    buf.clear();
+    for (int32_t i : order) buf += rows[i].line;
+    if (!write_all(sorted_path, buf)) return -1;
+  }
+  if (!write_all(seq_path, seq_buf)) return -1;
+  if (!write_all(break_path, break_buf)) return -1;
+  if (!write_all(pred_path, pred_buf)) return -1;
   return total;
 }
 

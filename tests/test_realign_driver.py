@@ -153,3 +153,39 @@ def test_driver_survivors_mask(setup, tmp_path):
                        if int(line.split("\t", 1)[0]) != drop)
     assert out.read_text() == expected
     driver.close()
+
+
+def test_driver_emit_eval_matches_python_chain(setup, tmp_path):
+    """dt_driver_emit_eval (emit + numeric sort + breakpoint vote /
+    sequence reconstruction in C++) must reproduce the Python
+    emit + sort + evaluate_file chain byte-for-byte across all five
+    artifacts."""
+    from defuse_tpu.align.tasks import evaluate_file
+    from defuse_tpu.cluster import native
+    tmp, paths, tasks, realigner = setup
+
+    # Python chain
+    candidates, py_text = _python_rows(realigner, str(paths["improper"]))
+    lines = py_text.splitlines(keepends=True)
+    lines.sort(key=lambda l: (int(l.split("\t", 1)[0]), l.encode()))
+    py_sorted = "".join(lines)
+    (tmp_path / "sorted.py").write_text(py_sorted)
+    import io
+    seq_o, break_o, pred_o = io.StringIO(), io.StringIO(), io.StringIO()
+    evaluate_file(tasks, str(tmp_path / "sorted.py"), seq_o, break_o,
+                  pred_o)
+
+    # native chain
+    driver = _make_driver(native, paths, tasks, realigner)
+    outs = {n: tmp_path / f"nat.{n}" for n in
+            ("split", "sorted", "seq", "break", "predalign")}
+    total = driver.emit_eval(tasks, sorted(tasks), outs["split"],
+                             outs["sorted"], outs["seq"], outs["break"],
+                             outs["predalign"])
+    driver.close()
+    assert total is not None and total == len(lines)
+    assert outs["split"].read_text() == py_text
+    assert outs["sorted"].read_text() == py_sorted
+    assert outs["seq"].read_text() == seq_o.getvalue()
+    assert outs["break"].read_text() == break_o.getvalue()
+    assert outs["predalign"].read_text() == pred_o.getvalue()
