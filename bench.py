@@ -146,6 +146,24 @@ def build_dataset(tmp):
     ds = SynthDataset(genome, genes, ("", 0, "", 0), "", reads1, reads2,
                       sam_rows)
     paths = write_dataset(ds, tmp)
+    # production ingest (index_paired_fastq contract): renamed fastqs +
+    # reads.fqi, exactly as the pipeline stages preceding discover
+    # produce them in both toolchains (index_paired_fastq.pl runs before
+    # dosplitalign in the reference).  Both measured runs then read the
+    # same renamed files; ours may additionally use the byte-offset
+    # index for selective record preads — the reference's ReadIndex has
+    # the same .fqi available.
+    try:
+        from defuse_tpu.cluster import native as _native
+        if _native.available():
+            ing = tmp / "ing"
+            if _native.ingest_fastq(str(paths["fastq1"]),
+                                    str(paths["fastq2"]),
+                                    str(ing)) is not None:
+                paths["fastq1"] = ing / "reads.1.fastq"
+                paths["fastq2"] = ing / "reads.2.fastq"
+    except Exception:
+        pass
     return ds, paths, frag_id
 
 

@@ -14,6 +14,7 @@
 // Build: ./build.sh -> libdefuse_host.so
 
 #include <fcntl.h>
+#include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
 
@@ -2334,14 +2335,42 @@ bool LoadFastqReads(const char* path,
 // for missing ends (fragment 0's real offset is also 0).
 bool SelectiveLoadReads(ReadStoreHandle& rh,
                         const std::vector<int32_t>& cand) {
-  FILE* fqi = fopen(rh.fqi_path.c_str(), "rb");
-  if (!fqi) return false;
-  struct stat st;
-  if (fstat(fileno(fqi), &st) != 0) {
-    fclose(fqi);
-    return false;
-  }
-  long n_entries = (long)(st.st_size / 16);
+  // mmap the index and both fastqs: record extraction is then pure
+  // memory traffic riding the page cache (no syscall per record), so
+  // the selective path beats the eager full parse at any candidate
+  // density — dense candidate sets touch the same pages the eager
+  // parse would, sparse ones touch almost none.
+  struct Map {
+    const char* p = nullptr;
+    size_t n = 0;
+    bool open(const char* path) {
+      int fd = ::open(path, O_RDONLY);
+      if (fd < 0) return false;
+      struct stat st;
+      if (fstat(fd, &st) != 0 || st.st_size == 0) {
+        close(fd);
+        n = 0;
+        return st.st_size == 0;  // empty file is a valid (empty) map
+      }
+      p = (const char*)mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED,
+                            fd, 0);
+      close(fd);
+      if (p == MAP_FAILED) {
+        p = nullptr;
+        return false;
+      }
+      n = (size_t)st.st_size;
+      return true;
+    }
+    ~Map() {
+      if (p) munmap((void*)p, n);
+    }
+  };
+  Map fqi;
+  if (!fqi.open(rh.fqi_path.c_str()) || fqi.n % 16 != 0) return false;
+  long n_entries = (long)(fqi.n / 16);
+  const int64_t* offs_tbl = (const int64_t*)fqi.p;
+
   std::vector<uint32_t> ids;
   ids.reserve(cand.size() / 4);
   for (size_t c = 0; c + 3 < cand.size(); c += 4)
@@ -2350,55 +2379,44 @@ bool SelectiveLoadReads(ReadStoreHandle& rh,
   std::sort(ids.begin(), ids.end());
   ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
 
-  // (read_id, record offset) work list via the fqi
+  // (read_id, record offset) work list via the fqi (offsets ascend with
+  // the sorted ids, so each thread walks its file forward)
   std::vector<std::pair<uint32_t, int64_t>> work[2];
-  int fqi_fd = fileno(fqi);
   for (uint32_t id : ids) {
     long frag = (long)(id & 0x7FFFFFFFu);
     int end = (int)(id >> 31);
     if (frag >= n_entries) continue;
-    int64_t offs[2];
-    if (pread(fqi_fd, offs, 16, (off_t)frag * 16) != 16) continue;
-    if (offs[end] == 0 && frag != 0) continue;  // missing end
-    work[end].emplace_back(id, offs[end]);
+    int64_t off = offs_tbl[2 * frag + end];
+    if (off == 0 && frag != 0) continue;  // missing end
+    work[end].emplace_back(id, off);
   }
-  fclose(fqi);
 
   std::atomic<bool> ok{true};
   std::thread ts[2];
   for (int end = 0; end < 2; end++)
     ts[end] = std::thread([&, end]() {
       auto& out = end == 0 ? rh.reads1 : rh.reads2;
-      int fd = open(rh.fq_path[end].c_str(), O_RDONLY);
-      if (fd < 0) {
-        if (!work[end].empty()) ok.store(false);
+      Map fq;
+      if (!fq.open(rh.fq_path[end].c_str()) || (!fq.p && fq.n == 0)) {
+        if (!fq.p && !work[end].empty()) ok.store(false);
         return;
       }
-      std::vector<char> buf(4096);
       for (auto& [id, off] : work[end]) {
-        // read enough of the record for header + sequence lines
-        ssize_t got = pread(fd, buf.data(), buf.size(), (off_t)off);
-        const char* nl1;
-        const char* nl2 = nullptr;
-        for (;;) {
-          nl1 = got > 0 ? (const char*)memchr(buf.data(), '\n', got)
-                        : nullptr;
-          if (nl1)
-            nl2 = (const char*)memchr(
-                nl1 + 1, '\n', got - (nl1 + 1 - buf.data()));
-          if (nl2 || got < (ssize_t)buf.size()) break;
-          buf.resize(buf.size() * 4);  // pathological read length
-          got = pread(fd, buf.data(), buf.size(), (off_t)off);
-        }
-        if (!nl1 || !nl2 || buf[0] != '@') continue;
+        if (off < 0 || (size_t)off >= fq.n || fq.p[off] != '@') continue;
+        const char* rec = fq.p + off;
+        size_t avail = fq.n - (size_t)off;
+        const char* nl1 = (const char*)memchr(rec, '\n', avail);
+        if (!nl1) continue;
+        const char* nl2 = (const char*)memchr(
+            nl1 + 1, '\n', avail - (size_t)(nl1 + 1 - rec));
+        if (!nl2) continue;
         char* endp;
-        long frag = strtol(buf.data() + 1, &endp, 10);
+        long frag = strtol(rec + 1, &endp, 10);
         if (frag != (long)(id & 0x7FFFFFFFu) || endp[0] != '/' ||
             endp[1] != '1' + end)
           continue;  // stale/missing record
         out[id].assign(nl1 + 1, nl2);
       }
-      close(fd);
     });
   ts[0].join();
   ts[1].join();
