@@ -1467,35 +1467,66 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
     tick = now;
   };
   const int min_fusion_range = (int)(frag_mean + 10.0 * frag_std);
-  std::ifstream in(in_path);
-  if (!in.good()) return 1;
+  std::string data;
+  {
+    std::ifstream in(in_path, std::ios::binary);
+    if (!in.good()) return 1;
+    std::ostringstream ss;
+    ss << in.rdbuf();
+    data = ss.str();
+  }
 
   std::unordered_map<std::string, int> ref_index;
   std::vector<std::string> ref_names;
   std::vector<CompactRow> rows;
-  std::string line;
-  while (std::getline(in, line)) {
+  rows.reserve(1 + data.size() / 40);
+  // zero-copy line walk; consecutive rows usually alternate between the
+  // two refs of a fragment, so a 2-entry MRU memcmp check skips the
+  // hash + temporary-string lookup on almost every row
+  const char* p = data.data();
+  const char* dend = p + data.size();
+  int mru[2] = {-1, -1};
+  while (p < dend) {
+    const char* eol = (const char*)memchr(p, '\n', dend - p);
+    if (!eol) eol = dend;
     // fields: fragment, readEnd(parser flip: "1"->0 else 1), ref,
     // strand, start, end
-    const char* s = line.c_str();
     char* endp;
-    long fragment = strtol(s, &endp, 10);
+    long fragment = strtol(p, &endp, 10);
     const char* f1 = endp + 1;
-    const char* t1 = strchr(f1, '\t');
+    const char* t1 = (const char*)memchr(f1, '\t', eol - f1);
     int read_end = (t1 - f1 == 1 && *f1 == '1') ? 0 : 1;
     const char* f2 = t1 + 1;
-    const char* t2 = strchr(f2, '\t');
-    std::string ref(f2, t2 - f2);
+    const char* t2 = (const char*)memchr(f2, '\t', eol - f2);
+    size_t rlen = (size_t)(t2 - f2);
+    int ridx = -1;
+    for (int m = 0; m < 2; m++) {
+      int c = mru[m];
+      if (c >= 0 && ref_names[c].size() == rlen &&
+          memcmp(ref_names[c].data(), f2, rlen) == 0) {
+        ridx = c;
+        break;
+      }
+    }
+    if (ridx < 0) {
+      std::string ref(f2, rlen);
+      auto ins = ref_index.insert({ref, (int)ref_names.size()});
+      if (ins.second) ref_names.push_back(ref);
+      ridx = ins.first->second;
+    }
+    if (ridx != mru[0]) {
+      mru[1] = mru[0];
+      mru[0] = ridx;
+    }
     const char* f3 = t2 + 1;
     int strand = (*f3 == '-') ? 1 : 0;
-    const char* f4 = strchr(f3, '\t') + 1;
+    const char* f4 = (const char*)memchr(f3, '\t', eol - f3) + 1;
     long start = strtol(f4, &endp, 10);
     long end = strtol(endp + 1, nullptr, 10);
-    auto ins = ref_index.insert({ref, (int)ref_names.size()});
-    if (ins.second) ref_names.push_back(ref);
     rows.push_back({(int32_t)fragment, (int8_t)read_end,
-                    (int32_t)ins.first->second, (int8_t)strand,
+                    (int32_t)ridx, (int8_t)strand,
                     (int32_t)start, (int32_t)end});
+    p = eol + 1;
   }
 
   mark("parse");
