@@ -1794,14 +1794,34 @@ void SplitDPStream(const uint8_t* q, int n, const uint8_t* r, int m,
 // to any real byte (0..255), so a shorter lane's padded columns only
 // produce strictly decaying values that can never raise its row max,
 // and its padded rows are simply never read out.
-constexpr int kScreenLanes = 16;
+// One 64-byte vector register per step; the element type is chosen per
+// call: int16 packs 32 lanes (DP values are bounded by +-2*(m+n), so
+// any group with m+n <= 8000 provably fits) and int32 is the fallback
+// for pathological lengths.  Per-lane arithmetic is identical integer
+// math either way — results are bit-exact across element types.
 typedef int32_t v16si __attribute__((vector_size(64)));
-static inline v16si VLoad(const int32_t* p) {
-  v16si v;
+typedef int16_t v32hi __attribute__((vector_size(64)));
+template <typename ET>
+struct VTraits;
+template <>
+struct VTraits<int32_t> {
+  typedef v16si V;
+  static constexpr int W = 16;
+};
+template <>
+struct VTraits<int16_t> {
+  typedef v32hi V;
+  static constexpr int W = 32;
+};
+constexpr int kScreenLanes = VTraits<int16_t>::W;  // max lanes (sizing)
+template <typename ET>
+static inline typename VTraits<ET>::V VLoad(const ET* p) {
+  typename VTraits<ET>::V v;
   __builtin_memcpy(&v, p, sizeof(v));
   return v;
 }
-static inline void VStore(int32_t* p, v16si v) {
+template <typename ET>
+static inline void VStore(ET* p, typename VTraits<ET>::V v) {
   __builtin_memcpy(p, &v, sizeof(v));
 }
 
@@ -1817,17 +1837,18 @@ struct LaneCapture {
   int next = 0;
 };
 
-template <bool kCapture>
-void ScreenGroupSideT(const int32_t* q_il, int n_max, const int32_t* r_il,
+template <bool kCapture, typename ET>
+void ScreenGroupSideT(const ET* q_il, int n_max, const ET* r_il,
                       int m_max, int32_t* rowmax /* lanes x (n_max+1) */,
-                      std::vector<int32_t>& prevbuf,
-                      std::vector<int32_t>& curbuf,
+                      std::vector<ET>& prevbuf,
+                      std::vector<ET>& curbuf,
                       LaneCapture* caps = nullptr) {
-  const int W = kScreenLanes;
+  typedef typename VTraits<ET>::V VT;
+  const int W = VTraits<ET>::W;
   prevbuf.assign((size_t)(m_max + 1) * W, 0);
   curbuf.assign((size_t)(m_max + 1) * W, 0);
-  int32_t* prev = prevbuf.data();
-  int32_t* cur = curbuf.data();
+  ET* prev = prevbuf.data();
+  ET* cur = curbuf.data();
   for (int l = 0; l < W; l++) rowmax[(size_t)l * (n_max + 1)] = 0;
   if (kCapture) {
     for (int l = 0; l < W; l++) {
@@ -1840,39 +1861,40 @@ void ScreenGroupSideT(const int32_t* q_il, int n_max, const int32_t* r_il,
     }
   }
   for (int j = 1; j <= n_max; j++) {
-    const v16si qv = VLoad(q_il + (size_t)(j - 1) * W);
-    const int32_t* __restrict__ rrow = r_il;
-    const int32_t* __restrict__ prow = prev;
-    int32_t* __restrict__ crow = cur;
-    v16si run, mx;
-    for (int l = 0; l < W; l++) run[l] = kGap * j;
-    VStore(crow, run);
+    const VT qv = VLoad<ET>(q_il + (size_t)(j - 1) * W);
+    const ET* __restrict__ rrow = r_il;
+    const ET* __restrict__ prow = prev;
+    ET* __restrict__ crow = cur;
+    VT run, mx;
+    for (int l = 0; l < W; l++) run[l] = (ET)(kGap * j);
+    VStore<ET>(crow, run);
     mx = run;
-    v16si pd = VLoad(prow);  // prev[i-1] at i=1
+    VT pd = VLoad<ET>(prow);  // prev[i-1] at i=1
     for (int i = 1; i <= m_max; i++) {
-      v16si rv = VLoad(rrow + (size_t)(i - 1) * W);
-      v16si pv = VLoad(prow + (size_t)i * W);
-      v16si eq = (rv == qv);  // -1 where equal
-      v16si sub = (eq & (kMatch - kMismatch)) + kMismatch;
-      v16si v = pd + sub;
-      v16si w = pv + kGap;
-      v16si c = (v > w) ? v : w;
-      v16si g = run + kGap;
+      VT rv = VLoad<ET>(rrow + (size_t)(i - 1) * W);
+      VT pv = VLoad<ET>(prow + (size_t)i * W);
+      VT eq = (rv == qv);  // -1 where equal
+      VT sub = (eq & (ET)(kMatch - kMismatch)) + (ET)kMismatch;
+      VT v = pd + sub;
+      VT w = pv + (ET)kGap;
+      VT c = (v > w) ? v : w;
+      VT g = run + (ET)kGap;
       c = (c > g) ? c : g;
       run = c;
-      VStore(crow + (size_t)i * W, c);
+      VStore<ET>(crow + (size_t)i * W, c);
       mx = (mx > c) ? mx : c;
       pd = pv;
     }
     for (int l = 0; l < W; l++)
       rowmax[(size_t)l * (n_max + 1) + j] =
-          (mx[l] >= kMinSplitScore) ? mx[l] : 0;
+          (mx[l] >= kMinSplitScore) ? (int32_t)mx[l] : 0;
     if (kCapture) {
       for (int l = 0; l < W; l++) {
         LaneCapture& lc = caps[l];
         if (lc.next < lc.nrows && lc.rows[lc.next] == j) {
           int32_t* o = lc.out + (size_t)lc.next * (lc.m_l + 1);
-          for (int i = 0; i <= lc.m_l; i++) o[i] = crow[(size_t)i * W + l];
+          for (int i = 0; i <= lc.m_l; i++)
+            o[i] = (int32_t)crow[(size_t)i * W + l];
           lc.next++;
         }
       }
@@ -1881,11 +1903,13 @@ void ScreenGroupSideT(const int32_t* q_il, int n_max, const int32_t* r_il,
   }
 }
 
-inline void ScreenGroupSide(const int32_t* q_il, int n_max,
-                            const int32_t* r_il, int m_max, int32_t* rowmax,
-                            std::vector<int32_t>& prevbuf,
-                            std::vector<int32_t>& curbuf) {
-  ScreenGroupSideT<false>(q_il, n_max, r_il, m_max, rowmax, prevbuf, curbuf);
+template <typename ET>
+inline void ScreenGroupSide(const ET* q_il, int n_max,
+                            const ET* r_il, int m_max, int32_t* rowmax,
+                            std::vector<ET>& prevbuf,
+                            std::vector<ET>& curbuf) {
+  ScreenGroupSideT<false, ET>(q_il, n_max, r_il, m_max, rowmax, prevbuf,
+                              curbuf);
 }
 
 // A screen survivor: candidate index + its winning split rows
@@ -1895,22 +1919,20 @@ struct Survivor {
   std::vector<int> ks;
 };
 
-}  // namespace
-
-extern "C" {
-
 // Output rows: (cand_idx, i1, j2, k, score) int32 x5.  Returns the total
 // number of rows; if > cap, caller must re-invoke with a larger buffer.
-long dt_split_realign(const uint8_t* ref1, const int64_t* ref1_off,
-                      const uint8_t* ref2, const int64_t* ref2_off,
-                      const uint8_t* reads, const int64_t* read_off,
-                      int n_cand, int n_threads, int32_t* out, long cap) {
+template <typename ET>
+static long SplitRealignImpl(const uint8_t* ref1, const int64_t* ref1_off,
+                             const uint8_t* ref2, const int64_t* ref2_off,
+                             const uint8_t* reads, const int64_t* read_off,
+                             int n_cand, int n_threads, int32_t* out,
+                             long cap) {
   std::vector<std::vector<int32_t>> results(n_cand);
   if (n_threads < 1) n_threads = 1;
   // group candidates of similar read/ref length so lane padding inside
   // a screen group is minimal; output order is by original index b, so
   // processing order is free
-  const int W = kScreenLanes;
+  const int W = VTraits<ET>::W;
   std::vector<int> order(n_cand);
   for (int b = 0; b < n_cand; b++) order[b] = b;
   std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
@@ -1935,8 +1957,9 @@ long dt_split_realign(const uint8_t* ref1, const int64_t* ref1_off,
                    std::chrono::steady_clock::now().time_since_epoch())
             .count();
       };
-      std::vector<int32_t> prevbuf, curbuf, cap1, cap2;
-      std::vector<int32_t> q_il, qrev_il, r1_il, r2rev_il;
+      std::vector<ET> prevbuf, curbuf;
+      std::vector<int32_t> cap1, cap2;
+      std::vector<ET> q_il, qrev_il, r1_il, r2rev_il;
       std::vector<int32_t> grm1, grm2;
       std::vector<int> ks;
       std::vector<Survivor> survivors;
@@ -2083,9 +2106,9 @@ long dt_split_realign(const uint8_t* ref1, const int64_t* ref1_off,
         }
         grm1.resize((size_t)W * (n1_run + 1));
         grm2.resize((size_t)W * (n2_run + 1));
-        ScreenGroupSideT<true>(q_il.data(), n1_run, r1_il.data(), m1_max,
+        ScreenGroupSideT<true, ET>(q_il.data(), n1_run, r1_il.data(), m1_max,
                                grm1.data(), prevbuf, curbuf, caps1.data());
-        ScreenGroupSideT<true>(qrev_il.data(), n2_run, r2rev_il.data(),
+        ScreenGroupSideT<true, ET>(qrev_il.data(), n2_run, r2rev_il.data(),
                                m2_max, grm2.data(), prevbuf, curbuf,
                                caps2.data());
         for (int l = 0; l < gn; l++) {
@@ -2148,6 +2171,32 @@ long dt_split_realign(const uint8_t* ref1, const int64_t* ref1_off,
     }
   }
   return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+long dt_split_realign(const uint8_t* ref1, const int64_t* ref1_off,
+                      const uint8_t* ref2, const int64_t* ref2_off,
+                      const uint8_t* reads, const int64_t* read_off,
+                      int n_cand, int n_threads, int32_t* out, long cap) {
+  // 32-lane int16 vectors whenever every candidate's DP values provably
+  // fit (|value| <= 2*(m+n)+2; see VTraits); int32 16-lane fallback for
+  // pathological lengths.  Bit-exact either way.
+  int64_t worst = 0;
+  for (int b = 0; b < n_cand; b++) {
+    int64_t n = read_off[b + 1] - read_off[b];
+    int64_t m = std::max(ref1_off[b + 1] - ref1_off[b],
+                         ref2_off[b + 1] - ref2_off[b]);
+    worst = std::max(worst, m + n);
+  }
+  if (worst <= 8000)
+    return SplitRealignImpl<int16_t>(ref1, ref1_off, ref2, ref2_off,
+                                     reads, read_off, n_cand, n_threads,
+                                     out, cap);
+  return SplitRealignImpl<int32_t>(ref1, ref1_off, ref2, ref2_off, reads,
+                                   read_off, n_cand, n_threads, out, cap);
 }
 
 }  // extern "C"
