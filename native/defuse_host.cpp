@@ -2248,80 +2248,154 @@ int CollectCandidatesCore(const char* sam_path,
           .push_back((int32_t)i);
   }
 
-  std::ifstream in(sam_path);
-  if (!in.good()) return -1;
-  // per cluster id: set of (read_id, rev_comp) already nominated
-  std::unordered_map<uint32_t, std::unordered_set<uint64_t>> cand_unique;
-  std::string line;
-  std::vector<int32_t> hit_ids;
-  while (std::getline(in, line)) {
-    if (!line.empty() && line[0] == '@') continue;
-    // fields 0:qname 1:flag 2:rname 3:pos ... 9:seq
-    const char* f[11];
-    f[0] = line.c_str();
-    int nf = 1;
-    for (const char* p = line.c_str(); *p && nf < 11; p++)
-      if (*p == '\t') f[nf++] = p + 1;
-    if (nf < 10) return -2;
-    const char* seq_end =
-        (nf >= 11) ? f[10] - 1 : line.c_str() + line.size();
-    if (f[2][0] == '*' && f[2][1] == '\t') continue;
-    char* endp;
-    long fragment = strtol(f[0], &endp, 10);
-    long flag = strtol(f[1], nullptr, 10);
-    int read_end_sam;
-    if (*endp == '/') {
-      char e = endp[1];
-      if ((e != '1' && e != '2') || endp[2] != '\t') return -3;
-      read_end_sam = (e == '1') ? 0 : 1;
-    } else {
-      read_end_sam = (flag & 0x40) ? 0 : 1;
+  // slurp once (single pread-sized read), then parse line chunks in
+  // parallel: nomination per line is independent; the global
+  // first-occurrence dedup is applied at the chunk-order merge, which
+  // reproduces the sequential semantics exactly (chunk order = file
+  // order)
+  std::string data;
+  {
+    int fd = open(sam_path, O_RDONLY);
+    if (fd < 0) return -1;
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+      close(fd);
+      return -1;
     }
-    int strand = (flag & 0x10) ? 1 : 0;
-    std::string rname(f[2], f[3] - f[2] - 1);
-    auto it = ref_index.find(rname);
-    if (it == ref_index.end()) continue;  // no regions on this reference
-    int64_t ref_key = it->second;
-    long pos = strtol(f[3], nullptr, 10);
-    long seq_len = (long)(seq_end - f[9]);
-    long aln_end = pos + seq_len - 1;
+    data.resize((size_t)st.st_size);
+    size_t got = 0;
+    while (got < data.size()) {
+      ssize_t r = read(fd, &data[got], data.size() - got);
+      if (r <= 0) {
+        close(fd);
+        return -1;
+      }
+      got += (size_t)r;
+    }
+    close(fd);
+  }
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  if (data.size() < (1 << 20)) nt = 1;
+  // chunk boundaries on line starts
+  std::vector<const char*> chunk_lo(nt + 1);
+  const char* base = data.data();
+  const char* dend = base + data.size();
+  chunk_lo[0] = base;
+  for (int t = 1; t < nt; t++) {
+    const char* p = base + data.size() * t / nt;
+    const char* nl = (const char*)memchr(p, '\n', dend - p);
+    chunk_lo[t] = nl ? nl + 1 : dend;
+  }
+  chunk_lo[nt] = dend;
 
-    hit_ids.clear();
-    int64_t lo = FloorDiv(pos, bin_spacing);
-    int64_t hi = FloorDiv(aln_end, bin_spacing);
-    auto& bmap = binned[strand];
-    for (int64_t b = lo; b <= hi; b++) {
-      auto bit = bmap.find((ref_key << 32) ^ (b & 0xFFFFFFFFll));
-      if (bit == bmap.end()) continue;
-      for (int32_t ri : bit->second)
-        if (region_start[ri] <= aln_end && region_end[ri] >= pos)
-          hit_ids.push_back(ri);
+  std::vector<std::vector<int32_t>> partial(nt);
+  std::vector<int> errs(nt, 0);
+  auto worker = [&](int t) {
+    const char* p0 = chunk_lo[t];
+    const char* cend = chunk_lo[t + 1];
+    auto& out = partial[t];
+    std::vector<int32_t> hit_ids;
+    while (p0 < cend) {
+      const char* eol = (const char*)memchr(p0, '\n', dend - p0);
+      if (!eol) eol = dend;
+      const char* line_p = p0;
+      p0 = eol + 1;
+      if (eol == line_p || line_p[0] == '@') continue;
+      // fields 0:qname 1:flag 2:rname 3:pos ... 9:seq
+      const char* f[11];
+      f[0] = line_p;
+      int nf = 1;
+      for (const char* p = line_p; p < eol && nf < 11; p++)
+        if (*p == '\t') f[nf++] = p + 1;
+      if (nf < 10) {
+        errs[t] = -2;
+        return;
+      }
+      const char* seq_end = (nf >= 11) ? f[10] - 1 : eol;
+      if (f[2][0] == '*' && f[2][1] == '\t') continue;
+      char* endp;
+      long fragment = strtol(f[0], &endp, 10);
+      long flag = strtol(f[1], nullptr, 10);
+      int read_end_sam;
+      if (*endp == '/') {
+        char e = endp[1];
+        if ((e != '1' && e != '2') || endp[2] != '\t') {
+          errs[t] = -3;
+          return;
+        }
+        read_end_sam = (e == '1') ? 0 : 1;
+      } else {
+        read_end_sam = (flag & 0x40) ? 0 : 1;
+      }
+      int strand = (flag & 0x10) ? 1 : 0;
+      std::string rname(f[2], f[3] - f[2] - 1);
+      auto it = ref_index.find(rname);
+      if (it == ref_index.end()) continue;  // no regions on this ref
+      int64_t ref_key = it->second;
+      long pos = strtol(f[3], nullptr, 10);
+      long seq_len = (long)(seq_end - f[9]);
+      long aln_end = pos + seq_len - 1;
+
+      hit_ids.clear();
+      int64_t lo = FloorDiv(pos, bin_spacing);
+      int64_t hi = FloorDiv(aln_end, bin_spacing);
+      auto& bmap = binned[strand];
+      for (int64_t b = lo; b <= hi; b++) {
+        auto bit = bmap.find((ref_key << 32) ^ (b & 0xFFFFFFFFll));
+        if (bit == bmap.end()) continue;
+        for (int32_t ri : bit->second)
+          if (region_start[ri] <= aln_end && region_end[ri] >= pos)
+            hit_ids.push_back(ri);
+      }
+      if (hit_ids.empty()) continue;
+      // unique ids, sorted by signed-int32 value of the packed id
+      std::sort(hit_ids.begin(), hit_ids.end(),
+                [&](int32_t a, int32_t b2) {
+                  return (int32_t)region_ids[a] < (int32_t)region_ids[b2];
+                });
+      uint32_t prev_id = 0;
+      bool first = true;
+      for (int32_t ri : hit_ids) {
+        uint32_t cid = region_ids[ri];
+        if (!first && cid == prev_id) continue;
+        first = false;
+        prev_id = cid;
+        uint32_t cluster_id = cid & 0x7FFFFFFF;
+        int cluster_end = (cid >> 31) & 1;
+        int read_end = (read_end_sam == 1) ? 0 : 1;
+        int rev_comp = (cluster_end == 0) ? 1 : 0;
+        out.push_back((int32_t)cluster_id);
+        out.push_back((int32_t)fragment);
+        out.push_back(read_end);
+        out.push_back(rev_comp);
+      }
     }
-    if (hit_ids.empty()) continue;
-    // unique ids, sorted by signed-int32 value of the packed id
-    std::sort(hit_ids.begin(), hit_ids.end(),
-              [&](int32_t a, int32_t b2) {
-                return (int32_t)region_ids[a] < (int32_t)region_ids[b2];
-              });
-    uint32_t prev_id = 0;
-    bool first = true;
-    for (int32_t ri : hit_ids) {
-      uint32_t cid = region_ids[ri];
-      if (!first && cid == prev_id) continue;
-      first = false;
-      prev_id = cid;
-      uint32_t cluster_id = cid & 0x7FFFFFFF;
-      int cluster_end = (cid >> 31) & 1;
-      int read_end = (read_end_sam == 1) ? 0 : 1;
-      int rev_comp = (cluster_end == 0) ? 1 : 0;
-      uint64_t read_id = (uint64_t)(uint32_t)fragment |
-                         ((uint64_t)read_end << 31);
-      uint64_t key = (read_id << 1) | (uint64_t)rev_comp;
+  };
+  if (nt == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; t++) ts.emplace_back(worker, t);
+    for (auto& th : ts) th.join();
+  }
+  for (int t = 0; t < nt; t++)
+    if (errs[t] < 0) return errs[t];
+  // chunk-order merge with the global first-occurrence dedup
+  std::unordered_map<uint32_t, std::unordered_set<uint64_t>> cand_unique;
+  for (int t = 0; t < nt; t++) {
+    const auto& out = partial[t];
+    for (size_t i = 0; i + 3 < out.size(); i += 4) {
+      uint32_t cluster_id = (uint32_t)out[i];
+      uint64_t read_id = (uint64_t)(uint32_t)out[i + 1] |
+                         ((uint64_t)(uint32_t)out[i + 2] << 31);
+      uint64_t key = (read_id << 1) | (uint64_t)(uint32_t)out[i + 3];
       if (!cand_unique[cluster_id].insert(key).second) continue;
-      res.push_back((int32_t)cluster_id);
-      res.push_back((int32_t)fragment);
-      res.push_back(read_end);
-      res.push_back(rev_comp);
+      res.push_back(out[i]);
+      res.push_back(out[i + 1]);
+      res.push_back(out[i + 2]);
+      res.push_back(out[i + 3]);
     }
   }
   return 0;
@@ -2568,6 +2642,15 @@ void* dt_driver_new(const char* sam_path, void* reads_handle,
                     const int64_t* flank2_off) {
   auto* d = new RealignDriver();
   auto* rh = (ReadStoreHandle*)reads_handle;
+  const bool timing = getenv("DEFUSE_REALIGN_TIMING") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto mark = [&](const char* stage) {
+    if (!timing) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "[driver-new] %s: %.3fs\n", stage,
+            std::chrono::duration<double>(now - tick).count());
+    tick = now;
+  };
   if (CollectCandidatesCore(sam_path, region_ids, region_ref,
                             region_strand, region_start, region_end,
                             n_regions, ref_names_concat, ref_name_off,
@@ -2576,6 +2659,7 @@ void* dt_driver_new(const char* sam_path, void* reads_handle,
     delete d;
     return nullptr;
   }
+  mark("collect");
   if (rh->indexed) {
     if (!SelectiveLoadReads(*rh, d->cand)) {
       delete rh;
@@ -2624,6 +2708,7 @@ void* dt_driver_new(const char* sam_path, void* reads_handle,
     d->flank_idx.push_back(
         (pos != hi && *pos == cluster_id) ? (int32_t)(pos - lo) : -1);
   }
+  mark("reads+revcomp");
   delete rh;  // reads consumed into the driver
   return d;
 }
