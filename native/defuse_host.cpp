@@ -956,26 +956,44 @@ class MatePairEMHost {
       double* row = &exps_flat_[(size_t)j * n_];
       vexp::exp_batch(row, row, maxexp_.data(), n_);
     }
+    // scale each row by w_j in place and accumulate the normalizer in
+    // ascending-j order — each lane reproduces the scalar
+    // ``t = w*exp(..); sum += t`` stream exactly (the mul result is
+    // stored, so no FMA contraction is possible), just vectorized over
+    // i instead of looping j per i
+    sums_.assign(n_, 0.0);
+    for (int j = 0; j < k_; j++) {
+      double* row = &exps_flat_[(size_t)j * n_];
+      double* s = sums_.data();
+      const double wj = w_[j];
+      for (int i = 0; i < n_; i++) {
+        double t = wj * row[i];
+        row[i] = t;
+        s[i] = s[i] + t;
+      }
+    }
     double LL = 0.0;
     bool valid = true;
-    double terms[kKMax];
     for (int i = 0; i < n_; i++) {
-      double maxexp = maxexp_[i];
-      double sum = 0.0;
-      for (int j = 0; j < k_; j++) {
-        double t = w_[j] * exps_flat_[(size_t)j * n_ + i];
-        terms[j] = t;
-        sum += t;
-      }
-      if (sum == 0.0)
+      if (sums_[i] == 0.0)
         valid = false;
       else if (valid)
-        LL += std::log(sum) + maxexp;
-      for (int j = 0; j < k_; j++) {
-        double r = terms[j] / sum;
-        r_[j][i] = r;
-        rxo_[j][to_xo_[i]] = r;
-        ryo_[j][to_yo_[i]] = r;
+        LL += std::log(sums_[i]) + maxexp_[i];
+    }
+    // responsibilities: the division is a pure elementwise pass (the
+    // compiler vectorizes it; IEEE division is per-lane exact), the
+    // permutation stores stay scalar
+    for (int j = 0; j < k_; j++) {
+      const double* t = &exps_flat_[(size_t)j * n_];
+      double* rj = r_[j].data();
+      const double* s = sums_.data();
+      for (int i = 0; i < n_; i++) rj[i] = t[i] / s[i];
+      double* rxj = rxo_[j].data();
+      double* ryj = ryo_[j].data();
+      for (int i = 0; i < n_; i++) {
+        double r = rj[i];
+        rxj[to_xo_[i]] = r;
+        ryj[to_yo_[i]] = r;
       }
     }
     return valid ? LL : -std::numeric_limits<double>::max();
@@ -1053,6 +1071,7 @@ class MatePairEMHost {
   std::vector<std::vector<double>> r_, rxo_, ryo_;
   mutable std::vector<double> exps_flat_;
   std::vector<double> maxexp_;
+  std::vector<double> sums_;
 };
 
 }  // namespace
