@@ -745,6 +745,7 @@ class MatePairEMHost {
     double min_bic = 0.0;
     bool min_bic_valid = false;
     int k_min_bic = 1;
+    std::vector<double> best_a, best_b;
     for (k_ = 1; k_ <= std::min(kKMax, n_); k_++) {
       double ll;
       if (!ExpectationMaximization(ll)) continue;
@@ -753,11 +754,18 @@ class MatePairEMHost {
         min_bic = bic;
         k_min_bic = k_;
         min_bic_valid = true;
+        best_a = a_;
+        best_b = b_;
       }
     }
+    // the reference re-runs the EM at the winning K; the run is
+    // deterministic, so restoring the snapshot it would reproduce is
+    // bit-exact (and a failed-everywhere selection returns just like
+    // the re-run would fail)
+    if (!min_bic_valid) return;
     k_ = k_min_bic;
-    double ll;
-    if (!ExpectationMaximization(ll)) return;
+    a_ = std::move(best_a);
+    b_ = std::move(best_b);
     for (int j = 0; j < k_; j++) {
       std::vector<int> cluster;
       for (int i = 0; i < n_; i++) {
