@@ -5013,6 +5013,15 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
   PairTbl tbl;
   if (!LoadPairTbl(tbl_path, tbl)) return -1;
   if (n_threads < 1) n_threads = 1;
+  const bool timing = getenv("DT_TIMING") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto mark = [&](const char* stage) {
+    if (!timing) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "[dt_calccov] %s: %.3fs\n", stage,
+            std::chrono::duration<double>(now - tick).count());
+    tick = now;
+  };
 
   std::unordered_map<std::string, int32_t> ref_of;
   ref_of.reserve(n_refs * 2);
@@ -5169,6 +5178,7 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
       }
     });
   for (auto& th : ts) th.join();
+  mark("scan+format");
 
   long total = 0;
   const char* paths[3] = {span_path, pos_path, min_path};
@@ -5198,6 +5208,7 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
         fwrite((*bufs[k])[t].data(), 1, (*bufs[k])[t].size(), f);
     fclose(f);
   }
+  mark("write");
   if (want_merge) {
     // fused covariance merge over the in-memory samples: per-thread
     // arrays concatenated in thread order ARE the file byte order, and
@@ -5223,6 +5234,7 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
                                           merged_out + 2 * k);
       });
     for (auto& th : ms) th.join();
+    mark("merge");
   }
   for (int t = 0; t < nt; t++) total += totals[t];
   return total;
