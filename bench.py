@@ -167,7 +167,23 @@ def build_dataset(tmp):
     return ds, paths, frag_id
 
 
-def run_reference(paths, ref_bin, tmp):
+def run_reference(paths, ref_bin, tmp, n_trials=2):
+    """Best-of-n_trials wall time (the shared host's jitter cuts both
+    ways; the ours side already takes best-of-three measured discover
+    windows, so the ratio should not be inflated by one slow reference
+    run).  Outputs come from the final trial (identical every trial)."""
+    best = None
+    for _ in range(max(1, n_trials - 1)):
+        t_trial, *_ = _run_reference_once(paths, ref_bin, tmp)
+        best = t_trial if best is None else min(best, t_trial)
+    elapsed, regions, sorted_split, outs = _run_reference_once(
+        paths, ref_bin, tmp)
+    if best is not None:
+        elapsed = min(elapsed, best)
+    return elapsed, regions, sorted_split, outs
+
+
+def _run_reference_once(paths, ref_bin, tmp):
     from synthdata import align_regions_lines
     t0 = time.time()
     clusters = tmp / "ref.clusters"
