@@ -41,6 +41,15 @@ def init_distributed() -> tuple[int, int]:
     proc_id = os.environ.get("JAX_PROCESS_ID")
     if coordinator and n_proc and proc_id:
         import jax
+        if jax.config.jax_platforms == "cpu":
+            # CPU multi-process collectives need an explicit backend;
+            # gloo ships with jaxlib.  (TPU/GPU use ICI/NCCL and ignore
+            # this setting.)
+            try:
+                jax.config.update("jax_cpu_collectives_implementation",
+                                  "gloo")
+            except Exception:
+                pass
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=int(n_proc),
@@ -108,3 +117,58 @@ def merge_stats_files(paths, out_path):
     with open(out_path, "w") as fh:
         fh.write(merged.format())
     return out_path
+
+
+MAX_READLEN_GATHER = 512  # readlength bitmask width for the gather
+
+
+def allgather_read_stats(local):
+    """Cross-process read-stats merge over the live distributed runtime.
+
+    Each process contributes its shard's ``ReadStats`` packed as fixed
+    vectors (count/mean/stddev + a readlength bitmask); the gather runs
+    through the jax coordination service, and the exact
+    ``merge_read_stats`` math (``merge_read_stats.pl`` contract) is then
+    applied to the per-process stats in process order — numerically
+    identical to the sequential shard merge.  Readlengths above
+    ``MAX_READLEN_GATHER`` degrade to the (min, max) pair, mirroring
+    the file-based merge's fallback.
+    """
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from ..stats.readstats import ReadStats, merge_read_stats
+
+    scalars = np.array([float(local.frag_count), local.fraglength_mean,
+                        local.fraglength_stddev,
+                        float(local.readlength_min),
+                        float(local.readlength_max)], dtype=np.float64)
+    mask = np.zeros(MAX_READLEN_GATHER // 64, dtype=np.uint64)
+    overflow = False
+    for ln in (local.readlengths
+               or (local.readlength_min, local.readlength_max)):
+        if 0 < ln < MAX_READLEN_GATHER:
+            mask[ln // 64] |= np.uint64(1) << np.uint64(ln % 64)
+        elif ln:
+            overflow = True
+    g_scalars = np.asarray(multihost_utils.process_allgather(scalars))
+    g_mask = np.asarray(multihost_utils.process_allgather(mask))
+    g_over = np.asarray(multihost_utils.process_allgather(
+        np.array([1.0 if overflow else 0.0])))
+    if jax.process_count() == 1:
+        g_scalars = g_scalars.reshape(1, -1)
+        g_mask = g_mask.reshape(1, -1)
+        g_over = g_over.reshape(1, -1)
+    stats = []
+    for p in range(g_scalars.shape[0]):
+        s = g_scalars[p]
+        lengths = [ln for ln in range(1, MAX_READLEN_GATHER)
+                   if g_mask[p][ln // 64] >> np.uint64(ln % 64)
+                   & np.uint64(1)]
+        if g_over[p][0]:
+            lengths = []  # degrade to (min, max) exactly like the
+            # file merge with no readlengths list
+        stats.append(ReadStats(int(s[0]), float(s[1]), float(s[2]),
+                               int(s[3]), int(s[4]), tuple(lengths)))
+    return merge_read_stats(stats)
