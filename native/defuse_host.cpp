@@ -4581,13 +4581,21 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
     delete h;
     return nullptr;
   }
-  // names map (end-1 fragment names); formatted into per-range buffers
-  // in parallel, written in order (byte-identical to the fprintf loop)
-  FILE* nf = fopen(names_path, "w");
-  if (nf) {
+  // the three tail passes are independent once both parses joined:
+  // names map, .fqi offsets, and the max-width scan run as concurrent
+  // threads (each writes its own file / variable)
+  long n1 = (long)h->ends[0].rec_off.size();
+  long n2 = (long)h->ends[1].rec_off.size();
+  int64_t w = 0;
+  std::thread names_t([&]() {
+    // names map (end-1 fragment names); formatted into per-range
+    // buffers in parallel, written in order (byte-identical to the
+    // fprintf loop)
+    FILE* nf = fopen(names_path, "w");
+    if (!nf) return;
     const auto& names = h->ends[0].names;
     long n = (long)names.size();
-    int nt = (int)std::min<long>(4, std::max<long>(1, n / 250000));
+    int nt = (int)std::min<long>(2, std::max<long>(1, n / 250000));
     std::vector<std::string> parts(nt);
     std::vector<std::thread> ts;
     for (int t = 0; t < nt; t++)
@@ -4608,18 +4616,12 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
     for (auto& s : parts)
       if (!s.empty()) fwrite(s.data(), 1, s.size(), nf);
     fclose(nf);
-  }
-  if (fastq_ingest::IngestTiming()) {
-    fprintf(stderr, "[ingest-timing] names %.2fs\n",
-            fastq_ingest::IngestNow() - t0);
-    t0 = fastq_ingest::IngestNow();
-  }
-  // .fqi: two packed little-endian int64 offsets per fragment
-  // (ReadIndex.cpp:67-129); 0 for a missing end
-  long n1 = (long)h->ends[0].rec_off.size();
-  long n2 = (long)h->ends[1].rec_off.size();
-  FILE* ff = fopen(fqi_path, "wb");
-  if (ff) {
+  });
+  std::thread fqi_t([&]() {
+    // .fqi: two packed little-endian int64 offsets per fragment
+    // (ReadIndex.cpp:67-129); 0 for a missing end
+    FILE* ff = fopen(fqi_path, "wb");
+    if (!ff) return;
     long n = std::max(n1, n2);
     std::vector<int64_t> recs((size_t)n * 2);
     for (long i = 0; i < n; i++) {
@@ -4628,16 +4630,17 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
     }
     fwrite(recs.data(), sizeof(int64_t), recs.size(), ff);
     fclose(ff);
-  }
-  if (fastq_ingest::IngestTiming())
-    fprintf(stderr, "[ingest-timing] fqi %.2fs\n",
-            fastq_ingest::IngestNow() - t0);
-  int64_t w = 0;
+  });
   for (int end = 0; end < 2; end++) {
     auto& e = h->ends[end];
     for (size_t i = 0; i + 1 < e.off.size(); i++)
       w = std::max<int64_t>(w, e.off[i + 1] - e.off[i]);
   }
+  names_t.join();
+  fqi_t.join();
+  if (fastq_ingest::IngestTiming())
+    fprintf(stderr, "[ingest-timing] tail (names||fqi||width) %.2fs\n",
+            fastq_ingest::IngestNow() - t0);
   dims[0] = n1;
   dims[1] = n2;
   dims[2] = w;
