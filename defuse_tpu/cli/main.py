@@ -63,11 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
                        "(results_to_circos, qseq2fastq, fq_all2std)")
     exp.add_argument("kind", choices=["circos-links", "circos-points",
                                       "qseq2fastq", "fq-all2std",
-                                      "pair-sam"])
+                                      "pair-sam", "cov-samples"])
     exp.add_argument("-i", "--input", required=True,
                      help="results.tsv / expression.txt / qseq / fastq "
-                          "/ run output dir (pair-sam)")
+                          "/ run output dir (pair-sam, cov-samples)")
     exp.add_argument("-o", "--output", required=True)
+    exp.add_argument("-c", "--config", help="config file (cov-samples)")
+    exp.add_argument("-d", "--dataset",
+                     help="dataset directory (cov-samples)")
     exp.add_argument("-g", "--gtf",
                      help="gene models gtf (circos-points)")
     exp.add_argument("--filtered-only", action="store_true",
@@ -202,6 +205,20 @@ def main(argv=None) -> int:
 
     if args.command == "export":
         from . import exporters
+        if args.kind == "cov-samples":
+            # materialize the covariance sample artifacts from a
+            # lazy-samples run (stage emits only cov.merged.tsv; the
+            # deterministic scan reproduces the exact eager bytes)
+            if not args.config:
+                raise SystemExit("cov-samples needs -c/--config "
+                                 "(and -d/--dataset)")
+            from ..pipeline.run import materialize_cov_samples
+            config = Config.read(args.config, args.dataset or "")
+            paths = materialize_cov_samples(config, args.input,
+                                            args.output)
+            for p in paths.values():
+                print(p)
+            return 0
         if args.kind == "pair-sam":
             # regenerate the concordant pair SAM from the binary pair
             # table (lazy pair_sam_checkpoint runs); the requested

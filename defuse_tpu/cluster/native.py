@@ -875,7 +875,12 @@ def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
     the in-memory samples (bit-identical to re-reading the emitted
     files through ``cov_merge_file``) and returns
     (count, {kind: (mean, cov) | None}) — None marks the reference's
-    not-enough-samples abort for that kind."""
+    not-enough-samples abort for that kind.
+
+    Passing ``span_path=pos_path=min_path=None`` skips sample-file
+    formatting and writing entirely (lazy-samples mode: only the fused
+    merge is produced; the text artifacts are materialized on demand by
+    re-running with paths — the scan is deterministic)."""
     lib = load_library()
     if lib is None:
         return None
@@ -898,9 +903,12 @@ def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
             mpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             ctypes.c_long(len(mref)), ctypes.c_long(trim_length),
             ctypes.c_long(anchor),
-            ctypes.c_char_p(str(span_path).encode()),
-            ctypes.c_char_p(str(pos_path).encode()),
-            ctypes.c_char_p(str(min_path).encode()),
+            ctypes.c_char_p(str(span_path).encode())
+            if span_path else None,
+            ctypes.c_char_p(str(pos_path).encode())
+            if pos_path else None,
+            ctypes.c_char_p(str(min_path).encode())
+            if min_path else None,
             ctypes.c_int(n_threads),
             ctypes.c_long(merge_seed if want_merge else 0),
             merged.ctypes.data_as(ctypes.POINTER(ctypes.c_double))

@@ -149,6 +149,11 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                 else:
                     fh.write(f"{kind}\t{mc[0].hex()}\t{mc[1].hex()}\n")
 
+    # lazy samples: with the native table path the stage produces ONLY
+    # the fused merge result — the ~30B/sample text artifacts (dead
+    # weight since pvalues consumes cov.merged.tsv) are materialized on
+    # demand via `export cov-samples` (the scan is deterministic)
+    _lazy_cov = _native.available() and bool(pair_table)
     if (concordant_sam or pair_table) and cdna_regions:
         def stage_calccov(tmp_outputs):
             er = ExonRegions.from_file(cdna_regions)
@@ -161,13 +166,15 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             from ..cluster import native
             from ..stats.calccov import sample_positions
 
-            def _merge_written():
-                """Fallback paths: derive the merged artifact from the
-                just-written sample files (bit-identical source)."""
+            merged_dst = tmp_outputs[0] if _lazy_cov else tmp_outputs[3]
+
+            def _merge_files(paths):
+                """Derive the merged artifact from just-written sample
+                files (bit-identical source)."""
                 from ..stats.pvalues import (cov_samples_merge_arrays,
                                              load_cov_samples)
                 merged = {}
-                for kind, p in zip(("span", "pos", "min"), tmp_outputs):
+                for kind, p in zip(("span", "pos", "min"), paths):
                     try:
                         mc = native.cov_merge_file(p) \
                             if native.available() else None
@@ -177,52 +184,71 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                         merged[kind] = mc
                     except ValueError:
                         merged[kind] = None
-                _write_cov_merged(tmp_outputs[3], merged)
+                _write_cov_merged(merged_dst, merged)
 
+            names = positions = None
             if native.available():
                 ref_index, positions = sample_positions(er, density,
                                                         multi)
                 names = [""] * len(ref_index)
                 for tid, idx in ref_index.items():
                     names[idx] = tid
-                rc = None
                 if pair_table:
                     rc = native.calccov_tbl(
                         pair_table, names,
                         [r for r, _p in positions],
                         [p for _r, p in positions],
                         trim_length=trim, anchor=anchor,
-                        span_path=tmp_outputs[0],
-                        pos_path=tmp_outputs[1],
-                        min_path=tmp_outputs[2], merge_seed=11)
+                        span_path=None if _lazy_cov else tmp_outputs[0],
+                        pos_path=None if _lazy_cov else tmp_outputs[1],
+                        min_path=None if _lazy_cov else tmp_outputs[2],
+                        merge_seed=11)
                     if rc is not None:
-                        _write_cov_merged(tmp_outputs[3], rc[1])
+                        _write_cov_merged(merged_dst, rc[1])
                         return
-                rc = native.calccov_native(
+            # fallback paths must produce the sample files; under the
+            # lazy stage shape they land beside the run as side
+            # artifacts (tmp + rename)
+            if _lazy_cov:
+                sample_dsts = [str(cov_paths[n]) for n in
+                               ("span", "pos", "min")]
+                sample_tmps = [d + ".stagetmp" +
+                               (".gz" if d.endswith(".gz") else "")
+                               for d in sample_dsts]
+            else:
+                sample_dsts = sample_tmps = [tmp_outputs[0],
+                                             tmp_outputs[1],
+                                             tmp_outputs[2]]
+            done = False
+            if native.available():
+                done = native.calccov_native(
                     _pair_sam(), names,
                     [r for r, _p in positions],
                     [p for _r, p in positions],
                     trim_length=trim, anchor=anchor,
-                    span_path=tmp_outputs[0],
-                    pos_path=tmp_outputs[1],
-                    min_path=tmp_outputs[2])
-                if rc is not None:
-                    _merge_written()
-                    return
-            span, spos, smin = calccov(
-                _pair_sam(), er, trim_length=trim,
-                split_min_anchor=anchor, density=density,
-                multi_exon=multi)
-            write_samples(span, tmp_outputs[0], float_values=False)
-            write_samples(spos, tmp_outputs[1], float_values=True)
-            write_samples(smin, tmp_outputs[2], float_values=True)
-            _merge_written()
+                    span_path=sample_tmps[0],
+                    pos_path=sample_tmps[1],
+                    min_path=sample_tmps[2]) is not None
+            if not done:
+                span, spos, smin = calccov(
+                    _pair_sam(), er, trim_length=trim,
+                    split_min_anchor=anchor, density=density,
+                    multi_exon=multi)
+                write_samples(span, sample_tmps[0], float_values=False)
+                write_samples(spos, sample_tmps[1], float_values=True)
+                write_samples(smin, sample_tmps[2], float_values=True)
+            if _lazy_cov:
+                import os as _os
+                for t, d in zip(sample_tmps, sample_dsts):
+                    _os.replace(t, d)
+            _merge_files(sample_dsts)
 
         runner.run("covariance samples", stage_calccov,
                    inputs=([concordant_sam] if concordant_sam else [])
                    + [cdna_regions]
                    + ([pair_table] if pair_table else []),
-                   outputs=[cov_paths["span"], cov_paths["pos"],
+                   outputs=[cov_merged_path] if _lazy_cov else
+                           [cov_paths["span"], cov_paths["pos"],
                             cov_paths["min"], cov_merged_path])
 
     from ..utils.profiling import Tracer
@@ -566,3 +592,62 @@ def _span_stats(clusters_sc_path, breaks_path, seq_path):
             count += 1
         out[cid] = (total / count, count)
     return out
+
+
+def materialize_cov_samples(config: Config, run_dir, out_dir):
+    """Materialize the covariance sample text artifacts on demand
+    (lazy-samples runs emit only ``cov.merged.tsv``; the sampling scan
+    is deterministic, so re-running it with output paths reproduces the
+    exact bytes an eager run would have written).  Returns
+    {kind: path}."""
+    import os
+
+    run_dir = pathlib.Path(run_dir)
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cdna_regions = config.get_value("cdna_regions")
+    er = ExonRegions.from_file(cdna_regions)
+    trim = config.get_int("discord_read_trim")
+    anchor = config.get_int("split_min_anchor")
+    density = config.get_float("covariance_sampling_density")
+    multi = config.get_bool("multi_exon_transcripts_stats")
+    from ..cluster import native
+    from ..stats.calccov import sample_positions
+
+    tbl = next((run_dir / t for t in
+                ("cdna.pair.tbl", "aligned/cdna.pair.tbl")
+                if (run_dir / t).exists()), None)
+    suffix = ".samples.gz" if (native.available() and tbl) else ".samples"
+    paths = {n: out / f"cov.{n}{suffix}" for n in ("span", "pos", "min")}
+    tmps = [str(p) + ".tmp" + (".gz" if suffix.endswith(".gz") else "")
+            for p in paths.values()]
+    if native.available() and tbl:
+        ref_index, positions = sample_positions(er, density, multi)
+        names = [""] * len(ref_index)
+        for tid, idx in ref_index.items():
+            names[idx] = tid
+        rc = native.calccov_tbl(
+            tbl, names, [r for r, _p in positions],
+            [p for _r, p in positions], trim_length=trim, anchor=anchor,
+            span_path=tmps[0], pos_path=tmps[1], min_path=tmps[2])
+        if rc is not None:
+            for t, d in zip(tmps, paths.values()):
+                os.replace(t, d)
+            return {n: str(p) for n, p in paths.items()}
+    # SAM-scan fallback (eager runs / no native lib)
+    sam = next((run_dir / s for s in
+                ("cdna.pair.sam.gz", "cdna.pair.sam",
+                 "aligned/cdna.pair.sam.gz", "aligned/cdna.pair.sam")
+                if (run_dir / s).exists()), None)
+    if sam is None:
+        raise FileNotFoundError(
+            f"no cdna.pair.tbl or cdna.pair.sam under {run_dir}")
+    span, spos, smin = calccov(str(sam), er, trim_length=trim,
+                               split_min_anchor=anchor, density=density,
+                               multi_exon=multi)
+    write_samples(span, tmps[0], float_values=False)
+    write_samples(spos, tmps[1], float_values=True)
+    write_samples(smin, tmps[2], float_values=True)
+    for t, d in zip(tmps, paths.values()):
+        os.replace(t, d)
+    return {n: str(p) for n, p in paths.items()}

@@ -5058,6 +5058,11 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
   std::vector<long> totals(nt, 0);
   const bool want_merge = merged_out != nullptr &&
                           merged_counts != nullptr;
+  // NULL/empty sample paths skip text formatting and writing entirely
+  // (lazy-samples mode: only the fused merge result is produced; the
+  // text artifacts are materialized on demand by re-running with paths)
+  const bool emit_text = span_path && span_path[0] && pos_path &&
+                         pos_path[0] && min_path && min_path[0];
   std::vector<std::vector<int64_t>> span_ids(nt), pos_ids(nt),
       min_ids(nt);
   std::vector<std::vector<double>> span_vals(nt), pos_vals(nt),
@@ -5129,10 +5134,12 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
         for (int32_t m : hits) {
           int64_t pos = marker_pos[m];
           if (unseq_start <= pos && pos <= unseq_end) {
-            append_int(span_bufs[t], m);
-            span_bufs[t] += '\t';
-            append_int(span_bufs[t], frag_len);
-            span_bufs[t] += '\n';
+            if (emit_text) {
+              append_int(span_bufs[t], m);
+              span_bufs[t] += '\t';
+              append_int(span_bufs[t], frag_len);
+              span_bufs[t] += '\n';
+            }
             if (want_merge) {
               span_ids[t].push_back(m);
               // "%ld" text round-trips integers exactly
@@ -5153,10 +5160,12 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
               double r1 =
                   (double)(a[e].end - a[e].start) + 1.0 - 2.0 * anchor;
               const auto& f1 = frac6g(v1, r1);
-              append_int(pos_bufs[t], m);
-              pos_bufs[t] += '\t';
-              pos_bufs[t] += f1.first;
-              pos_bufs[t] += '\n';
+              if (emit_text) {
+                append_int(pos_bufs[t], m);
+                pos_bufs[t] += '\t';
+                pos_bufs[t] += f1.first;
+                pos_bufs[t] += '\n';
+              }
               int64_t mn = std::min(pos - a[e].start - anchor,
                                     a[e].end + 1 - pos - anchor);
               double v2 = std::max(0.0, (double)mn);
@@ -5164,10 +5173,12 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
                                                      a[e].start) +
                                             1.0 - 2.0 * anchor));
               const auto& f2 = frac6g(v2, r2);
-              append_int(min_bufs[t], m);
-              min_bufs[t] += '\t';
-              min_bufs[t] += f2.first;
-              min_bufs[t] += '\n';
+              if (emit_text) {
+                append_int(min_bufs[t], m);
+                min_bufs[t] += '\t';
+                min_bufs[t] += f2.first;
+                min_bufs[t] += '\n';
+              }
               if (want_merge) {
                 pos_ids[t].push_back(m);
                 pos_vals[t].push_back(f1.second);
@@ -5189,7 +5200,7 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
   // a ".gz" destination gzips each thread buffer as its own member
   // (readers are magic-sniffing; concatenated members are one stream),
   // cutting the ~30B/sample text write by ~6x
-  for (int k = 0; k < 3; k++) {
+  for (int k = 0; emit_text && k < 3; k++) {
     const bool gz = EndsWithGz(paths[k]);
     std::atomic<bool> zfail{false};
     if (gz) {

@@ -215,10 +215,21 @@ def test_pair_table_fast_path_equivalence(tmp_path):
             p = tmp_path / name / (inter + ".gz")
         return read_decompressed(p)
 
-    for inter in ("concordant.read.stats", "cov.span.samples",
-                  "cov.pos.samples", "cov.min.samples"):
-        assert _inter("out_tbl", inter) == _inter("out_sam", inter), \
-            inter
+    assert _inter("out_tbl", "concordant.read.stats") == \
+        _inter("out_sam", "concordant.read.stats")
+    # the tbl path is lazy about covariance samples (only the fused
+    # cov.merged.tsv is emitted) — the merged covariances must match
+    # the sam path's bit for bit, and materializing the samples on
+    # demand must reproduce the sam path's files
+    assert (tmp_path / "out_tbl" / "cov.merged.tsv").read_bytes() == \
+        (tmp_path / "out_sam" / "cov.merged.tsv").read_bytes()
+    from defuse_tpu.pipeline.run import materialize_cov_samples
+    mat = materialize_cov_samples(config, tmp_path / "aligned",
+                                  tmp_path / "mat_cov")
+    from defuse_tpu.io.sam import read_decompressed as _rd
+    for kind in ("span", "pos", "min"):
+        assert _rd(mat[kind]) == \
+            _inter("out_sam", f"cov.{kind}.samples"), kind
     assert len(pathlib.Path(
         outs["tbl"]["results"]).read_text().splitlines()) > 1
 
