@@ -86,3 +86,116 @@ def test_two_process_distributed_launch(tmp_path):
     # proc 0 contributes 100..103, proc 1 contributes 200..203
     want = sum(range(100, 104)) + sum(range(200, 204))
     assert reports[0]["psum_total"] == reports[1]["psum_total"] == want
+
+
+def test_two_process_pipeline_parity(tmp_path):
+    """BASELINE "2-host data-parallel parity" config: two real
+    jax.distributed processes each align their fastq shard with
+    globally-offset fragment ids, merge read stats through the live
+    runtime, barrier, and process 0 merges the artifacts and runs the
+    full pipeline — results byte-identical to a single-process whole
+    run."""
+    from defuse_tpu.align.frontend import align_job, index_paired_fastq
+    from defuse_tpu.align.seedindex import SeedIndex
+    from defuse_tpu.annotate.gene_models import GeneModels
+    from defuse_tpu.config import Config
+    from defuse_tpu.io.fasta import write_fasta
+    from defuse_tpu.parallel.shard import split_fastq
+    from defuse_tpu.pipeline.run import run_pipeline
+    from synthdata import (make_dataset, write_dataset,
+                           write_genome_fasta, write_gtf, write_repeats)
+
+    ds = make_dataset(seed=31, n_fusion_frags=140, n_background_frags=100)
+    paths = write_dataset(ds, tmp_path)
+    gtf = tmp_path / "genes.gtf"
+    write_gtf(ds, gtf)
+    genome_fa = tmp_path / "genome.fa"
+    write_genome_fasta(ds, genome_fa)
+    repeats = tmp_path / "repeats.regions"
+    write_repeats(ds, repeats)
+    cdna_fa = tmp_path / "cdna.fa"
+    cdna_seqs = {f"{g.name}|{g.transcript}": g.cdna(ds.genome) + "A" * 50
+                 for g in ds.genes}
+    write_fasta(str(cdna_fa), cdna_seqs)
+
+    reads1, reads2, _ = index_paired_fastq(
+        str(paths["fastq1"]), str(paths["fastq2"]),
+        str(tmp_path / "reads"))
+    per_shard = (len(reads1) + 1) // 2
+    prefixes = split_fastq(str(tmp_path / "reads" / "reads.1.fastq"),
+                           str(tmp_path / "reads" / "reads.2.fastq"),
+                           str(tmp_path / "shards"), reads_per_job=per_shard)
+    assert len(prefixes) == 2
+
+    expression = {g.name: "50" for g in ds.genes}
+    meta = {
+        "n_shards": 2, "per_shard": per_shard,
+        "shard_prefixes": [str(p) for p in prefixes],
+        "cdna_fasta": str(cdna_fa), "genome_fasta": str(genome_fa),
+        "gtf": str(gtf), "reference": str(paths["reference"]),
+        "exons": str(paths["exons"]), "repeats": str(repeats),
+        "fastq1": str(tmp_path / "reads" / "reads.1.fastq"),
+        "fastq2": str(tmp_path / "reads" / "reads.2.fastq"),
+        "expression": expression,
+    }
+    (tmp_path / "meta.json").write_text(json.dumps(meta))
+
+    port = _free_port()
+    worker = WORKER.parent / "dist_pipeline_worker.py"
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_COORDINATOR": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), str(tmp_path)], env=env,
+            cwd=str(REPO), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed pipeline worker timed out")
+        assert p.returncode == 0, stderr[-3000:]
+
+    # single-process whole run (oracle)
+    gm = GeneModels(str(gtf))
+    cdna_index = SeedIndex(cdna_seqs)
+    genome_index = SeedIndex(ds.genome)
+    whole = align_job(cdna_index=cdna_index, genome_index=genome_index,
+                      rrna_index=None, gene_models=gm, reads1=reads1,
+                      reads2=reads2, outdir=str(tmp_path / "whole"))
+    config = Config.defaults(
+        reference_fasta=str(paths["reference"]),
+        cdna_regions=str(paths["exons"]),
+        span_count_threshold=3)
+    outs_whole = run_pipeline(
+        config=config, output_dir=str(tmp_path / "out_whole"),
+        library_name="dist-parity",
+        spanning=whole["spanning"], improper=whole["improper"],
+        fastq1=str(tmp_path / "reads" / "reads.1.fastq"),
+        fastq2=str(tmp_path / "reads" / "reads.2.fastq"),
+        concordant_sam=None, pair_table=whole["pair_table"],
+        gene_models_gtf=str(gtf), genome_fasta=str(genome_fa),
+        repeats_regions=str(repeats), expression=expression,
+        use_device=False)
+
+    outs_dist = json.loads((tmp_path / "outs.json").read_text())
+    for artifact in ("results", "classified", "filtered"):
+        a = pathlib.Path(outs_whole[artifact]).read_bytes()
+        b = pathlib.Path(outs_dist[artifact]).read_bytes()
+        assert a == b, f"{artifact} differs (2-process vs whole)"
+    assert len(pathlib.Path(
+        outs_whole["results"]).read_text().splitlines()) > 1
+
+    # the distributed read-stats merge equals the whole run's stats
+    whole_stats = whole["stats"]
+    for pid in range(2):
+        got = (tmp_path / f"shard{pid}" / "stats.merged").read_text()
+        assert f"{whole_stats.frag_count}\t" in got
