@@ -21,8 +21,11 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("-d", "--dataset", required=True,
                      help="dataset directory")
     run.add_argument("-o", "--output", required=True)
-    run.add_argument("-1", "--fastq1", dest="fastq1", required=True)
-    run.add_argument("-2", "--fastq2", dest="fastq2", required=True)
+    run.add_argument("-1", "--fastq1", dest="fastq1", default=None)
+    run.add_argument("-2", "--fastq2", dest="fastq2", default=None)
+    run.add_argument("-b", "--bam", default=None,
+                     help="paired BAM input (converted via the built-in "
+                          "bamfastq; replaces -1/-2, defuse.pl --bam)")
     run.add_argument("-n", "--name", default="defuse-tpu-library")
     run.add_argument("-s", "--submit", default="direct",
                      help="direct | (cluster submitters TBD)")
@@ -123,6 +126,18 @@ def main(argv=None) -> int:
     if args.command == "run":
         config = Config.read(args.config, args.dataset)
         from ..pipeline.run import run_pipeline
+        if args.bam:
+            if args.fastq1 or args.fastq2:
+                raise SystemExit("give either --bam or -1/-2, not both")
+            import pathlib
+            from ..io.bam import bam_to_fastq
+            bdir = pathlib.Path(args.output) / "bamfastq"
+            bdir.mkdir(parents=True, exist_ok=True)
+            args.fastq1 = str(bdir / "reads.1.fastq")
+            args.fastq2 = str(bdir / "reads.2.fastq")
+            bam_to_fastq(args.bam, args.fastq1, args.fastq2)
+        elif not (args.fastq1 and args.fastq2):
+            raise SystemExit("run needs -1/-2 fastqs or --bam")
         if args.prealigned:
             import pathlib
             pre = pathlib.Path(args.prealigned)
