@@ -173,7 +173,7 @@ def run_reference(paths, ref_bin, tmp, n_trials=2):
     windows, so the ratio should not be inflated by one slow reference
     run).  Outputs come from the final trial (identical every trial)."""
     best = None
-    for _ in range(max(1, n_trials - 1)):
+    for _ in range(max(0, n_trials - 1)):
         t_trial, *_ = _run_reference_once(paths, ref_bin, tmp)
         best = t_trial if best is None else min(best, t_trial)
     elapsed, regions, sorted_split, outs = _run_reference_once(

@@ -33,7 +33,23 @@ def load_library(build_if_missing: bool = True):
             return None
     if not _LIB_PATH.exists():
         return None
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        return _configure(ctypes.CDLL(str(_LIB_PATH)))
+    except AttributeError:
+        # stale prebuilt .so missing a newer symbol: rebuild once and
+        # retry; degrade to the Python paths rather than raising
+        if not build_if_missing:
+            return None
+        try:
+            subprocess.run(["bash", str(_LIB_PATH.parent / "build.sh")],
+                           check=True, capture_output=True)
+            return _configure(ctypes.CDLL(str(_LIB_PATH)))
+        except Exception:
+            return None
+
+
+def _configure(lib):
+    global _lib
     lib.dt_em_cluster.restype = ctypes.c_int
     lib.dt_em_cluster.argtypes = [
         ctypes.POINTER(ctypes.c_double)] * 3 + [

@@ -316,7 +316,11 @@ def _dispatch(refs, ref_lens, reads, read_lens, batch_tile, interpret,
     once per backend and fall back to the fori_loop kernel if the
     toolchain declines.  DEFUSE_PALLAS_V2=off forces the fallback."""
     import os
-    key = jax.default_backend()
+    # probe v2 with the SAME element type that will actually run: a
+    # toolchain could accept v2's int32 lowering but decline its int16
+    # VMEM-scratch variant (or vice versa), so the cache is keyed per
+    # (backend, i16)
+    key = (jax.default_backend(), bool(i16))
     if key not in _V2_OK:
         if os.environ.get("DEFUSE_PALLAS_V2", "auto") == "off":
             _V2_OK[key] = False
@@ -325,7 +329,7 @@ def _dispatch(refs, ref_lens, reads, read_lens, batch_tile, interpret,
                 _dp_row_maxima_pallas_v2(
                     refs[:1], ref_lens[:1], reads[:1, :2],
                     read_lens[:1], 8, interpret,
-                    False).block_until_ready()
+                    i16).block_until_ready()
                 _V2_OK[key] = True
             except Exception:
                 _V2_OK[key] = False
@@ -419,10 +423,11 @@ def screen_candidates_pallas(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
         if np.size(ln):
             rmax = max(rmax, int(np.max(ln)))
     rmax = max(1, min(uref1.shape[1], rmax))
+    i16 = _I16_OK[key]
     return _screen_candidates(uref1[:, :rmax], ulen1, uref2r[:, :rmax],
                               ulen2, ref_idx, reads[:, :lmax],
                               read_lens, min_scores, interpret,
-                              _I16_OK[key], _V2_OK.get(key, False))
+                              i16, _V2_OK.get((key, bool(i16)), False))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "i16", "v2"))

@@ -306,23 +306,20 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     for n in ("span", "pos", "min"):
         path = cov_paths[n]
         if n in premerged:
-            try:
-                if premerged[n] == "insufficient":
-                    raise ValueError(
-                        "not enough concordant read samples; set "
-                        "multi_exon_transcripts_stats = yes")
-                covariances[n] = premerged[n][1]
-                continue
-            except ValueError as e:
+            if premerged[n] == "insufficient":
                 import sys as _sys
-                print(f"WARNING: {n} covariance merge failed ({e}); "
+                print(f"WARNING: {n} covariance merge failed (not "
+                      "enough concordant read samples; set "
+                      "multi_exon_transcripts_stats = yes); "
                       "falling back to covariance 0.0 — p-values will "
                       "deviate from a full-size run. Check that "
                       "multi_exon_transcripts covered enough concordant "
                       "pairs (reference aborts here).",
                       file=_sys.stderr)
                 covariances[n] = 0.0
-                continue
+            else:
+                covariances[n] = premerged[n][1]
+            continue
         if path.exists():
             try:
                 covariances[n] = futures[n].result()
@@ -599,7 +596,12 @@ def materialize_cov_samples(config: Config, run_dir, out_dir):
     (lazy-samples runs emit only ``cov.merged.tsv``; the sampling scan
     is deterministic, so re-running it with output paths reproduces the
     exact bytes an eager run would have written).  Returns
-    {kind: path}."""
+    {kind: path}.
+
+    NOTE: this mirrors ``stage_calccov``'s sample-production chain
+    (sample_positions -> native tbl -> native SAM -> python); any
+    change to either side must keep them in lockstep —
+    tests/test_pipeline_sharded.py pins materialized == eager bytes."""
     import os
 
     run_dir = pathlib.Path(run_dir)

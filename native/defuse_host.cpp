@@ -2528,10 +2528,14 @@ bool SelectiveLoadReads(ReadStoreHandle& rh,
       int fd = ::open(path, O_RDONLY);
       if (fd < 0) return false;
       struct stat st;
-      if (fstat(fd, &st) != 0 || st.st_size == 0) {
+      if (fstat(fd, &st) != 0) {
+        close(fd);
+        return false;
+      }
+      if (st.st_size == 0) {
         close(fd);
         n = 0;
-        return st.st_size == 0;  // empty file is a valid (empty) map
+        return true;  // empty file is a valid (empty) map
       }
       p = (const char*)mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED,
                             fd, 0);
@@ -2860,6 +2864,21 @@ long dt_driver_emit_eval(
     const int8_t* seq_strand, const char* refname_concat,
     const int64_t* refname_off, const int8_t* align_strand) {
   auto* d = (RealignDriver*)handle;
+  // validate fusion-id lookups BEFORE the expensive realignment: every
+  // selectable candidate (flank_idx >= 0 was itself derived from
+  // cluster_ids at construction) must resolve, so a mismatched
+  // cluster_ids array fails fast and the caller's Python fallback does
+  // not pay for a wasted DP pass
+  {
+    long n_cand = (long)(d->cand.size() / 4);
+    for (long c = 0; c < n_cand; c++) {
+      if (d->flank_idx[c] < 0) continue;
+      uint32_t fid = (uint32_t)d->cand[4 * c];
+      const uint32_t* pos =
+          std::lower_bound(cluster_ids, cluster_ids + n_clusters, fid);
+      if (pos == cluster_ids + n_clusters || *pos != fid) return -1;
+    }
+  }
   std::vector<EmittedRow> rows;
   long total = EmitRowsCore(d, survivors, n_threads, rows);
 
