@@ -12,6 +12,7 @@ Usage: python scripts_dev/scale10m.py [n_background_pairs]
 """
 
 import json
+import os
 import pathlib
 import random
 import sys
@@ -43,7 +44,7 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
     from synthdata import SynthDataset, write_genome_fasta, write_gtf, \
         write_repeats
 
-    tmp = pathlib.Path(tempfile.mkdtemp(prefix="defuse_10m_"))
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="defuse_10m_%d_" % os.getpid()))
     rng = random.Random(777)
     t0 = time.time()
     marks = {}
@@ -164,4 +165,11 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     rpj = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
-    main(n, rpj)
+    try:
+        main(n, rpj)
+    finally:
+        # the working set is tens of GB at scale; never leak the tmpdir
+        import glob
+        import shutil
+        for d in glob.glob(tempfile.gettempdir() + "/defuse_10m_%d_*" % os.getpid()):
+            shutil.rmtree(d, ignore_errors=True)

@@ -3,6 +3,7 @@
 pairs, full FASTQ -> results path with per-stage timings (BASELINE
 config-2-shaped workload)."""
 
+import os
 import pathlib
 import sys
 import tempfile
@@ -31,7 +32,7 @@ def main(n_background=N_BACKGROUND, use_device=True):
     from synthdata import Gene, SynthDataset, random_seq, write_dataset, \
         write_genome_fasta, write_gtf, write_repeats
 
-    tmp = pathlib.Path(tempfile.mkdtemp(prefix="defuse_scale_"))
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="defuse_scale_%d_" % os.getpid()))
     rng = random.Random(2024)
     t0 = time.time()
 
@@ -166,4 +167,10 @@ def main(n_background=N_BACKGROUND, use_device=True):
 
 
 if __name__ == "__main__":
-    main(use_device="--cpu" not in sys.argv)
+    try:
+        main(use_device="--cpu" not in sys.argv)
+    finally:
+        import glob
+        import shutil
+        for d in glob.glob(tempfile.gettempdir() + "/defuse_scale_%d_*" % os.getpid()):
+            shutil.rmtree(d, ignore_errors=True)

@@ -13,6 +13,7 @@ Writes SIM_VALIDATION_r2.md at the repo root when run at full scale.
 """
 
 import json
+import os
 import pathlib
 import random
 import sys
@@ -124,7 +125,7 @@ def main(n_background=1_000_000, write_report=True):
     from synthdata import SynthDataset, write_genome_fasta, write_gtf, \
         write_repeats
 
-    tmp = pathlib.Path(tempfile.mkdtemp(prefix="defuse_sim_"))
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="defuse_sim_%d_" % os.getpid()))
     rng = random.Random(4242)
     t0 = time.time()
     marks = {}
@@ -250,4 +251,10 @@ def main(n_background=1_000_000, write_report=True):
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
         else 1_000_000
-    main(n)
+    try:
+        main(n)
+    finally:
+        import glob
+        import shutil
+        for d in glob.glob(tempfile.gettempdir() + "/defuse_sim_%d_*" % os.getpid()):
+            shutil.rmtree(d, ignore_errors=True)
