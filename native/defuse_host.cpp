@@ -143,6 +143,15 @@ struct GzIn {
   }
 };
 
+// EM phase accumulators (DT_TIMING diagnostics; ns, across threads)
+static std::atomic<long> g_em_init_ns{0}, g_em_mstep_ns{0},
+    g_em_estep_ns{0};
+static inline long NowNs() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
 constexpr double kLambda = 0.1;
 constexpr double kTolerance = 0.001;
 constexpr int kKMax = 10;
@@ -954,11 +963,14 @@ class MatePairEMHost {
     // exp twin (bit-identical values to the scalar std::exp calls the
     // loop below used to make; the accumulation order is unchanged)
     maxexp_.resize(n_);
-    for (int i = 0; i < n_; i++) {
-      double m = exps_flat_[i];
-      for (int j = 1; j < k_; j++)
-        m = std::max(m, exps_flat_[(size_t)j * n_ + i]);
-      maxexp_[i] = m;
+    // row sweeps in ascending-j order (same max sequence per element as
+    // the per-i column walk, contiguous accesses vectorize)
+    std::memcpy(maxexp_.data(), exps_flat_.data(),
+                (size_t)n_ * sizeof(double));
+    for (int j = 1; j < k_; j++) {
+      const double* row = &exps_flat_[(size_t)j * n_];
+      double* m = maxexp_.data();
+      for (int i = 0; i < n_; i++) m[i] = std::max(m[i], row[i]);
     }
     for (int j = 0; j < k_; j++) {
       double* row = &exps_flat_[(size_t)j * n_];
@@ -1014,6 +1026,7 @@ class MatePairEMHost {
     w_.assign(k_, 0.0);
     a_.assign(k_, 0.0);
     b_.assign(k_, 0.0);
+    long t0 = NowNs();
     if (k_ == 1 || k_ == n_) {
       for (int j = 0; j < k_; j++) {
         std::fill(r_[j].begin(), r_[j].end(), 1.0 / k_);
@@ -1045,9 +1058,11 @@ class MatePairEMHost {
           ryo_[j][to_yo_[i]] = v;
         }
     }
+    g_em_init_ns += NowNs() - t0;
     double last_ll = 0.0;
     bool last_valid = false;
     for (;;) {
+      long tm = NowNs();
       for (int j = 0; j < k_; j++) {
         double a, b;
         if (MaxLikelihood(r_[j], rxo_[j], ryo_[j], a, b)) {
@@ -1060,7 +1075,10 @@ class MatePairEMHost {
         for (int i = 0; i < n_; i++) nk += r_[j][i];
         w_[j] = nk / n_;
       }
+      long te = NowNs();
+      g_em_mstep_ns += te - tm;
       double ll = LogLikelihoodAndResponsibilities();
+      g_em_estep_ns += NowNs() - te;
       if (last_valid && std::fabs(ll - last_ll) < kTolerance) break;
       if (last_valid && ll == -std::numeric_limits<double>::max())
         return false;
@@ -1491,6 +1509,12 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
     auto now = std::chrono::steady_clock::now();
     fprintf(stderr, "[dt_cluster] %s: %.3fs\n", stage,
             std::chrono::duration<double>(now - tick).count());
+    if (strcmp(stage, "em") == 0)
+      fprintf(stderr,
+              "[dt_cluster]   em thread-s: init %.3f mstep %.3f "
+              "estep %.3f\n",
+              g_em_init_ns.load() / 1e9, g_em_mstep_ns.load() / 1e9,
+              g_em_estep_ns.load() / 1e9);
     tick = now;
   };
   const int min_fusion_range = (int)(frag_mean + 10.0 * frag_std);
