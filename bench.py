@@ -400,7 +400,6 @@ def pallas_kernel_bench(R=256, L=64):
         import numpy as _np
 
         from defuse_tpu.ops.split_dp_batch import pad_batch
-        from defuse_tpu.ops.split_dp_pallas import _dp_row_maxima_pallas
         rng = _np.random.default_rng(0)
         B_small, B_big = 2048, 16384
         refs = ["".join(rng.choice(list("ACGT"), R))
@@ -409,8 +408,20 @@ def pallas_kernel_bench(R=256, L=64):
                  for _ in range(B_big)]
         rp, rl = pad_batch(refs, R)
         qp, ql = pad_batch(reads, L)
+        # route through the production dispatch so the probed best
+        # variant (grid-over-rows v2 / fori v1, int16/int32) is the one
+        # measured; record which one ran
+        from defuse_tpu.ops import split_dp_pallas as _sp
+        _sp.dp_row_maxima_pallas(rp.astype(_np.int32)[:8], rl[:8],
+                                 qp.astype(_np.int32)[:8], ql[:8])
+        backend = jax.default_backend()
+        i16 = _sp._I16_OK.get(backend, False)
+        v2 = _sp._V2_OK.get((backend, bool(i16)), False)
+        kfn = _sp._dp_row_maxima_pallas_v2 if v2 \
+            else _sp._dp_row_maxima_pallas
+        variant = f"{'v2' if v2 else 'v1'}-{'i16' if i16 else 'i32'}"
         g = jax.jit(lambda a, b, c, d: jnp.sum(
-            _dp_row_maxima_pallas(a, b, c, d, 256, False)))
+            kfn(a, b, c, d, 256, False, i16)))
 
         def best_time(B, iters=8):
             dev = [jax.device_put(x[:B]) for x in
@@ -429,7 +440,8 @@ def pallas_kernel_bench(R=256, L=64):
         print(f"PALLAS_KERNEL ms={t_big * 1000:.2f} B={B_big} "
               f"reads_s={B_big / t_big:.0f} "
               f"marginal_us={marginal * 1e6:.3f} "
-              f"marginal_reads_s={1 / marginal:.0f}")
+              f"marginal_reads_s={1 / marginal:.0f} "
+              f"variant={variant}")
     except Exception as e:  # never fail the bench over a microbench
         print(f"pallas kernel bench failed: {e}", file=sys.stderr)
 
