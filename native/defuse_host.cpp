@@ -5016,25 +5016,43 @@ long dt_read_stats_tbl(const char* tbl_path, double* out_scalars,
   if (!LoadPairTbl(tbl_path, t)) return -1;
   double s = 0.0, ss = 0.0;
   long n = 0;
-  std::set<int32_t> lengths;
+  // read lengths are tiny ints: a bitmap beats a std::set insert pair
+  // per record (2 x 100M tree inserts cost ~10s at scale); lengths
+  // beyond the bitmap fall back to the set (unbounded correctness)
+  constexpr int kMaxLen = 1 << 16;
+  std::vector<uint64_t> seen(kMaxLen / 64, 0);
+  std::set<int32_t> big;
   for (const PairRec& r : t.recs) {
     long isize = r.isize;
     if (isize < 0) isize = -isize;
     s += (double)isize;
     ss += (double)isize * (double)isize;
     n++;
-    lengths.insert(r.len1);
-    lengths.insert(r.len2);
+    for (int32_t v : {r.len1, r.len2}) {
+      if (0 <= v && v < kMaxLen)
+        seen[v >> 6] |= 1ULL << (v & 63);
+      else
+        big.insert(v);
+    }
   }
   out_scalars[0] = (double)n;
   out_scalars[1] = s;
   out_scalars[2] = ss;
+  // emit ascending, exactly like set iteration (negatives first from
+  // the fallback set, then the bitmap, then oversized values)
+  long total = 0;
   int i = 0;
-  for (int32_t v : lengths) {
-    if (i >= cap) break;
-    out_lengths[i++] = v;
-  }
-  return (long)lengths.size();
+  auto emit = [&](int32_t v) {
+    if (i < cap) out_lengths[i++] = v;
+    total++;
+  };
+  for (int32_t v : big)
+    if (v < 0) emit(v);
+  for (int32_t v = 0; v < kMaxLen; v++)
+    if (seen[v >> 6] >> (v & 63) & 1) emit(v);
+  for (int32_t v : big)
+    if (v >= kMaxLen) emit(v);
+  return total;
 }
 
 // dt_calccov over the binary pair table, threaded by record ranges
