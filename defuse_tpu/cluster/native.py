@@ -942,6 +942,14 @@ def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
     return int(rc), out
 
 
+def pairtbl_cache_clear() -> None:
+    """Release the native single-slot pair-table cache (multi-GB at
+    scale; the read-stats and calccov stages share one load)."""
+    lib = load_library()
+    if lib is not None:
+        lib.dt_pairtbl_cache_clear()
+
+
 def cov_merge_file(path, seed=11):
     """Native covariance-sample merge (bit-exact twin of
     stats.pvalues.cov_samples_merge over the file's rows).  Returns

@@ -250,6 +250,10 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                    outputs=[cov_merged_path] if _lazy_cov else
                            [cov_paths["span"], cov_paths["pos"],
                             cov_paths["min"], cov_merged_path])
+    # read-stats and calccov shared one native table load; release the
+    # multi-GB cache now that the scans are done
+    if _native.available():
+        _native.pairtbl_cache_clear()
 
     from ..utils.profiling import Tracer
     _tracer = Tracer(str(out))

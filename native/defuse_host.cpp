@@ -29,6 +29,8 @@
 #include <fstream>
 #include <limits>
 #include <map>
+#include <memory>
+#include <mutex>
 #include <set>
 #include <sstream>
 #include <string>
@@ -3398,6 +3400,41 @@ inline bool LoadPairTbl(const char* path, PairTbl& t) {
   return ok;
 }
 
+// Process-wide single-slot pair-table cache: the read-stats and calccov
+// stages scan the same multi-GB table back to back; loading it once
+// per pipeline process saves a full parse + RAM churn.  Staleness is
+// checked by (path, size, mtime incl. nanoseconds); dt_pairtbl_cache_clear
+// releases the memory once the consumers are done.
+struct TblCacheEntry {
+  std::string path;
+  off_t size = -1;
+  long mtime_s = 0, mtime_ns = 0;
+  std::shared_ptr<PairTbl> tbl;
+};
+inline std::mutex& TblCacheMu() {
+  static std::mutex mu;
+  return mu;
+}
+inline TblCacheEntry& TblCache() {
+  static TblCacheEntry e;
+  return e;
+}
+inline std::shared_ptr<PairTbl> GetPairTblCached(const char* path) {
+  struct stat st;
+  if (stat(path, &st) != 0) return nullptr;
+  std::lock_guard<std::mutex> lk(TblCacheMu());
+  TblCacheEntry& e = TblCache();
+  if (e.tbl && e.path == path && e.size == st.st_size &&
+      e.mtime_s == (long)st.st_mtim.tv_sec &&
+      e.mtime_ns == (long)st.st_mtim.tv_nsec)
+    return e.tbl;
+  auto t = std::make_shared<PairTbl>();
+  if (!LoadPairTbl(path, *t)) return nullptr;
+  e = {path, st.st_size, (long)st.st_mtim.tv_sec,
+       (long)st.st_mtim.tv_nsec, t};
+  return t;
+}
+
 // per-reference remap metadata (cdna: transcripts; genome: chromosomes)
 struct RefMeta {
   const int32_t* gene = nullptr;   // interned gene, -1 none
@@ -5009,11 +5046,18 @@ long dt_localalign_batch(const char* refs, const int64_t* ref_off,
 // dt_read_stats over the binary pair table: identical accumulation
 // order to the SAM scan (records are in fragment order, the same order
 // pair.sam rows appear), so the float sums are bit-equal.
+// release the cached pair table (multi-GB at scale)
+void dt_pairtbl_cache_clear() {
+  std::lock_guard<std::mutex> lk(alignjob::TblCacheMu());
+  alignjob::TblCache() = alignjob::TblCacheEntry{};
+}
+
 long dt_read_stats_tbl(const char* tbl_path, double* out_scalars,
                        int32_t* out_lengths, int cap) {
   using namespace alignjob;
-  PairTbl t;
-  if (!LoadPairTbl(tbl_path, t)) return -1;
+  auto tp = GetPairTblCached(tbl_path);
+  if (!tp) return -1;
+  const PairTbl& t = *tp;
   double s = 0.0, ss = 0.0;
   long n = 0;
   // read lengths are tiny ints: a bitmap beats a std::set insert pair
@@ -5074,8 +5118,9 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
                     long* merged_counts) {
   using namespace alignjob;
   constexpr int64_t kBin = 10000;  // calccov.py BIN_SPACING
-  PairTbl tbl;
-  if (!LoadPairTbl(tbl_path, tbl)) return -1;
+  auto tblp = GetPairTblCached(tbl_path);
+  if (!tblp) return -1;
+  const PairTbl& tbl = *tblp;
   if (n_threads < 1) n_threads = 1;
   const bool timing = getenv("DT_TIMING") != nullptr;
   auto tick = std::chrono::steady_clock::now();
