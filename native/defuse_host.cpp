@@ -3303,6 +3303,42 @@ inline void BuildPrefixTable(SeedIdx& ix, std::vector<int64_t>& storage) {
   ix.bshift = shift;
 }
 
+// Process-wide prefix-table cache: one mmap-loaded index serves every
+// shard of a run, so the counting pass (~0.1s per shard at genome
+// scale) is paid once.  Keyed by (keys pointer, n_keys, k) and
+// validated by the first/last key values, so a freed-and-remapped
+// index at the same address cannot serve a stale table.
+inline void BuildPrefixTableCached(
+    SeedIdx& ix, std::shared_ptr<std::vector<int64_t>>& keep) {
+  if (!ix.present() || ix.n_keys == 0) return;
+  static std::mutex mu;
+  static std::map<std::tuple<const uint64_t*, int64_t, int>,
+                  std::pair<std::pair<uint64_t, uint64_t>,
+                            std::shared_ptr<std::vector<int64_t>>>>
+      cache;
+  int key_bits = 2 * ix.k;
+  int shift = key_bits - std::min(key_bits, 22);
+  auto ckey = std::make_tuple(ix.keys, ix.n_keys, ix.k);
+  auto sig = std::make_pair(ix.keys[0], ix.keys[ix.n_keys - 1]);
+  {
+    std::lock_guard<std::mutex> lk(mu);
+    auto it = cache.find(ckey);
+    if (it != cache.end() && it->second.first == sig) {
+      keep = it->second.second;
+      ix.boff = keep->data();
+      ix.bshift = shift;
+      return;
+    }
+  }
+  auto fresh = std::make_shared<std::vector<int64_t>>();
+  BuildPrefixTable(ix, *fresh);
+  keep = fresh;
+  ix.boff = keep->data();
+  ix.bshift = shift;
+  std::lock_guard<std::mutex> lk(mu);
+  cache[ckey] = {sig, fresh};
+}
+
 // Binary proper-pair table (cdna.pair.tbl): the pair.sam content in a
 // directly scannable layout so downstream checkpointed stages (read
 // stats, calccov) don't re-parse hundreds of MB of SAM text.  Layout:
@@ -3758,13 +3794,13 @@ long dt_align_job(
         .count();
   };
   double aj_t0 = aj_now();
-  // bucket prefix tables (one linear pass per index, threaded)
-  std::vector<int64_t> c_pt, g_pt, r_pt, p_pt;
+  // bucket prefix tables (cached across shards; first build threaded)
+  std::shared_ptr<std::vector<int64_t>> c_pt, g_pt, r_pt, p_pt;
   {
-    std::thread t1([&] { BuildPrefixTable(cdna, c_pt); });
-    std::thread t2([&] { BuildPrefixTable(genome, g_pt); });
-    std::thread t3([&] { BuildPrefixTable(rrna, r_pt); });
-    BuildPrefixTable(prefilter, p_pt);
+    std::thread t1([&] { BuildPrefixTableCached(cdna, c_pt); });
+    std::thread t2([&] { BuildPrefixTableCached(genome, g_pt); });
+    std::thread t3([&] { BuildPrefixTableCached(rrna, r_pt); });
+    BuildPrefixTableCached(prefilter, p_pt);
     t1.join();
     t2.join();
     t3.join();
