@@ -1,0 +1,98 @@
+"""On-chip A/B of the split-DP Pallas kernels: fori-loop v1 vs
+grid-over-rows v2, int32 and (if the toolchain accepts it) int16.
+
+Run while the TPU tunnel is live:
+
+    python scripts_dev/pallas_ab_onchip.py
+
+Reports, per variant, the best-of-N kernel time on a 16384x(256,50)
+batch plus the marginal per-read time (big-minus-small batches, which
+cancels the fixed link round trip), and asserts the variants agree
+bit-for-bit on the measured inputs before timing them.
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from defuse_tpu.ops import split_dp_pallas as sp
+    from defuse_tpu.ops.split_dp_batch import pad_batch
+
+    backend = jax.default_backend()
+    print(f"backend={backend} devices={jax.devices()}")
+
+    R, L = 256, 64
+    B_small, B_big = 2048, 16384
+    rng = np.random.default_rng(0)
+    refs = ["".join(rng.choice(list("ACGT"), R)) for _ in range(B_big)]
+    reads = ["".join(rng.choice(list("ACGT"), 50)) for _ in range(B_big)]
+    rp, rl = pad_batch(refs, R)
+    qp, ql = pad_batch(reads, L)
+    rp = rp.astype(np.int32)
+    qp = qp.astype(np.int32)
+
+    # warm the dispatch probes so _I16_OK/_V2_OK are populated
+    sp.dp_row_maxima_pallas(rp[:8], rl[:8], qp[:8], ql[:8])
+    i16_ok = sp._I16_OK.get(backend, False)
+    variants = []
+    for name, fn, i16 in [
+        ("v1-i32", sp._dp_row_maxima_pallas, False),
+        ("v2-i32", sp._dp_row_maxima_pallas_v2, False),
+        ("v1-i16", sp._dp_row_maxima_pallas, True),
+        ("v2-i16", sp._dp_row_maxima_pallas_v2, True),
+    ]:
+        if i16 and not i16_ok:
+            print(f"{name}: int16 declined by toolchain probe; skipped")
+            continue
+        if name.startswith("v2") and not sp._V2_OK.get((backend, i16),
+                                                       False):
+            print(f"{name}: v2 declined by toolchain probe; skipped")
+            continue
+        variants.append((name, fn, i16))
+
+    # bit-identity across variants on a slice before timing
+    outs = {}
+    for name, fn, i16 in variants:
+        o = np.asarray(fn(rp[:512], rl[:512], qp[:512], ql[:512],
+                          256, False, i16))
+        outs[name] = o.astype(np.int32)
+    base = outs[variants[0][0]]
+    for name in outs:
+        assert np.array_equal(outs[name], base), f"{name} != baseline"
+    print(f"bit-identity across {len(outs)} variants: ok (512x{R})")
+
+    results = {}
+    for name, fn, i16 in variants:
+        g = jax.jit(lambda a, b, c, d, fn=fn, i16=i16: jnp.sum(
+            fn(a, b, c, d, 256, False, i16)))
+
+        def best_time(B, iters=8):
+            dev = [jax.device_put(x[:B]) for x in (rp, rl, qp, ql)]
+            float(g(*dev))
+            best = 1e9
+            for _ in range(iters):
+                t0 = time.time()
+                float(g(*dev))
+                best = min(best, time.time() - t0)
+            return best
+
+        t_small = best_time(B_small)
+        t_big = best_time(B_big)
+        marg = (t_big - t_small) / (B_big - B_small)
+        results[name] = (t_big, marg)
+        print(f"{name}: big={t_big * 1e3:.2f}ms "
+              f"marginal={marg * 1e6:.3f}us/read "
+              f"marginal_reads_s={1 / marg:.0f}")
+
+    best = min(results, key=lambda k: results[k][1])
+    print(f"BEST {best} marginal_reads_s={1 / results[best][1]:.0f}")
+
+
+if __name__ == "__main__":
+    main()

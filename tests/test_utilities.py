@@ -183,3 +183,71 @@ def test_export_cli(tmp_path):
     row = pts.read_text().splitlines()
     assert len(row) == 1 and row[0].startswith("hs") and \
         row[0].endswith(" 12.5")
+
+
+def test_circos_converters_golden(tmp_path):
+    """Byte parity vs the reference Perl converters
+    (results_to_circos_links.pl / filter_equal.pl /
+    cnv_to_circos_points.pl) and the create_circos_data.pl data-file
+    contract (links split by orf, five CNV level tracks)."""
+    from defuse_tpu.cli.exporters import (cnv_to_circos_points,
+                                          create_circos_data,
+                                          filter_equal,
+                                          results_to_circos_link_rows)
+    ref = "/root/reference/scripts"
+    results = (
+        "cluster_id\tlibrary_name\tgene_chromosome1\tgenomic_break_pos1"
+        "\tgene_chromosome2\tgenomic_break_pos2\torf\n"
+        "0\tlibA\t1\t1000\t2\t2000\tY\n"
+        "1\tlibA\t3\t500\tX\t700\tN\n"
+        "2\tlibA\t23\t42\tMT\t77\tY\n")
+    res_path = tmp_path / "results.tsv"
+    res_path.write_text(results)
+
+    # results_to_circos_links.pl parity (whole file)
+    golden = subprocess.run(
+        ["perl", f"{ref}/results_to_circos_links.pl"],
+        input=results, capture_output=True, text=True, check=True).stdout
+    buf = io.StringIO()
+    results_to_circos_link_rows(io.StringIO(results), buf)
+    assert buf.getvalue() == golden
+
+    # filter_equal.pl | results_to_circos_links.pl parity per orf flag
+    for orf in ("Y", "N"):
+        flt = subprocess.run(
+            ["perl", f"{ref}/filter_equal.pl", "orf", orf],
+            input=results, capture_output=True, text=True,
+            check=True).stdout
+        golden = subprocess.run(
+            ["perl", f"{ref}/results_to_circos_links.pl"],
+            input=flt, capture_output=True, text=True, check=True).stdout
+        buf = io.StringIO()
+        results_to_circos_link_rows(
+            filter_equal(io.StringIO(results), "orf", orf), buf)
+        assert buf.getvalue() == golden
+
+    # cnv_to_circos_points.pl parity (incl. the 23 -> X rename)
+    cnv = ("1\t100\t200\t3\t0.5\n"
+           "23\t10\t20\t4\t1.25\n"
+           "5\t1\t2\t9\t-0.75\n")
+    cnv_path = tmp_path / "cnv.tsv"
+    cnv_path.write_text(cnv)
+    for levels in ((1, 2), (3,), (4, 5, 6), (7, 8), (9, 10, 11)):
+        golden = subprocess.run(
+            ["perl", f"{ref}/cnv_to_circos_points.pl",
+             ",".join(map(str, levels))],
+            input=cnv, capture_output=True, text=True, check=True).stdout
+        buf = io.StringIO()
+        cnv_to_circos_points(io.StringIO(cnv), levels, buf)
+        assert buf.getvalue() == golden
+
+    # create_circos_data: file set + contents
+    paths = create_circos_data(str(res_path), str(tmp_path / "pfx"),
+                               cnv_path=str(cnv_path))
+    assert [p.rsplit("pfx", 1)[1] for p in paths] == \
+        [".1.link", ".2.link", ".somatic.loss.txt", ".neut.txt",
+         ".somatic.gain.txt", ".germline.loss.txt",
+         ".germline.gain.txt"]
+    link1 = open(paths[0]).read()
+    assert "libA-0\ths1\t1000\t1000\n" in link1 and "libA-1" not in link1
+    assert open(paths[3]).read() == "hs1\t100\t200\t0.5\n"
