@@ -101,17 +101,11 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
     # cascade with steps 1..2^k covers a window of 2^(k+1)-1 lanes, so
     # stopping once the window reaches 2*n_rows is exact (bit-identical;
     # pinned by the interpret-mode oracle tests).
-    shifts = []
-    s = 1
-    while s < min(width, 2 * n_rows):
-        shifts.append(s)
-        s *= 2
-
     gap = dtype(GAP)
     match_ = dtype(MATCH)
     mismatch = dtype(MISMATCH)
 
-    def body(j, carry):
+    def body(j, carry, shifts):
         prev, out_acc = carry
         # read char j-1 via one-hot reduction along lanes
         ch = jnp.sum(jnp.where(read_lane == j - 1, reads, 0), axis=1,
@@ -145,10 +139,29 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
         out_acc = jnp.where(out_lane == j, rowmax, out_acc)
         return col, out_acc
 
-    init = (jnp.where(valid, dtype(0), neg),
-            jnp.zeros(out_ref.shape, dtype=jnp.int32))
-    _, out_acc = jax.lax.fori_loop(1, n_rows + 1, body, init)
-    out_ref[:] = out_acc
+    # Segmented row loop: the cascade at row j only needs to cover a
+    # window of 2j - 1 lanes (row-j values are bounded within [-2j, 2j]
+    # while propagation decays GAP=-2 per lane), so rows in the segment
+    # (2^(m-1), 2^m] run shifts 1..2^m — shallower cascades for early
+    # rows, bit-identical to the uniform-depth loop (pinned by the
+    # interpret-mode oracle tests).  Each segment keeps the final-step
+    # wrap select, mirroring the uniform kernel's exactness argument.
+    carry = (jnp.where(valid, dtype(0), neg),
+             jnp.zeros(out_ref.shape, dtype=jnp.int32))
+    lo = 1
+    hi_cap = 1
+    while lo <= n_rows:
+        hi = min(n_rows, hi_cap)
+        seg_shifts = []
+        s = 1
+        while s < min(width, 2 * hi):
+            seg_shifts.append(s)
+            s *= 2
+        carry = jax.lax.fori_loop(
+            lo, hi + 1, functools.partial(body, shifts=seg_shifts), carry)
+        lo = hi + 1
+        hi_cap *= 2
+    out_ref[:] = carry[1]
 
 
 def _dp_kernel_v2(refs_ref, ch_ref, lens_ref, out_ref, prev_ref, *,
