@@ -469,6 +469,9 @@ def em_ablation_only(tmpdir):
             cluster_alignments(table, params, em_mode=mode)
             timings[mode] = round(time.time() - t0, 3)
         except Exception as e:  # device mode needs jax; never fatal
+            # surface the reason in the recorded extras, not just stderr
+            msg = str(e).splitlines()[0][:120].replace("=", ":")
+            timings[f"{mode}_error"] = f"'{msg}'"
             print(f"em ablation {mode} failed: {e}", file=sys.stderr)
     if timings:
         print("EM_ABLATION " +
@@ -476,7 +479,8 @@ def em_ablation_only(tmpdir):
 
 
 def run_em_ablation_subprocess(tmpdir, timeout_s=420):
-    """Returns {"native": s, "device": s} or {} — never raises."""
+    """Returns {"native": s, "device": s, [mode + "_error"]: str} or {}
+    — never raises."""
     try:
         proc = subprocess.run(
             [sys.executable, __file__, "--em-ablation", str(tmpdir)],
@@ -485,8 +489,11 @@ def run_em_ablation_subprocess(tmpdir, timeout_s=420):
         return {}
     for line in proc.stdout.splitlines():
         if line.startswith("EM_ABLATION"):
-            return {k: float(v) for k, v in
-                    (p.split("=") for p in line.split()[1:])}
+            out = {}
+            for p in line.split()[1:]:
+                k, v = p.split("=", 1)
+                out[k] = v.strip("'") if k.endswith("_error") else float(v)
+            return out
     return {}
 
 
