@@ -439,7 +439,17 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
     return jax.jit(em_run)
 
 
-def run_batch(batch: EMBatch, params: EMParams, dtype=None):
+# Largest (instance, k) row count shipped to the device in one program.
+# The axon TPU worker crashes executing this EM past ~2-3k rows (bisected
+# live: 2048 ok, 3072 kills the worker process) — a toolchain fault, not
+# memory (the 3806x141 f32 batch is ~6MB).  Rows are independent, so
+# uniform slabs (last one padded by repeating row 0) give identical
+# results with ONE compiled shape.
+TPU_CHUNK_ROWS = 1024
+
+
+def run_batch(batch: EMBatch, params: EMParams, dtype=None,
+              chunk_rows=None):
     """Run the batched EM and select K by BIC.  Returns per-instance
     memberships: {instance_id: list of member index lists}.
 
@@ -447,19 +457,43 @@ def run_batch(batch: EMBatch, params: EMParams, dtype=None):
     (v5e has no native f64; f32 decisions agree except at fp-boundary
     memberships — see module docstring).
     """
+    on_tpu = jax.default_backend() == "tpu"
     if dtype is None:
-        dtype = (jnp.float32 if jax.default_backend() == "tpu"
-                 else jnp.float64)
+        dtype = jnp.float32 if on_tpu else jnp.float64
+    if chunk_rows is None:
+        chunk_rows = TPU_CHUNK_ROWS if on_tpu else 0
     em = make_em_step(params.fragment_stddev)
-    x = jnp.asarray(batch.x, dtype)
-    y = jnp.asarray(batch.y, dtype)
-    u = jnp.asarray(batch.u, dtype)
-    a, b, w, ll, ok, _ = em(x, y, u, jnp.asarray(batch.n),
-                            jnp.asarray(batch.k), jnp.asarray(batch.r0,
-                                                              dtype))
-    a = np.asarray(a)
-    b = np.asarray(b)
-    ll = np.asarray(ll)
+    rows = len(batch.n)
+
+    def run_rows(xs, ys, us, ns, ks, r0s):
+        return em(jnp.asarray(xs, dtype), jnp.asarray(ys, dtype),
+                  jnp.asarray(us, dtype), jnp.asarray(ns),
+                  jnp.asarray(ks), jnp.asarray(r0s, dtype))
+
+    if chunk_rows and rows > chunk_rows:
+        parts = []
+        for lo in range(0, rows, chunk_rows):
+            hi = min(rows, lo + chunk_rows)
+            pad = chunk_rows - (hi - lo)
+            idx = np.arange(lo, hi)
+            if pad:  # repeat row 0 so every slab shares one shape
+                idx = np.concatenate([idx, np.zeros(pad, np.intp)])
+            a_c, b_c, _, ll_c, ok_c, _ = run_rows(
+                batch.x[idx], batch.y[idx], batch.u[idx], batch.n[idx],
+                batch.k[idx], batch.r0[idx])
+            take = hi - lo
+            parts.append((np.asarray(a_c)[:take], np.asarray(b_c)[:take],
+                          np.asarray(ll_c)[:take], np.asarray(ok_c)[:take]))
+        a = np.concatenate([p[0] for p in parts])
+        b = np.concatenate([p[1] for p in parts])
+        ll = np.concatenate([p[2] for p in parts])
+        ok = np.concatenate([p[3] for p in parts])
+    else:
+        a, b, w, ll, ok, _ = run_rows(batch.x, batch.y, batch.u, batch.n,
+                                      batch.k, batch.r0)
+        a = np.asarray(a)
+        b = np.asarray(b)
+        ll = np.asarray(ll)
     ok = np.asarray(ok)
 
     # BIC per (instance, k) element; argmin per instance
