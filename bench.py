@@ -280,12 +280,14 @@ def tpu_alive(timeout_s: int = 300) -> bool:
     return False
 
 
-def run_ours_subprocess(tmpdir, device, timeout_s=480):
+def run_ours_subprocess(tmpdir, device, timeout_s=480, env=None):
     """Run the 'ours' measurement isolated in a subprocess so a flapping
     device link cannot hang the benchmark; returns (elapsed_s, extras)
     or (None, {})."""
     proc_env = dict(os.environ)
     proc_env["DEFUSE_STAGE_TIMING"] = "1"
+    if env:
+        proc_env.update(env)
     if device == "cpu":
         proc_env["DEFUSE_BENCH_FORCE_CPU"] = "1"
     try:
@@ -408,18 +410,15 @@ def pallas_kernel_bench(R=256, L=64):
                  for _ in range(B_big)]
         rp, rl = pad_batch(refs, R)
         qp, ql = pad_batch(reads, L)
-        # route through the production dispatch so the probed best
-        # variant (grid-over-rows v2 / fori v1, int16/int32) is the one
-        # measured; record which one ran
+        # route through the production dispatch so the probed element
+        # type (int16/int32) is the one measured; record which one ran
         from defuse_tpu.ops import split_dp_pallas as _sp
         _sp.dp_row_maxima_pallas(rp.astype(_np.int32)[:8], rl[:8],
                                  qp.astype(_np.int32)[:8], ql[:8])
         backend = jax.default_backend()
         i16 = _sp._I16_OK.get(backend, False)
-        v2 = _sp._V2_OK.get((backend, bool(i16)), False)
-        kfn = _sp._dp_row_maxima_pallas_v2 if v2 \
-            else _sp._dp_row_maxima_pallas
-        variant = f"{'v2' if v2 else 'v1'}-{'i16' if i16 else 'i32'}"
+        kfn = _sp._dp_row_maxima_pallas
+        variant = f"v1-{'i16' if i16 else 'i32'}"
         g = jax.jit(lambda a, b, c, d: jnp.sum(
             kfn(a, b, c, d, 256, False, i16)))
 
@@ -470,12 +469,12 @@ def em_ablation_only(tmpdir):
             timings[mode] = round(time.time() - t0, 3)
         except Exception as e:  # device mode needs jax; never fatal
             # surface the reason in the recorded extras, not just stderr
-            msg = str(e).splitlines()[0][:120].replace("=", ":")
-            timings[f"{mode}_error"] = f"'{msg}'"
+            msg = (str(e) or repr(e)).splitlines() or [type(e).__name__]
+            timings[f"{mode}_error"] = msg[0][:200]
             print(f"em ablation {mode} failed: {e}", file=sys.stderr)
     if timings:
-        print("EM_ABLATION " +
-              " ".join(f"{k}={v}" for k, v in timings.items()))
+        # one JSON blob: arbitrary error text can never break the parse
+        print("EM_ABLATION " + json.dumps(timings))
 
 
 def run_em_ablation_subprocess(tmpdir, timeout_s=420):
@@ -485,15 +484,11 @@ def run_em_ablation_subprocess(tmpdir, timeout_s=420):
         proc = subprocess.run(
             [sys.executable, __file__, "--em-ablation", str(tmpdir)],
             capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return {}
-    for line in proc.stdout.splitlines():
-        if line.startswith("EM_ABLATION"):
-            out = {}
-            for p in line.split()[1:]:
-                k, v = p.split("=", 1)
-                out[k] = v.strip("'") if k.endswith("_error") else float(v)
-            return out
+        for line in proc.stdout.splitlines():
+            if line.startswith("EM_ABLATION "):
+                return json.loads(line[len("EM_ABLATION "):])
+    except Exception as e:
+        print(f"em ablation subprocess failed: {e}", file=sys.stderr)
     return {}
 
 
@@ -538,15 +533,31 @@ def main():
         ab = run_em_ablation_subprocess(tmpdir)
         if ab:
             run_extras["em_ablation_s"] = ab
+        # forced-device screen leg (VERDICT r2 item 3): what the Pallas
+        # split-realign screen contributes when routing is overridden —
+        # quantifies the kernel's net effect including this link's cost
+        # (on a local chip the link terms vanish and auto-routing would
+        # pick the device itself)
+        forced_elapsed, forced_extras = run_ours_subprocess(
+            tmpdir, "tpu", env={"DEFUSE_DEVICE_SCREEN": "force"})
+        if forced_elapsed is not None:
+            run_extras["forced_device_screen"] = {
+                "elapsed_s": round(forced_elapsed, 3),
+                "pairs_s": round(n_pairs / forced_elapsed, 1),
+                "screen_routing": forced_extras.get("screen_routing"),
+                "stage_times_s": forced_extras.get("stage_times_s"),
+            }
     # verification pass in-process on CPU (deterministic, no hang risk)
     _e, our_outs = run_ours(paths, None, tmpdir, use_tpu=False)
     ours_pairs_s = n_pairs / ours_elapsed
 
     exact_match = None
     if ref_outs is not None:
-        exact_match = (
-            pathlib.Path(our_outs["break"]).read_text()
-            == ref_outs["break"].read_text())
+        # all three evaluate artifacts must match byte-for-byte
+        exact_match = all(
+            pathlib.Path(our_outs[n]).read_text()
+            == ref_outs[n].read_text()
+            for n in ("seq", "break", "predalign"))
 
     # the ours subprocess re-probes the device right before measuring (a
     # flapping link can die between our probe and its run): its own

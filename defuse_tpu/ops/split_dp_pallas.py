@@ -164,112 +164,7 @@ def _dp_kernel(refs_ref, reads_ref, lens_ref, out_ref, *, n_rows: int,
     out_ref[:] = carry[1]
 
 
-def _dp_kernel_v2(refs_ref, ch_ref, lens_ref, out_ref, prev_ref, *,
-                  n_rows: int, width: int, i16: bool):
-    """Grid-over-rows variant: the read-position loop is the second
-    grid dimension, so the per-row read char arrives as a (TB, 1)
-    block via the BlockSpec index map and the per-row maxima store
-    straight to this step's (TB, 1) output block — no one-hot
-    extraction / accumulation selects.  The DP column carries across
-    grid steps in VMEM scratch (TPU grids iterate sequentially with the
-    last dimension fastest), re-initialized at j == 0.  Same integer
-    recurrence as ``_dp_kernel`` — bit-identical results."""
-    dtype = jnp.int16 if i16 else jnp.int32
-    neg = NEG16 if i16 else NEG
-    j = pl.program_id(1)
-
-    def roll_lanes(x, sh):
-        if x.dtype.itemsize == 2:
-            return pltpu.bitcast(
-                pltpu.roll(pltpu.bitcast(x, jnp.int32), sh, 1),
-                jnp.int16)
-        return pltpu.roll(x, sh, 1)
-
-    refs = refs_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, refs.shape, 1)
-    decay = (GAP * lane).astype(dtype)
-    valid = lane <= lens_ref[:]
-
-    @pl.when(j == 0)
-    def _init():
-        prev_ref[:] = jnp.where(valid, dtype(0), neg)
-
-    shifts = []
-    s = 1
-    while s < min(width, 2 * n_rows):
-        shifts.append(s)
-        s *= 2
-
-    gap = dtype(GAP)
-    match_ = dtype(MATCH)
-    mismatch = dtype(MISMATCH)
-
-    ch = ch_ref[:]  # (TB, 1) int32: read char at row j+1
-    prev = prev_ref[:]
-    sub = jnp.where(refs == ch, match_, mismatch)
-    prev_s = roll_lanes(prev, 1)
-    vert = jnp.maximum(prev_s + sub, prev + gap)
-    x = jnp.where(valid, vert - decay, neg)
-    for sh in shifts[:-1]:
-        x = jnp.maximum(x, roll_lanes(x, sh))
-    if shifts:
-        sh = shifts[-1]
-        x = jnp.maximum(x, jnp.where(lane >= sh, roll_lanes(x, sh), neg))
-    col = x + decay
-    prev_ref[:] = col
-    out_ref[:] = jnp.max(col.astype(jnp.int32), axis=1, keepdims=True)
-
-
 _I16_OK: dict = {}
-_V2_OK: dict = {}
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("batch_tile", "interpret", "i16"))
-def _dp_row_maxima_pallas_v2(refs, ref_lens, reads, read_lens,
-                             batch_tile=256, interpret=False, i16=False):
-    """Grid-over-rows dispatch (same contract as
-    ``_dp_row_maxima_pallas``; bit-identical output)."""
-    B, R = refs.shape
-    L = reads.shape[1]
-    W = _round_up(R + 1 + _max_shift(L), LANES)
-    TB = min(batch_tile, _round_up(B, 8))
-    Bp = _round_up(B, TB)
-
-    refs_sh = jnp.zeros((Bp, W), dtype=jnp.int32)
-    refs_sh = refs_sh.at[:B, 1:R + 1].set(refs.astype(jnp.int32))
-    reads_p = jnp.zeros((Bp, max(L, 1)), dtype=jnp.int32)
-    reads_p = reads_p.at[:B, :L].set(reads.astype(jnp.int32))
-    lens_p = jnp.zeros((Bp, 1), dtype=jnp.int32)
-    lens_p = lens_p.at[:B, 0].set(ref_lens.astype(jnp.int32))
-
-    dtype = jnp.int16 if i16 else jnp.int32
-    grid = (Bp // TB, L)
-    out = pl.pallas_call(
-        functools.partial(_dp_kernel_v2, n_rows=L, width=W, i16=i16),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TB, W), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TB, 1), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, L), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((TB, W), dtype)],
-        interpret=interpret,
-    )(refs_sh, reads_p, lens_p)
-
-    # rows 1..L came from the grid; row 0 is the all-zero boundary
-    rowmax = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype=jnp.int32), out[:B]], axis=1)
-    row_valid = jnp.arange(L + 1, dtype=jnp.int32)[None, :] \
-        <= read_lens[:, None]
-    rowmax = jnp.where(rowmax >= MIN_SPLIT_SCORE, rowmax, 0)
-    return jnp.where(row_valid, rowmax, 0)
 
 
 def _tighten(refs, ref_lens, reads, read_lens):
@@ -317,38 +212,9 @@ def dp_row_maxima_pallas(refs, ref_lens, reads, read_lens, batch_tile=256):
             _I16_OK[key] = False
     L = reads.shape[1]
     refs_t, reads_t, _lmax = _tighten(refs, ref_lens, reads, read_lens)
-    rowmax = _dispatch(refs_t, ref_lens, reads_t, read_lens,
-                       batch_tile, interpret, _I16_OK[key])
+    rowmax = _dp_row_maxima_pallas(refs_t, ref_lens, reads_t, read_lens,
+                                   batch_tile, interpret, _I16_OK[key])
     return _pad_rowmax(rowmax, L)
-
-
-def _dispatch(refs, ref_lens, reads, read_lens, batch_tile, interpret,
-              i16):
-    """Prefer the grid-over-rows kernel (v2: per-row char and output
-    blocks via BlockSpec index maps — no one-hot selects); probe it
-    once per backend and fall back to the fori_loop kernel if the
-    toolchain declines.  DEFUSE_PALLAS_V2=off forces the fallback."""
-    import os
-    # probe v2 with the SAME element type that will actually run: a
-    # toolchain could accept v2's int32 lowering but decline its int16
-    # VMEM-scratch variant (or vice versa), so the cache is keyed per
-    # (backend, i16)
-    key = (jax.default_backend(), bool(i16))
-    if key not in _V2_OK:
-        if os.environ.get("DEFUSE_PALLAS_V2", "auto") == "off":
-            _V2_OK[key] = False
-        else:
-            try:
-                _dp_row_maxima_pallas_v2(
-                    refs[:1], ref_lens[:1], reads[:1, :2],
-                    read_lens[:1], 8, interpret,
-                    i16).block_until_ready()
-                _V2_OK[key] = True
-            except Exception:
-                _V2_OK[key] = False
-    fn = _dp_row_maxima_pallas_v2 if _V2_OK[key] else _dp_row_maxima_pallas
-    return fn(refs, ref_lens, reads, read_lens, batch_tile, interpret,
-              i16)
 
 
 @functools.partial(jax.jit,
@@ -439,14 +305,12 @@ def screen_candidates_pallas(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
     i16 = _I16_OK[key]
     return _screen_candidates(uref1[:, :rmax], ulen1, uref2r[:, :rmax],
                               ulen2, ref_idx, reads[:, :lmax],
-                              read_lens, min_scores, interpret,
-                              i16, _V2_OK.get((key, bool(i16)), False))
+                              read_lens, min_scores, interpret, i16)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "i16", "v2"))
+@functools.partial(jax.jit, static_argnames=("interpret", "i16"))
 def _screen_candidates(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
-                       read_lens, min_scores, interpret=False, i16=False,
-                       v2=False):
+                       read_lens, min_scores, interpret=False, i16=False):
     L = reads.shape[1]
     reads32 = reads.astype(jnp.int32)
     read_lens = read_lens.astype(jnp.int32)
@@ -461,8 +325,7 @@ def _screen_candidates(uref1, ulen1, uref2r, ulen2, ref_idx, reads,
     r2 = uref2r.astype(jnp.int32)[ref_idx]
     l2 = ulen2.astype(jnp.int32)[ref_idx]
 
-    fn = _dp_row_maxima_pallas_v2 if v2 else _dp_row_maxima_pallas
-    rowmax = fn(
+    rowmax = _dp_row_maxima_pallas(
         jnp.concatenate([r1, r2]), jnp.concatenate([l1, l2]),
         jnp.concatenate([reads32, rev]),
         jnp.concatenate([read_lens, read_lens]),

@@ -156,7 +156,11 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             screen_mode = os.environ.get("DEFUSE_DEVICE_SCREEN", "auto")
             if screen_mode == "off":
                 use_device = False
-            elif screen_mode != "force":
+            elif screen_mode == "force":
+                if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
+                    print("[discover] screen: device (forced, "
+                          f"B={driver.n_candidates})", flush=True)
+            else:
                 # waiting on the probe is itself a cost: the most the
                 # screen can save is t_host minus the kernel-only device
                 # time, so never wait longer than that (for small

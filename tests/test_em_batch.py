@@ -60,6 +60,23 @@ def test_membership_agreement():
         f"only {n_match}/{len(instances)} instances agree"
 
 
+def test_chunked_run_batch_identical():
+    """The TPU slab-chunked path (uniform slabs, last one padded by
+    repeating row 0) must be bit-identical to the unchunked path — on
+    CPU the default is unchunked, so this exercises the chunk logic
+    explicitly with a chunk smaller than the batch."""
+    rng = np.random.default_rng(7)
+    instances = [_instance(rng, rng.integers(1, 4), 24) for _ in range(9)]
+    batch = prepare_batch(instances, PARAMS)
+    assert len(batch.n) > 7  # several slabs incl. a padded tail
+    want = run_batch(batch, PARAMS, chunk_rows=0)
+    got = run_batch(batch, PARAMS, chunk_rows=7)
+    assert want.keys() == got.keys()
+    for inst in want:
+        assert [sorted(c) for c in want[inst]] == \
+            [sorted(c) for c in got[inst]], inst
+
+
 def test_fixture_instances_agree(ref_binaries, tmp_path):
     """Memberships agree on every bin-pair instance arising from the
     bundled discordant SAM."""

@@ -108,31 +108,3 @@ def test_lane_padding_widths():
             got = np.asarray(_dp_row_maxima_pallas(
                 refs, rl, reads, ql, 256, True, i16))
             assert (got == want).all(), (R, L, i16)
-
-
-def test_v2_grid_kernel_matches_v1_and_oracle():
-    """The grid-over-rows kernel (v2: per-row char/output blocks via
-    BlockSpec index maps, DP column carried in VMEM scratch across grid
-    steps) must be bit-identical to the fori_loop kernel and the XLA
-    oracle across shapes, both element types, and multiple batch tiles
-    (the scratch re-init at j == 0 must isolate batch tiles)."""
-    import numpy as np
-
-    from defuse_tpu.ops.split_dp_batch import dp_row_maxima
-    from defuse_tpu.ops.split_dp_pallas import (_dp_row_maxima_pallas,
-                                                _dp_row_maxima_pallas_v2)
-    rng = np.random.default_rng(13)
-    for (B, R, L, TB) in ((16, 130, 64, 8), (40, 90, 24, 8),
-                          (16, 384, 64, 16), (24, 60, 50, 8)):
-        refs = rng.integers(1, 5, (B, R)).astype(np.int32)
-        rl = rng.integers(max(1, R // 2), R + 1, B).astype(np.int32)
-        reads = rng.integers(1, 5, (B, L)).astype(np.int32)
-        ql = rng.integers(max(1, L // 2), L + 1, B).astype(np.int32)
-        want = np.asarray(dp_row_maxima(refs, rl, reads, ql))
-        for i16 in (False, True):
-            v1 = np.asarray(_dp_row_maxima_pallas(
-                refs, rl, reads, ql, TB, True, i16))
-            v2 = np.asarray(_dp_row_maxima_pallas_v2(
-                refs, rl, reads, ql, TB, True, i16))
-            assert (v1 == want).all(), (B, R, L, TB, i16, "v1")
-            assert (v2 == want).all(), (B, R, L, TB, i16, "v2")
