@@ -401,6 +401,9 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
     _mark("breakseq")
     # --- annotation -----------------------------------------------------
     annotations: dict[int, dict] = {}
+    # the classifier needs the full feature set; denovo-only annotation
+    # keys (injected below) must not trigger it on their own
+    full_annotation = gm is not None and genome_fasta
     if gm is not None and genome_fasta:
         genome = FastaStore.from_file(genome_fasta)
         repeats = Repeats(repeats_regions)
@@ -510,9 +513,39 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
             return dn_realigner.reads.get(fragment | (read_end << 31), "")
 
         assemblies = assemble_clusters(cand_rows, _lookup)
-        denovo_outs = write_denovo_outputs(
+        # real denovo spanning p-values: locate each assembly's junction
+        # against its flank pair, convert to reference breakpoints
+        # (evaluate's coordinate rules), run the calc_span_stats math
+        from .denovo_stage import (denovo_annotation_rows,
+                                   denovo_break_positions, infer_junction)
+        dn_breaks: dict[int, dict[int, int]] = {}
+        for cid in assemblies:
+            task = dn_tasks.get(cid)
+            if task is None:
+                continue
+            j = infer_junction(task, assemblies[cid][0])
+            if j is not None:
+                dn_breaks[cid] = denovo_break_positions(task, *j)
+        dn_stats = _span_stats_from_breaks(
+            out / "clusters.sc", dn_breaks, {cid: 0 for cid in dn_breaks})
+        dn_span_p = {
+            cid: (spanning_pvalue(mean, n, frag_mean, frag_std,
+                                  covariances["span"], span_readlen), n)
+            for cid, (mean, n) in dn_stats.items()}
+        verdict, denovo_outs = write_denovo_outputs(
             assemblies, {cid: float(p) for cid, p in span_p.items()},
-            str(out))
+            dn_span_p, str(out))
+        # surface the documented break_predict / denovo_* columns
+        # (README.md:276-287) into results.tsv via the annotations join
+        dn_rows = denovo_annotation_rows(
+            sorted(set(seqs) | set(assemblies)), assemblies, dn_span_p,
+            verdict)
+        anno_path = out / "annotations"
+        with open(anno_path, "a" if anno_path.exists() else "w") as fh:
+            for cid in sorted(dn_rows):
+                for key in sorted(dn_rows[cid]):
+                    fh.write(f"{cid}\t{key}\t{dn_rows[cid][key]}\n")
+                annotations.setdefault(cid, {}).update(dn_rows[cid])
     _mark("denovo")
 
     # --- collate + classify + filter -----------------------------------
@@ -522,7 +555,7 @@ def run_pipeline(*, config: Config, output_dir: str, library_name: str,
                 annotations, fh)
     classified = out / "results.classify.tsv"
     filtered = out / "results.filtered.tsv"
-    if annotations:
+    if full_annotation and annotations:
         classify_results(str(results), str(classified))
         filter_by_probability(str(classified), str(filtered),
                               config.get_float("probability_threshold"))
@@ -564,7 +597,14 @@ def _span_stats(clusters_sc_path, breaks_path, seq_path):
     for line in open(seq_path):
         f = line.rstrip("\n").split("\t")
         inter_length[int(f[0])] = int(f[2])
+    return _span_stats_from_breaks(clusters_sc_path, break_pos,
+                                   inter_length)
 
+
+def _span_stats_from_breaks(clusters_sc_path, break_pos, inter_length):
+    """calc_span_stats core against caller-supplied break positions
+    ({cid: {end: pos}}) — shared by the splitr flow and the denovo
+    arbitration (which derives its breakpos from the assembly)."""
     strand_by_end: dict = {}
     extents: dict = {}
     for line in open(clusters_sc_path):

@@ -75,7 +75,8 @@ def test_run_pipeline_e2e(tmp_path):
 
 def test_run_pipeline_denovo_stage(tmp_path):
     """denovo_assembly=yes produces per-cluster assemblies that span the
-    breakpoint, without touching the results.tsv schema."""
+    breakpoint and surfaces the documented break_predict / denovo_*
+    columns (README.md:276-287) in results.tsv."""
     ds = make_dataset(seed=63)
     paths = write_dataset(ds, tmp_path)
     concordant = tmp_path / "concordant.sam"
@@ -107,6 +108,47 @@ def test_run_pipeline_denovo_stage(tmp_path):
     predict = dict(l.split("\t") for l in
                    open(outs["denovo_predict"]).read().splitlines())
     assert set(predict.values()) <= {"splitr", "denovo"}
+
+    # documented denovo columns surface in results.tsv
+    results = open(outs["results"]).read().splitlines()
+    header = results[0].split("\t")
+    for col in ("break_predict", "denovo_sequence", "denovo_min_count",
+                "denovo_span_pvalue"):
+        assert col in header, f"missing denovo column {col}"
+    bp_idx = header.index("break_predict")
+    seq_idx = header.index("denovo_sequence")
+    mc_idx = header.index("denovo_min_count")
+    got_rows = [r.split("\t") for r in results[1:]]
+    assert all(r[bp_idx] in ("splitr", "denovo") for r in got_rows)
+    # at least one assembled cluster carries its sequence + min count
+    assembled = [r for r in got_rows if r[seq_idx]]
+    assert assembled, "no denovo_sequence surfaced in results.tsv"
+    assert all(int(r[mc_idx]) >= 1 for r in assembled)
+
+
+def test_denovo_annotation_rows_arbitration():
+    """denovo-wins and splitr-wins rows per select_breakpoint_seq.pl:
+    the winning source is recorded in break_predict; assembly payloads
+    surface regardless of the winner; clusters without a junction-
+    locatable assembly keep splitr with empty denovo fields."""
+    from defuse_tpu.pipeline.denovo_arbitration import arbitrate
+    from defuse_tpu.pipeline.denovo_stage import denovo_annotation_rows
+
+    assemblies = {1: ("ACGT" * 30, 8, 5), 2: ("TTGG" * 30, 6, 3)}
+    dn_pval = {1: (0.9, 8), 2: (0.01, 6)}  # 1: denovo wins, 2: splitr
+    splitr_pval = {1: 0.2, 2: 0.5, 3: 0.7}
+    verdict = arbitrate(splitr_pval, {c: p for c, (p, _n) in
+                                      dn_pval.items()})
+    assert verdict == {1: "denovo", 2: "splitr", 3: "splitr"}
+    rows = denovo_annotation_rows([1, 2, 3], assemblies, dn_pval, verdict)
+    assert rows[1]["break_predict"] == "denovo"
+    assert rows[1]["denovo_sequence"] == "ACGT" * 30
+    assert rows[1]["denovo_min_count"] == "5"
+    assert rows[1]["denovo_span_pvalue"].startswith("0.9")
+    assert rows[2]["break_predict"] == "splitr"
+    assert rows[2]["denovo_sequence"] == "TTGG" * 30
+    assert rows[3] == {"break_predict": "splitr", "denovo_sequence": "",
+                       "denovo_min_count": "", "denovo_span_pvalue": ""}
 
 
 def _rc(seq):
