@@ -309,6 +309,9 @@ def run_ours_subprocess(tmpdir, device, timeout_s=480, env=None):
         elif line.startswith("PALLAS_KERNEL"):
             extras["pallas_kernel"] = dict(
                 p.split("=") for p in line.split()[1:])
+        elif line.startswith("VERIFY_KERNEL"):
+            extras["verify_kernel"] = dict(
+                p.split("=") for p in line.split()[1:])
         elif line.startswith("FRONTEND_PAIRS_S"):
             extras["frontend_pairs_s"] = float(line.split()[1])
         elif line.startswith("OURS_ELAPSED"):
@@ -360,6 +363,7 @@ def ours_only(tmpdir):
     frontend_bench(ds, tmpdir)
     if use_tpu:
         pallas_kernel_bench()
+        verify_kernel_bench()
 
 
 def frontend_bench(ds, tmpdir):
@@ -443,6 +447,65 @@ def pallas_kernel_bench(R=256, L=64):
               f"variant={variant}")
     except Exception as e:  # never fail the bench over a microbench
         print(f"pallas kernel bench failed: {e}", file=sys.stderr)
+
+
+def verify_kernel_bench(L=50):
+    """On-chip candidate-verification microbench (VERDICT r2 item 6):
+    marginal candidates/s of the packed mismatch-count kernel, with the
+    host NumPy oracle rate alongside so the cost-model constants stay
+    calibrated."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from defuse_tpu.ops.verify_batch import pack_codes, _verify_packed
+        rng = _np.random.default_rng(0)
+        N = 4_000_000
+        codes = rng.integers(0, 4, N).astype(_np.int8)
+        ref2, ref1 = pack_codes(codes)
+        ref2d, ref1d = jax.device_put(ref2), jax.device_put(ref1)
+        B_reads = 20000
+        reads = rng.integers(0, 4, (B_reads, L)).astype(_np.int8)
+        lens = _np.full(B_reads, L, _np.int32)
+        reads_d = jax.device_put(reads)
+        lens_d = jax.device_put(lens)
+        C_small, C_big = 16384, 262144
+        starts = rng.integers(0, N - L, C_big).astype(_np.int64)
+        w16 = (starts >> 4).astype(_np.int32)
+        l16 = (starts & 15).astype(_np.int32)
+        ridx = rng.integers(0, B_reads, C_big).astype(_np.int32)
+        g = jax.jit(lambda a, b, c: jnp.sum(_verify_packed(
+            ref2d, ref1d, a, b, reads_d, c, lens_d, L)))
+
+        def best_time(C, iters=8):
+            dev = [jax.device_put(x[:C]) for x in (w16, l16, ridx)]
+            float(g(*dev))
+            best = 1e9
+            for _ in range(iters):
+                t0 = time.time()
+                float(g(*dev))
+                best = min(best, time.time() - t0)
+            return best
+
+        t_small = best_time(C_small)
+        t_big = best_time(C_big)
+        marginal = (t_big - t_small) / (C_big - C_small)
+        # host oracle rate on the same shapes (single thread)
+        h_idx = _np.clip(starts[:C_small, None] + _np.arange(L)[None, :],
+                         0, N - 1)
+        t0 = time.time()
+        windows = codes[h_idx]
+        diff = (windows != reads[ridx[:C_small]])
+        diff.sum(axis=1)
+        t_host = time.time() - t0
+        print(f"VERIFY_KERNEL ms={t_big * 1000:.2f} C={C_big} "
+              f"marginal_us={marginal * 1e6:.3f} "
+              f"marginal_cands_s={1 / marginal:.0f} "
+              f"lanes_s={L / marginal:.0f} "
+              f"host_cands_s={C_small / t_host:.0f}")
+    except Exception as e:  # never fail the bench over a microbench
+        print(f"verify kernel bench failed: {e}", file=sys.stderr)
 
 
 def em_ablation_only(tmpdir):

@@ -763,10 +763,16 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
             ig_genes = {line.strip() for line in fh if line.strip()}
 
     verify_fn = None
-    if use_device and not native.available():
-        # the native driver beats device-verify over the tunnel; the
-        # DeviceVerifier only carries the no-native fallback.  A dead
-        # device link must not hang the aligner (bounded probe).
+    import os as _os_v
+    _verify_mode = _os_v.environ.get("DEFUSE_DEVICE_VERIFY", "auto")
+    if use_device and _verify_mode != "off" \
+            and (not native.available() or _verify_mode == "force"):
+        # with the native driver available the fused C++ seed+verify
+        # wins over a tunneled link, so auto mode only engages the
+        # DeviceVerifier as the no-native fallback (its internal cost
+        # model then routes each call); DEFUSE_DEVICE_VERIFY=force puts
+        # verification on the chip regardless (local-link ablation).
+        # A dead device link must not hang the aligner (bounded probe).
         from ..core.devices import tpu_backend_available
         if tpu_backend_available():
             from ..ops.verify_batch import DeviceVerifier

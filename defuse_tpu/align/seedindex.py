@@ -368,13 +368,16 @@ class SeedIndex:
             (cand_pos + lens <= self.offsets[np.minimum(
                 seq_i + 1, len(self.offsets) - 1)]) & \
             (seq_i >= 0)
-        # gather windows (clip for safety; invalid filtered after)
-        gather_idx = np.clip(cand_pos[:, None] + np.arange(L)[None, :], 0,
-                             len(self.codes) - 1)
         if verify_fn is not None:
-            mismatches = verify_fn(self.codes, gather_idx,
-                                   reads_codes[read_idx], lens)
+            # transfer-lean device path: ship unique reads once plus the
+            # per-candidate (start, read_idx) vectors; the device gathers
+            # read rows and reference windows itself
+            mismatches = verify_fn(self.codes, cand_pos, reads_codes,
+                                   read_idx, read_lens)
         else:
+            # gather windows (clip for safety; invalid filtered after)
+            gather_idx = np.clip(cand_pos[:, None] + np.arange(L)[None, :],
+                                 0, len(self.codes) - 1)
             windows = self.codes[gather_idx]
             diff = (windows != reads_codes[read_idx]) \
                 & (np.arange(L)[None, :] < lens[:, None])

@@ -134,3 +134,61 @@ def test_short_reads_full_sensitivity_with_small_k(genome_fx):
         oracle = brute_force_hits(gcodes, read)
         assert ours == oracle, (read, ours, oracle)
         assert len(ours) >= 1
+
+
+def test_device_verifier_hit_sets_match_oracle(genome_fx, monkeypatch):
+    """The DeviceVerifier path (packed 2-bit + N planes, on-device read
+    gather) must yield bit-identical hit sets to the brute-force oracle —
+    including reads/reference containing N (code 4), which lives in the
+    separate N plane."""
+    seq, _index, rng = genome_fx
+    # genome with N runs so the N plane is exercised
+    seq_n = seq[:5000] + "N" * 37 + seq[5037:20000]
+    index = SeedIndex({"g": seq_n})
+    gcodes = encode(seq_n)
+
+    from defuse_tpu.ops.verify_batch import DeviceVerifier
+    monkeypatch.setenv("DEFUSE_DEVICE_VERIFY", "force")
+    dv = DeviceVerifier(batch=257)  # multiple device batches per call
+
+    reads = []
+    for n_mm in (0, 1, 2):
+        for _ in range(15):
+            p = rng.randrange(0, len(seq_n) - 50)
+            r = _mutate(rng, seq_n[p:p + 50].replace("N", "A"), n_mm)
+            if rng.random() < 0.5:
+                r = revcomp(r)
+            reads.append(r)
+    # reads overlapping the N run: the N plane must reproduce the host
+    # verifier's N semantics exactly (N == N compares equal).  A read
+    # whose seeds all fall in the N run is undiscoverable by any seed
+    # lookup, so these compare device vs host, not vs brute force.
+    n_reads = [seq_n[4990:5040], seq_n[5020:5070]]
+
+    plain = index.align_batch(reads + n_reads, max_mismatch=2)
+    device = index.align_batch(reads + n_reads, max_mismatch=2,
+                               verify_fn=dv)
+    for i, (read, hp, hd) in enumerate(zip(reads + n_reads, plain,
+                                           device)):
+        ours = sorted((a.pos, a.strand, a.mismatches) for a in hd)
+        host = sorted((a.pos, a.strand, a.mismatches) for a in hp)
+        assert ours == host, (read, ours, host)
+        if i < len(reads):
+            oracle = brute_force_hits(gcodes, read)
+            assert ours == oracle, (read, ours, oracle)
+
+
+def test_device_verifier_cost_model_routing():
+    """auto mode routes tiny batches to the host oracle over a slow
+    link profile; with the link terms gone the decision tracks the
+    measured kernel-vs-host rates (the model must follow the module's
+    calibrated constants, not hardcoded figures)."""
+    from defuse_tpu.ops import verify_batch as vb
+    tunnel = {"bw_MBps": 17.0, "rtt_ms": 157.0}
+    t_dev, t_host = vb.verify_cost_model(5000, 500, 50, tunnel)
+    assert t_dev > t_host  # small batch over a dead-slow link: host
+    local = {"bw_MBps": 10000.0, "rtt_ms": 0.05}
+    C, L = 2_000_000, 50
+    t_dev, t_host = vb.verify_cost_model(C, 100_000, L, local)
+    want_dev = C * L / vb.DEVICE_LANES_S < C / vb.HOST_CANDIDATES_S
+    assert (t_dev < t_host) == want_dev
