@@ -650,10 +650,13 @@ def _align_job_native(*, cdna_index, genome_index, rrna_index,
     }
 
 
-def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
+def align_reads(config, output_dir, fastq1, fastq2, use_device=True,
+                frag_base=0):
     """CLI helper: build indices from config-named references and run the
     frontend; returns run_pipeline keyword inputs.  ``use_device`` routes
-    candidate verification through the TPU (ops/verify_batch.py)."""
+    candidate verification through the TPU (ops/verify_batch.py).
+    ``frag_base`` offsets fragment ids globally when this process owns
+    one shard of a multi-process (multi-host) run."""
     from ..cluster import native
     from ..io.fasta import FastaStore
 
@@ -814,10 +817,11 @@ def align_reads(config, output_dir, fastq1, fastq2, use_device=True):
             hi = min(lo + reads_per_job, n_frags)
             res = run_shard(
                 slice_reads(reads1, lo, hi), slice_reads(reads2, lo, hi),
-                out / "aligned", frag_base=lo, append=si > 0)
+                out / "aligned", frag_base=frag_base + lo, append=si > 0)
             _tmark(f"shard {si} ({hi - lo} pairs)")
     else:
-        res = run_shard(reads1, reads2, out / "aligned")
+        res = run_shard(reads1, reads2, out / "aligned",
+                        frag_base=frag_base)
     return {
         "spanning": res["spanning"], "improper": res["improper"],
         "fastq1": str(out / "reads" / "reads.1.fastq"),

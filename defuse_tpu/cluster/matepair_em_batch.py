@@ -519,6 +519,17 @@ def run_batch(batch: EMBatch, params: EMParams, dtype=None,
         b = np.asarray(b)
         ll = np.asarray(ll)
     ok = np.asarray(ok)
+    return select_memberships(batch, params, a, b, ll, ok)
+
+
+def select_memberships(batch: EMBatch, params: EMParams, a, b, ll, ok):
+    """BIC model selection + membership thresholding from per-(instance,
+    K) EM results — the host tail of ``run_batch``, shared by the mesh-
+    sharded EM path (``__graft_entry__.dryrun_multichip``)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    ll = np.asarray(ll)
+    ok = np.asarray(ok)
 
     # BIC per (instance, k) element; argmin per instance
     bic = -2.0 * ll + batch.k * 2.0 * np.log(np.maximum(batch.n, 1))

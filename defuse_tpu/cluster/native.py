@@ -9,6 +9,7 @@ library is not built.
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
 import subprocess
 
@@ -20,6 +21,17 @@ _LIB_PATH = pathlib.Path(__file__).resolve().parent.parent.parent / \
     "native" / "libdefuse_host.so"
 _lib = None
 
+
+
+def _default_threads() -> int:
+    """Worker threads for native stages: the process's CPU *affinity*
+    set, not the machine's core count — a taskset/cgroup-pinned process
+    (multi-process scaling runs, containers) must not oversubscribe its
+    allotment."""
+    try:
+        return max(1, len(os.sched_getaffinity(0)))
+    except (AttributeError, OSError):
+        return max(1, os.cpu_count() or 2)
 
 def load_library(build_if_missing: bool = True):
     global _lib
@@ -131,6 +143,8 @@ def _configure(lib):
 
 
 def available() -> bool:
+    if os.environ.get("DEFUSE_NO_NATIVE"):
+        return False  # force the pure Python/JAX paths (tests, dryruns)
     return load_library() is not None
 
 
@@ -171,7 +185,7 @@ def em_cluster_batch(instances, params, n_threads: int = 0):
     lib = load_library()
     if n_threads <= 0:
         import os
-        n_threads = max(1, os.cpu_count() or 2)
+        n_threads = _default_threads()
     n_inst = len(instances)
     offsets = np.zeros(n_inst + 1, dtype=np.int64)
     for i, (x, _y, _u) in enumerate(instances):
@@ -218,7 +232,7 @@ def clustermatepairs(in_path: str, out_path: str, params,
     lib = load_library()
     if n_threads <= 0:
         import os
-        n_threads = max(1, os.cpu_count() or 2)
+        n_threads = _default_threads()
     rc = lib.dt_clustermatepairs(
         str(in_path).encode(), str(out_path).encode(),
         ctypes.c_double(params.fragment_mean),
@@ -248,7 +262,7 @@ def split_realign(ref1s, ref2s, reads, n_threads: int = 0) -> np.ndarray:
     lib = load_library()
     if n_threads <= 0:
         import os
-        n_threads = max(1, os.cpu_count() or 2)
+        n_threads = _default_threads()
     r1buf, r1off = _concat_seqs(ref1s)
     r2buf, r2off = _concat_seqs(ref2s)
     rdbuf, rdoff = _concat_seqs(reads)
@@ -281,7 +295,7 @@ def align_batch(index, reads_codes: np.ndarray, read_lens: np.ndarray,
     lib = load_library()
     if n_threads <= 0:
         import os
-        n_threads = max(1, os.cpu_count() or 2)
+        n_threads = _default_threads()
     codes = np.ascontiguousarray(index.codes, dtype=np.int8)
     offs = np.ascontiguousarray(index.offsets, dtype=np.int64)
     keys = np.ascontiguousarray(index.keys, dtype=np.uint64)
@@ -451,7 +465,7 @@ class RealignDriver:
     def emit(self, out_path, survivors=None, n_threads: int = 0) -> int:
         if n_threads <= 0:
             import os
-            n_threads = max(1, os.cpu_count() or 2)
+            n_threads = _default_threads()
         if survivors is None:
             mask = None
         else:
@@ -473,7 +487,7 @@ class RealignDriver:
         back to the Python chain)."""
         if n_threads <= 0:
             import os
-            n_threads = max(1, os.cpu_count() or 2)
+            n_threads = _default_threads()
         if survivors is None:
             mask = None
         else:
@@ -539,7 +553,7 @@ def build_seed_index(codes: np.ndarray, offsets: np.ndarray, k: int,
     lib = load_library()
     if n_threads <= 0:
         import os
-        n_threads = max(1, os.cpu_count() or 2)
+        n_threads = _default_threads()
     codes = np.ascontiguousarray(codes, dtype=np.int8)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     out = np.empty(max(1, len(codes)), dtype=np.uint64)
@@ -766,7 +780,7 @@ def align_job_native(*, cdna_index, genome_index, rrna_index,
             return None
     if n_threads <= 0:
         import os
-        n_threads = max(1, os.cpu_count() or 2)
+        n_threads = _default_threads()
 
     # reads may arrive as (char_matrix, lens) tuples (native fastq
     # ingest handoff) or as lists of strings
@@ -902,7 +916,7 @@ def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
         return None
     if n_threads <= 0:
         import os
-        n_threads = max(1, os.cpu_count() or 2)
+        n_threads = _default_threads()
     blob, noff = _names_blob(ref_names)
     mref = np.ascontiguousarray(marker_refs, dtype=np.int32)
     mpos = np.ascontiguousarray(marker_positions, dtype=np.int64)
@@ -979,7 +993,7 @@ def localalign_batch(refs, seqs, match, mismatch, gap, n_threads=0):
         return None
     if n_threads <= 0:
         import os
-        n_threads = max(1, os.cpu_count() or 2)
+        n_threads = _default_threads()
     r_blob, r_off = _names_blob(refs)
     s_blob, s_off = _names_blob(seqs)
     scores = np.zeros(max(1, len(refs)), dtype=np.int32)
@@ -1114,7 +1128,7 @@ def build_seed_chunk(codes_slice, offsets_rebased, k, global_base,
     lib = load_library()
     if n_threads <= 0:
         import os
-        n_threads = max(1, os.cpu_count() or 2)
+        n_threads = _default_threads()
     codes_slice = np.ascontiguousarray(codes_slice, dtype=np.int8)
     offsets_rebased = np.ascontiguousarray(offsets_rebased,
                                            dtype=np.int64)

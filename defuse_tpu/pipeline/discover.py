@@ -166,7 +166,8 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                 # time, so never wait longer than that (for small
                 # candidate sets this skips the probe outright instead
                 # of stalling the pipeline behind a dead tunnel)
-                ncpu = os.cpu_count() or 4
+                from ..cluster.native import _default_threads
+                ncpu = _default_threads()
                 t_host_est = driver.n_candidates / (90e3 * ncpu)
                 budget = t_host_est - driver.n_candidates / 700e3
                 if budget < 0.05 or not tpu_backend_available(
@@ -191,7 +192,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                     B = driver.n_candidates
                     L = _pad_len(max_read_length, 64)
                     t_dev = 3 * rtt + (2 * B * L) / bw + B / 700e3
-                    ncpu = os.cpu_count() or 4
+                    ncpu = _default_threads()
                     t_host = B / (90e3 * ncpu)
                     if _os_t.environ.get("DEFUSE_STAGE_TIMING"):
                         print(f"[discover] screen: "
