@@ -164,22 +164,76 @@ def _exponents(a, b, x, y, u, sigma, lam):
             - lam * jnp.maximum(0.0, y[:, None, :] - b[..., None]))
 
 
+def _onehot_gather(vals, idx, n):
+    """Gather ``vals[..., idx]`` along the last axis WITHOUT a gather op.
+
+    TPU lowers dynamic gathers along the minor (lane) axis to serialized
+    scalar loops — measured ~4.5ms per (B,K,N) take_along_axis on v5e,
+    which made each EM iteration cost ~76ms.  A masked one-hot sum is a
+    fused compare+select+reduce on the VPU (~60x faster) and bit-exact:
+    every output element sums exactly one nonzero, so no reduction-order
+    or matmul-precision effects exist.
+
+    vals: (..., N) broadcastable against idx (..., Q) -> (..., Q).
+    """
+    oh = idx[..., None] == jnp.arange(n, dtype=idx.dtype)
+    return jnp.sum(jnp.where(oh, vals[..., None, :], 0), axis=-1)
+
+
+def _side_static(sorted_vals, runend, n_valid):
+    """Loop-invariant per-side structures for the M-step event merge.
+
+    Everything here depends only on the coordinate sort order — NOT on
+    the responsibilities — so it is computed once per EM problem and
+    carried through the while_loop instead of being rebuilt (argsort +
+    serialized gathers) every iteration.
+    """
+    B, N = sorted_vals.shape
+    iota = jnp.arange(N, dtype=jnp.int32)[None, :]
+    order = jnp.argsort(~runend, axis=1, stable=True)   # run-end positions
+    count = jnp.sum(runend, axis=1)
+    mvalid = iota < count[:, None]
+    rpos = jnp.where(mvalid, order, N - 1)              # (B, N)
+    # value at each run end / at the next sorted position (one-time
+    # gathers outside the loop body)
+    runend_vals = jnp.take_along_axis(sorted_vals, rpos, axis=1)
+    runend_next = jnp.take_along_axis(
+        sorted_vals, jnp.clip(rpos + 1, 0, N - 1), axis=1)
+    has_next = (rpos + 1) < n_valid                      # (B, N)
+    n_runs = count[:, None]                              # (B, 1)
+    # one-hot of rpos for the per-iteration rcum pick (sx at run ends)
+    rpos_oh = rpos[:, :, None] == iota[:, None, :]       # (B, N, N)
+    return dict(rpos=rpos, rpos_oh=rpos_oh, mvalid=mvalid,
+                runend_vals=runend_vals, runend_next=runend_next,
+                has_next=has_next, n_runs=n_runs)
+
+
 def _m_step(r, batch_static, sigma, lam):
     """Exact piecewise-linear M-step, vectorized over (B, K).
 
     r: (B, K, N) responsibilities.  Returns a, b: (B, K) and ok mask.
+
+    Formulated gather-free for TPU: all data-dependent indexing is a
+    one-hot masked sum (see ``_onehot_gather``) and the two-pointer
+    merge's binary searches are broadcast compare+count reductions —
+    both bit-exact re-expressions of the previous take_along_axis /
+    searchsorted formulation.
     """
-    x, y, u, point_valid, xo_idx, yo_idx, x_runend, y_runend = batch_static
+    (x, y, u, point_valid, xo_oh, yo_oh, xo, yo,
+     xs_static, ys_static) = batch_static
     B, K, N = r.shape
 
     rm = jnp.where(point_valid[:, None, :], r, 0.0)
     nk = jnp.sum(rm, axis=2)                      # (B, K)
     rxyu = jnp.sum(rm * (x + y + u)[:, None, :], axis=2)
 
-    xo = jnp.take_along_axis(x, xo_idx, axis=1)   # (B, N) sorted desc
-    yo = jnp.take_along_axis(y, yo_idx, axis=1)
-    rxo = jnp.take_along_axis(rm, xo_idx[:, None, :].repeat(K, 1), axis=2)
-    ryo = jnp.take_along_axis(rm, yo_idx[:, None, :].repeat(K, 1), axis=2)
+    # permute rm into coordinate-sorted order via the static one-hot
+    # (B,N,N) masks: rxo[b,k,q] = rm[b,k,xo_idx[b,q]] — a fused masked
+    # reduce, not a serialized gather
+    rxo = jnp.sum(jnp.where(xo_oh[:, None, :, :], rm[:, :, None, :], 0),
+                  axis=3)
+    ryo = jnp.sum(jnp.where(yo_oh[:, None, :, :], rm[:, :, None, :], 0),
+                  axis=3)
     sx = jnp.cumsum(rxo, axis=2)                  # (B, K, N)
     sy = jnp.cumsum(ryo, axis=2)
 
@@ -191,33 +245,24 @@ def _m_step(r, batch_static, sigma, lam):
     # when SX < SY, the next y-run when SY < SX, and BOTH advanced when
     # SX == SY (the == branch).  We enumerate the same entries per run
     # end, resolving the active other-side run (and tie advancement) with
-    # vectorized searchsorted over the other side's run-end cumsums.
-    n_valid = jnp.sum(point_valid, axis=1)[:, None]  # (B, 1)
+    # vectorized lt/le counts over the other side's run-end cumsums.
     inf = jnp.asarray(BIG, rm.dtype)
 
-    def run_structure(runend, cum):
-        # positions of run ends in ascending order (padded with N-1)
-        order = jnp.argsort(~runend, axis=1, stable=True)  # (B, N)
-        count = jnp.sum(runend, axis=1)  # (B,)
-        mvalid = jnp.arange(N)[None, :] < count[:, None]
-        rpos = jnp.where(mvalid, order, N - 1)
-        rcum = jnp.take_along_axis(cum, rpos[:, None, :].repeat(K, 1),
-                                   axis=2)
-        rcum = jnp.where(mvalid[:, None, :], rcum, inf)
-        return rpos, rcum, mvalid
+    def rcum_at_runends(cum, side):
+        rcum = jnp.sum(jnp.where(side["rpos_oh"][:, None, :, :],
+                                 cum[:, :, None, :], 0), axis=3)
+        return jnp.where(side["mvalid"][:, None, :], rcum, inf)
 
-    x_rpos, x_rcum, x_mvalid = run_structure(x_runend, sx)
-    y_rpos, y_rcum, y_mvalid = run_structure(y_runend, sy)
+    x_rcum = rcum_at_runends(sx, xs_static)
+    y_rcum = rcum_at_runends(sy, ys_static)
 
     def entries_for(source_is_x):
         if source_is_x:
-            rpos, rcum, mvalid = x_rpos, x_rcum, x_mvalid
-            self_vals = xo
-            o_rpos, o_rcum, o_mvalid, o_vals = y_rpos, y_rcum, y_mvalid, yo
+            side, rcum = xs_static, x_rcum
+            o_side, o_rcum = ys_static, y_rcum
         else:
-            rpos, rcum, mvalid = y_rpos, y_rcum, y_mvalid
-            self_vals = yo
-            o_rpos, o_rcum, o_mvalid, o_vals = x_rpos, x_rcum, x_mvalid, xo
+            side, rcum = ys_static, y_rcum
+            o_side, o_rcum = xs_static, x_rcum
         t = rcum  # (B, K, N) event thresholds (inf where invalid)
 
         # rank of this run among equal-cum self runs.  rcum is
@@ -238,49 +283,46 @@ def _m_step(r, batch_static, sigma, lam):
 
         # other-side structure at t: the two-pointer merge pairs equal-cum
         # runs by rank (== branch advances both), then parks on the first
-        # other run beyond t (< branch).  Both sides are sorted, so the
-        # lt/le counts are batched binary searches.
-        # method='sort' vectorizes as a batched bitonic sort; the default
-        # 'scan' binary search lowers to per-row dynamic gathers that
-        # serialize on TPU (~200ms/EM-iteration measured on v5e)
-        flat_o = o_rcum.reshape(B * K, N)
-        flat_t = t.reshape(B * K, N)
-        n_o_lt = jax.vmap(
-            lambda arr, q: jnp.searchsorted(arr, q, side="left",
-                                            method="sort"))(
-                flat_o, flat_t).reshape(B, K, N).astype(jnp.int32)
-        n_o_le = jax.vmap(
-            lambda arr, q: jnp.searchsorted(arr, q, side="right",
-                                            method="sort"))(
-                flat_o, flat_t).reshape(B, K, N).astype(jnp.int32)
+        # other run beyond t (< branch).  Both sides are sorted; the lt/le
+        # counts are broadcast compare+count reductions, which XLA fuses
+        # on the VPU.  (vmapped searchsorted — 'scan' OR 'sort' — and
+        # take_along_axis both serialize on TPU inside the loop body.)
+        n_o_lt = jnp.sum(
+            (o_rcum[:, :, :, None] < t[:, :, None, :]), axis=2,
+            dtype=jnp.int32)
+        n_o_le = jnp.sum(
+            (o_rcum[:, :, :, None] <= t[:, :, None, :]), axis=2,
+            dtype=jnp.int32)
         n_o_ties = n_o_le - n_o_lt
-        n_o_runs = jnp.sum(o_mvalid, axis=1)[:, None, None]
+        n_o_runs = o_side["n_runs"][:, None, :]
 
         tie = rank < n_o_ties
         o_idx = n_o_lt + jnp.minimum(rank, n_o_ties)
         event_exists = tie | (n_o_lt + n_o_ties < n_o_runs)
         o_idx = jnp.clip(o_idx, 0, N - 1)
 
-        def val_at(vals2d, pos3d):
-            return jnp.take_along_axis(
-                jnp.broadcast_to(vals2d[:, None, :], (B, K, N)), pos3d,
-                axis=2)
+        # all remaining dynamic indexing happens through o_idx on static
+        # (B, N) run-end vectors: one fused one-hot reduce for the three
+        # of them (values, advanced values, has-next flag)
+        o_stack = jnp.stack([o_side["runend_vals"],
+                             o_side["runend_next"],
+                             o_side["has_next"].astype(rm.dtype)], axis=1)
+        picked = _onehot_gather(o_stack[:, None, :, :],
+                                o_idx[:, :, None, :], N)  # (B,K,3,N)
+        other_primary = picked[:, :, 0, :]
+        other_adv_raw = picked[:, :, 1, :]
+        other_has_next = picked[:, :, 2, :] > 0.5
 
-        o_end = jnp.take_along_axis(
-            jnp.broadcast_to(o_rpos[:, None, :], (B, K, N)), o_idx, axis=2)
-        self_end = jnp.broadcast_to(rpos[:, None, :], (B, K, N))
-        self_primary = val_at(self_vals, self_end)
-        other_primary = val_at(o_vals, o_end)
+        self_primary = jnp.broadcast_to(
+            side["runend_vals"][:, None, :], (B, K, N))
+        self_adv = jnp.broadcast_to(
+            side["runend_next"][:, None, :], (B, K, N))
+        self_has_next = jnp.broadcast_to(
+            side["has_next"][:, None, :], (B, K, N))
 
-        self_adv = val_at(self_vals, jnp.clip(self_end + 1, 0, N - 1))
-        other_adv = jnp.where(tie,
-                              val_at(o_vals, jnp.clip(o_end + 1, 0, N - 1)),
-                              other_primary)
-
-        self_has_next = (self_end + 1) < n_valid[:, :, None]   # (B,K,N)
-        other_has_next = (o_end + 1) < n_valid[:, :, None]
+        other_adv = jnp.where(tie, other_adv_raw, other_primary)
         adv_valid = self_has_next & jnp.where(tie, other_has_next, True)
-        valid = mvalid[:, None, :] & (t < inf) & event_exists
+        valid = side["mvalid"][:, None, :] & (t < inf) & event_exists
 
         if source_is_x:
             return (t, self_primary, other_primary,
@@ -383,6 +425,8 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
                  tol: float = TOLERANCE):
     """Build the jitted batched EM iteration + driver (cached so repeated
     runs reuse the compiled executable)."""
+    from ..core.devices import enable_compilation_cache
+    enable_compilation_cache()
 
     def em_run(x, y, u, n, k, r0):
         B, KM, N = r0.shape
@@ -390,7 +434,11 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
         point_valid = jnp.arange(N)[None, :] < n[:, None]
         comp_active = jnp.arange(KM)[None, :] < k[:, None]
 
-        # static structures recomputed on device (cheap, avoids host state)
+        # static structures recomputed on device (cheap, avoids host
+        # state), then expanded into the loop-invariant one-hot masks and
+        # run-end tables the gather-free M-step consumes (hoisted out of
+        # the while_loop — rebuilt per iteration they cost ~76ms/iter on
+        # v5e via serialized gathers)
         xo_idx = jnp.argsort(jnp.where(point_valid, -x, big), axis=1,
                              stable=True).astype(jnp.int32)
         yo_idx = jnp.argsort(jnp.where(point_valid, -y, big), axis=1,
@@ -410,7 +458,15 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
         y_runend = runends(yo, jnp.take_along_axis(point_valid, yo_idx,
                                                    axis=1))
 
-        static = (x, y, u, point_valid, xo_idx, yo_idx, x_runend, y_runend)
+        iota_n = jnp.arange(N, dtype=jnp.int32)
+        xo_oh = xo_idx[:, :, None] == iota_n[None, None, :]   # (B, N, N)
+        yo_oh = yo_idx[:, :, None] == iota_n[None, None, :]
+        n_valid = jnp.sum(point_valid, axis=1)[:, None]
+        xs_static = _side_static(xo, x_runend, n_valid)
+        ys_static = _side_static(yo, y_runend, n_valid)
+
+        static = (x, y, u, point_valid, xo_oh, yo_oh, xo, yo,
+                  xs_static, ys_static)
 
         def ll_and_norm(a, b, w):
             exps = _exponents(a, b, x, y, u, sigma, lam)
@@ -464,22 +520,29 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
 
 
 # Largest (instance, k) row count shipped to the device in one program.
-# The axon TPU worker crashes executing this EM past ~2-3k rows (bisected
-# live: 2048 ok, 3072 kills the worker process) — a toolchain fault, not
-# memory (the 3806x141 f32 batch is ~6MB).  Rows are independent, so
-# uniform slabs (last one padded by repeating row 0) give identical
-# results with ONE compiled shape.
-TPU_CHUNK_ROWS = 1024
+# History: the pre-gather-free M-step faulted the axon TPU worker past
+# ~512 rows (the serialized minor-axis gather kernels were the trigger;
+# the one-hot reformulation eliminated both the crash and the 76ms/iter
+# cost — 3806 rows now run end-to-end).  Chunking is kept because (a)
+# compile time grows with B (~170s at 256 vs ~340s at 1024 on the
+# tunneled v5e — amortized via the persistent compilation cache) and
+# (b) uniform slabs give ONE compiled shape per dataset.  Rows are
+# independent, so slabs (last one padded by repeating row 0) are
+# result-identical to a single launch.
+TPU_CHUNK_ROWS = 256
 
 
 def run_batch(batch: EMBatch, params: EMParams, dtype=None,
-              chunk_rows=None):
+              chunk_rows=None, exact_resolve=None):
     """Run the batched EM and select K by BIC.  Returns per-instance
     memberships: {instance_id: list of member index lists}.
 
     dtype defaults to f64 off-TPU (exact decision parity) and f32 on TPU
-    (v5e has no native f64; f32 decisions agree except at fp-boundary
-    memberships — see module docstring).
+    (v5e has no native f64).  exact_resolve defaults to on for f32:
+    instances whose decision is within the f32 drift margins are
+    re-solved exactly on the host (see ``select_memberships``), making
+    the hybrid output match the f64/native answer except when f32 and
+    f64 EM trajectories land in different optima undetectably.
     """
     on_tpu = jax.default_backend() == "tpu"
     if dtype is None:
@@ -519,13 +582,42 @@ def run_batch(batch: EMBatch, params: EMParams, dtype=None,
         b = np.asarray(b)
         ll = np.asarray(ll)
     ok = np.asarray(ok)
-    return select_memberships(batch, params, a, b, ll, ok)
+    exact = exact_resolve
+    if exact is None:
+        exact = np.dtype(dtype) != np.float64
+    return select_memberships(batch, params, a, b, ll, ok,
+                              exact_resolve=exact)
 
 
-def select_memberships(batch: EMBatch, params: EMParams, a, b, ll, ok):
+# ambiguity thresholds for exact_resolve, calibrated live on the bench
+# dataset (v5e f32 vs host f64, 381 instances): f32 trajectory drift
+# moves per-point log-probabilities by up to ~5e-3 and instance
+# log-likelihoods by well under 0.25, so decisions closer to a boundary
+# than these margins are re-solved exactly on the host (~10% of
+# instances there; the other 90% are provably unaffected by drift of
+# that size)
+PROB_LOG_MARGIN = 0.01
+BIC_MARGIN = 0.5
+
+# observability: filled by select_memberships on every call
+LAST_SELECT_STATS: dict = {}
+
+
+def select_memberships(batch: EMBatch, params: EMParams, a, b, ll, ok,
+                       exact_resolve: bool = False):
     """BIC model selection + membership thresholding from per-(instance,
     K) EM results — the host tail of ``run_batch``, shared by the mesh-
-    sharded EM path (``__graft_entry__.dryrun_multichip``)."""
+    sharded EM path (``__graft_entry__.dryrun_multichip``).
+
+    exact_resolve: hybrid device/host mode for reduced-precision (f32)
+    device results.  Any instance whose decision sits within the f32
+    drift margins — a non-converged/failed K row (trajectory basins can
+    differ between f32 and f64), a BIC near-tie across K, or a point
+    within PROB_LOG_MARGIN of the membership threshold — is re-solved
+    with the exact f64 host oracle (``matepair_em.MatePairEM``, bit-
+    parity with the native C++).  Everything else keeps the device
+    answer, which the margins certify equal to the host's.
+    """
     a = np.asarray(a)
     b = np.asarray(b)
     ll = np.asarray(ll)
@@ -536,28 +628,60 @@ def select_memberships(batch: EMBatch, params: EMParams, a, b, ll, ok):
     bic = np.where(ok, bic, np.inf)
 
     best: dict[int, int] = {}
+    inst_rows: dict[int, list[int]] = {}
     for bi in range(len(batch.n)):
         inst = int(batch.instance[bi])
+        inst_rows.setdefault(inst, []).append(bi)
         if inst not in best or bic[bi] < bic[best[inst]]:
             best[inst] = bi
 
     from .matepair_em import MatePairEM
     em_host = MatePairEM(params)
+    minp = em_host.min_probability
+    log_minp = np.log(minp)
     result: dict[int, list[list[int]]] = {}
+    n_resolved = 0
     for inst, bi in sorted(best.items()):
-        if not np.isfinite(bic[bi]):
-            result[inst] = []
-            continue
+        rows = inst_rows[inst]
         n = int(batch.n[bi])
-        k = int(batch.k[bi])
         xs = batch.x[bi, :n]
         ys = batch.y[bi, :n]
         us = batch.u[bi, :n]
+        ambiguous = False
+        if exact_resolve:
+            if not all(ok[r] for r in rows):
+                ambiguous = True
+            elif len(rows) > 1:
+                bics = np.sort(np.asarray([bic[r] for r in rows]))
+                if np.isfinite(bics[1]) and bics[1] - bics[0] < BIC_MARGIN:
+                    ambiguous = True
+        if ambiguous:
+            result[inst] = [list(m) for m in
+                            em_host.do_clustering(xs, ys, us)]
+            n_resolved += 1
+            continue
+        if not np.isfinite(bic[bi]):
+            result[inst] = []
+            continue
+        k = int(batch.k[bi])
         clusters = []
         for j in range(k):
             prob = em_host.pair_probability(xs, ys, us, a[bi, j], b[bi, j])
-            members = np.nonzero(prob > em_host.min_probability)[0]
+            if exact_resolve and not ambiguous:
+                gap = np.abs(np.log(np.maximum(prob, 1e-300)) - log_minp)
+                if float(np.min(gap)) < PROB_LOG_MARGIN:
+                    ambiguous = True
+            members = np.nonzero(prob > minp)[0]
             if len(members) >= params.min_cluster_size:
                 clusters.append(members.tolist())
-        result[inst] = clusters
+        if ambiguous:
+            result[inst] = [list(m) for m in
+                            em_host.do_clustering(xs, ys, us)]
+            n_resolved += 1
+        else:
+            result[inst] = clusters
+    LAST_SELECT_STATS.clear()
+    LAST_SELECT_STATS.update(
+        n_instances=len(best), n_host_resolved=n_resolved,
+        exact_resolve=exact_resolve)
     return result

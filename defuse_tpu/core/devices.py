@@ -105,3 +105,36 @@ def link_profile() -> dict | None:
     beats computing it on the host."""
     with _LOCK:
         return _STATE.get("link")
+
+
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    The gather-free device EM (cluster/matepair_em_batch.py) compiles in
+    ~3min on the tunneled v5e but executes in seconds; caching the
+    serialized executable makes every run after the first pay only
+    execution.  Keyed on HLO + backend, so CPU tests and TPU runs don't
+    collide.  Opt-out with DEFUSE_JAX_CACHE=0; override the directory by
+    setting it to a path.
+    """
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    import os
+    loc = os.environ.get("DEFUSE_JAX_CACHE", "")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(os.path.expanduser("~"), ".cache",
+                           "defuse_tpu", "jax_cache")
+    try:
+        os.makedirs(loc, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _CACHE_ENABLED = True
+    except Exception:
+        pass  # older jax or read-only fs: compile-per-process fallback

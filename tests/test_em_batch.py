@@ -77,6 +77,28 @@ def test_chunked_run_batch_identical():
             [sorted(c) for c in got[inst]], inst
 
 
+def test_exact_resolve_f32_matches_oracle():
+    """Hybrid device/host mode: f32 device EM + host re-solve of
+    margin-ambiguous instances must EXACTLY match the f64 oracle.  This
+    is the production TPU contract (run_batch defaults exact_resolve=on
+    for f32) — live-verified byte-identical clusters vs native on v5e
+    with ~10% of instances host-resolved."""
+    rng = np.random.default_rng(21)
+    instances = [_instance(rng, rng.integers(1, 4), 24) for _ in range(14)]
+    instances.append((np.array([100.0, 101.0, 102.0]),
+                      np.array([500.0, 501.0, 499.0]),
+                      np.array([100.0, 100.0, 100.0])))
+    oracle = MatePairEM(PARAMS)
+    expected = [oracle.do_clustering(*inst) for inst in instances]
+    batch = prepare_batch(instances, PARAMS)
+    got = run_batch(batch, PARAMS, dtype=np.float32)  # exact_resolve auto
+    from defuse_tpu.cluster.matepair_em_batch import LAST_SELECT_STATS
+    assert LAST_SELECT_STATS["exact_resolve"]
+    for i, exp in enumerate(expected):
+        assert [sorted(c) for c in exp] == \
+            [sorted(c) for c in got.get(i, [])], i
+
+
 def test_fixture_instances_agree(ref_binaries, tmp_path):
     """Memberships agree on every bin-pair instance arising from the
     bundled discordant SAM."""
