@@ -40,6 +40,19 @@ def build_parser() -> argparse.ArgumentParser:
     ref.add_argument("-c", "--config", required=True)
     ref.add_argument("-d", "--dataset", required=True)
 
+    coh = sub.add_parser(
+        "cohort", help="run a multi-library cohort (manifest of "
+                       "libraries; per-library pipelines + cohort-wide "
+                       "fusion recurrence summary)")
+    coh.add_argument("-c", "--config", required=True)
+    coh.add_argument("-d", "--dataset", required=True)
+    coh.add_argument("-m", "--manifest", required=True,
+                     help="TSV name<TAB>fastq1<TAB>fastq2 (or JSON list)")
+    coh.add_argument("-o", "--output", required=True)
+    coh.add_argument("-w", "--workers", type=int, default=1,
+                     help="concurrent libraries per process")
+    coh.add_argument("--no-device", action="store_true")
+
     reads = sub.add_parser("get-reads",
                            help="supporting reads for one cluster")
     reads.add_argument("-c", "--config", required=True)
@@ -172,6 +185,15 @@ def main(argv=None) -> int:
                 if config.has_value("repeats_regions") else None,
                 **aligned)
         print(outs["results"])
+        return 0
+
+    if args.command == "cohort":
+        from ..pipeline.cohort import run_cohort
+        outs = run_cohort(args.config, args.dataset, args.manifest,
+                          args.output, workers=args.workers,
+                          use_device=not args.no_device)
+        if outs:
+            print(outs["summary"])
         return 0
 
     if args.command == "create-ref":
