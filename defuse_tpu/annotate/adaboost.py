@@ -127,8 +127,27 @@ def _predict_tree(node, X):
 
 
 class AdaBoostClassifier:
-    def __init__(self, n_rounds: int = 50):
+    """Stochastic discrete AdaBoost matching R ``ada()``'s DEFAULTS —
+    the reference calls ``ada(controls_features, controls_class)`` with
+    no arguments (``run_adaboost.R:33``), which means iter=50, nu=0.1
+    (shrinkage) and bag.frac=0.5 (per-round weighted subsampling), per
+    the ada package / JSS 2006 paper.  The shrunken, bagged ensemble has
+    a much smoother probability surface than unshrunken AdaBoost: a
+    single stump-threshold crossing moves the probability by
+    ~tanh(nu*alpha) instead of cliffing from ~1.0 to ~0.1 (the round-2
+    recall-decay-at-depth mechanism, see RECALL_DIAGNOSIS_r3.md).
+
+    Deviation from the reference, documented: ``run_adaboost.R`` never
+    seeds R's RNG, so the reference's probabilities differ run to run;
+    we seed the subsampler (seed=11, the pipeline's srand constant) so
+    results are reproducible."""
+
+    def __init__(self, n_rounds: int = 50, nu: float = 0.1,
+                 bag_frac: float = 0.5, seed: int = 11):
         self.n_rounds = n_rounds
+        self.nu = nu
+        self.bag_frac = bag_frac
+        self.seed = seed
         self.trees: list = []
         self.alphas: list[float] = []
 
@@ -137,20 +156,27 @@ class AdaBoostClassifier:
         y = np.asarray(y, float)
         n = len(y)
         w = np.full(n, 1.0 / n)
+        rng = np.random.default_rng(self.seed)
         self.trees = []
         self.alphas = []
         for _ in range(self.n_rounds):
-            tree = _build_tree(X, y, w, 0)
+            if self.bag_frac < 1.0:
+                m = max(2, int(n * self.bag_frac))
+                idx = rng.choice(n, size=m, replace=False, p=w)
+                tree = _build_tree(X[idx], y[idx],
+                                   np.full(m, 1.0 / m), 0)
+            else:
+                tree = _build_tree(X, y, w, 0)
             pred = _predict_tree(tree, X)
             err = float(np.sum(w * (pred != y)))
             err = min(max(err, 1e-10), 1 - 1e-10)
-            alpha = 0.5 * math.log((1 - err) / err)
+            alpha = self.nu * 0.5 * math.log((1 - err) / err)
+            if alpha <= 0.0:
+                continue  # worse than chance on this subsample: drop
             self.trees.append(tree)
             self.alphas.append(alpha)
             w = w * np.exp(alpha * np.where(pred != y, 1.0, -1.0))
             w = w / w.sum()
-            if err < 1e-9:
-                break
         return self
 
     def decision(self, X):

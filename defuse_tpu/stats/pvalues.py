@@ -124,10 +124,19 @@ def spanning_pvalue(span_mean: float, span_count: int,
                     fraglength_mean: float, fraglength_stddev: float,
                     covariance: float, readlength_max: int) -> float:
     """``evaluate_fraglength_mean.R`` for one cluster."""
+    def _sqrt_r(x):
+        # R semantics: sqrt of a negative is NaN (warning, not error).
+        # A negative sample variance happens when the estimated
+        # covariance is negative and span_count is large — the
+        # reference script has no guard and emits NaN p-values there
+        # (``evaluate_fraglength_mean.R:13-15``); crashing would be a
+        # deviation.
+        return math.sqrt(x) if x >= 0.0 else float("nan")
+
     var = fraglength_stddev ** 2
     sample_var = var / span_count \
         + (span_count - 1) * covariance / span_count
-    z = (span_mean - fraglength_mean) / math.sqrt(sample_var)
+    z = (span_mean - fraglength_mean) / _sqrt_r(sample_var)
     pval = 2.0 * pnorm(-abs(z))
 
     fraglength_test = 1.0 - pnorm(
@@ -142,12 +151,19 @@ def spanning_pvalue(span_mean: float, span_count: int,
                                 - 2 * readlength_max) ** 2
     sample_var_adj = var_adj / span_count \
         + (span_count - 1) * covariance / span_count
-    z_adj = (span_mean - mean_adj) / math.sqrt(sample_var_adj)
+    z_adj = (span_mean - mean_adj) / _sqrt_r(sample_var_adj)
     pval_adj = 2.0 * pnorm(-abs(z_adj))
 
     prob = dnorm_log(z)
     prob_adj = dnorm_log(z_adj)
-    pvalue = pval if prob > prob_adj else pval_adj
+    # NaN-faithful blend (R: pval*(prob>prob_adj) + pval_adj*(...)):
+    # a NaN z poisons the comparison exactly as in R, where NaN > x is
+    # NA and the arithmetic blend propagates NaN
+    if math.isnan(prob) or math.isnan(prob_adj):
+        pvalue = float("nan")
+    else:
+        pvalue = pval if prob > prob_adj else pval_adj
+    # R applies the in-range override AFTER the blend, even onto NaN
     if fraglength_mean <= span_mean <= mean_adj:
         pvalue = 1.0
     return pvalue

