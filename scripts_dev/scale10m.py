@@ -146,10 +146,9 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
     print(json.dumps(report))
     if n_pairs >= 5_000_000:
         scale_m = round(n_pairs / 1_000_000)
-        md = REPO / (f"SCALE{scale_m}M_r2.md" if scale_m != 10
-                     else "SCALE10M_r2.md")
+        md = REPO / f"SCALE{scale_m}M.md"
         md.write_text(
-            f"# {scale_m}M-pair sharded scale run (round 2)\n\n"
+            f"# {scale_m}M-pair sharded scale run\n\n"
             "Full product path: fastq -> native ingest -> "
             f"{report['n_shards']} data-parallel frontend shards "
             f"(reads_per_job={reads_per_job}) -> native shard merge -> "
