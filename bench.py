@@ -459,24 +459,24 @@ def verify_kernel_bench(L=50):
         import jax.numpy as jnp
         import numpy as _np
 
-        from defuse_tpu.ops.verify_batch import pack_codes, _verify_packed
+        from defuse_tpu.ops.verify_batch import (pack_codes3, pack_rows3,
+                                                 _verify_packed3)
         rng = _np.random.default_rng(0)
         N = 4_000_000
         codes = rng.integers(0, 4, N).astype(_np.int8)
-        ref2, ref1 = pack_codes(codes)
-        ref2d, ref1d = jax.device_put(ref2), jax.device_put(ref1)
+        ref3d = jax.device_put(pack_codes3(codes))
         B_reads = 20000
         reads = rng.integers(0, 4, (B_reads, L)).astype(_np.int8)
         lens = _np.full(B_reads, L, _np.int32)
-        reads_d = jax.device_put(reads)
+        reads_d = jax.device_put(pack_rows3(reads))
         lens_d = jax.device_put(lens)
         C_small, C_big = 16384, 262144
         starts = rng.integers(0, N - L, C_big).astype(_np.int64)
-        w16 = (starts >> 4).astype(_np.int32)
-        l16 = (starts & 15).astype(_np.int32)
+        w16 = (starts // 10).astype(_np.int32)
+        l16 = (starts % 10).astype(_np.int32)
         ridx = rng.integers(0, B_reads, C_big).astype(_np.int32)
-        g = jax.jit(lambda a, b, c: jnp.sum(_verify_packed(
-            ref2d, ref1d, a, b, reads_d, c, lens_d, L)))
+        g = jax.jit(lambda a, b, c: jnp.sum(_verify_packed3(
+            ref3d, a, b, reads_d, c, lens_d, L)))
 
         def best_time(C, iters=8):
             dev = [jax.device_put(x[:C]) for x in (w16, l16, ridx)]

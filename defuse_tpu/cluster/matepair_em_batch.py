@@ -428,8 +428,17 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
     from ..core.devices import enable_compilation_cache
     enable_compilation_cache()
 
-    def em_run(x, y, u, n, k, r0):
+    def em_run(x, y, u, n, k, r0, ll0=None, max_iters=MAX_ITERS):
+        """One EM drive: runs up to ``max_iters`` iterations from the
+        responsibilities ``r0`` (fresh seeds or a resumed carry) and the
+        per-row last log-likelihood ``ll0`` (-BIG for fresh rows).
+        Returns (a, b, w, ll, ok, iters, r, done, failed, it_done) so a
+        caller can compact converged rows out and resume the stragglers
+        — per-row trajectories are identical whether run in one launch
+        or in resumed segments (every op is row-independent)."""
         B, KM, N = r0.shape
+        if ll0 is None:
+            ll0 = jnp.full((B,), -BIG)
         big = jnp.asarray(BIG, x.dtype)
         point_valid = jnp.arange(N)[None, :] < n[:, None]
         comp_active = jnp.arange(KM)[None, :] < k[:, None]
@@ -482,7 +491,7 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
             return ll, failed, resp
 
         def body(state):
-            r, a, b, w, last_ll, done, failed, it = state
+            (r, a, b, w, last_ll, done, failed, it, it_done) = state
             a_new, b_new, ok = _m_step(r, static, sigma, lam)
             a_upd = jnp.where(ok & comp_active, a_new, a)
             b_upd = jnp.where(ok & comp_active, b_new, b)
@@ -500,23 +509,26 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
             last_ll = jnp.where(live, ll, last_ll)
             failed = failed | (live & ll_failed)
             done = done | (live & newly_done)
-            return r_next, a, b, w, last_ll, done, failed, it + 1
+            it_done = jnp.where(done | failed,
+                                jnp.minimum(it_done, it + 1), it_done)
+            return r_next, a, b, w, last_ll, done, failed, it + 1, it_done
 
         def cond(state):
-            *_, done, failed, it = state
-            return (it < MAX_ITERS) & ~jnp.all(done | failed)
+            *_, done, failed, it, it_done = state
+            return (it < max_iters) & ~jnp.all(done | failed)
 
         r = jnp.where(comp_active[..., None], r0, 0.0)
         state0 = (r, jnp.zeros((B, KM), x.dtype), jnp.zeros((B, KM), x.dtype),
                   jnp.zeros((B, KM), x.dtype),
-                  jnp.full((B,), -BIG).astype(x.dtype),
+                  jnp.asarray(ll0, x.dtype),
                   jnp.zeros((B,), bool), jnp.zeros((B,), bool),
-                  jnp.zeros((), jnp.int32))
-        r, a, b, w, ll, done, failed, iters = jax.lax.while_loop(
+                  jnp.zeros((), jnp.int32),
+                  jnp.full((B,), MAX_ITERS + 1, jnp.int32))
+        r, a, b, w, ll, done, failed, iters, it_done = jax.lax.while_loop(
             cond, body, state0)
-        return a, b, w, ll, done & ~failed, iters
+        return a, b, w, ll, done & ~failed, iters, r, done, failed, it_done
 
-    return jax.jit(em_run)
+    return jax.jit(em_run, static_argnames=("max_iters",))
 
 
 # Largest (instance, k) row count shipped to the device in one program.
@@ -526,10 +538,49 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
 # cost — 3806 rows now run end-to-end).  Chunking is kept because (a)
 # compile time grows with B (~170s at 256 vs ~340s at 1024 on the
 # tunneled v5e — amortized via the persistent compilation cache) and
-# (b) uniform slabs give ONE compiled shape per dataset.  Rows are
-# independent, so slabs (last one padded by repeating row 0) are
+# (b) uniform slabs give ONE compiled shape per (K, N) bucket.  Rows are
+# independent, so slabs (padded by repeating a slab's first row) are
 # result-identical to a single launch.
 TPU_CHUNK_ROWS = 256
+
+# Device launch granularity between straggler compactions: every
+# SEGMENT_ITERS iterations the converged rows are retired on the host
+# and only the stragglers are re-slabbed.  The per-iteration cost is
+# O(K*N^2) per live row, and a 256-row slab syncs to its slowest row —
+# without compaction a single 300-iteration straggler makes 255
+# already-converged rows pay full fare (the r3 bench ran ~1.15M
+# row-iterations where only ~0.2M were live).  Must divide MAX_ITERS so
+# every launch shares one static max_iters (one executable per shape).
+SEGMENT_ITERS = 100
+
+# Shape buckets: rows are grouped by (smallest K bucket >= k, smallest
+# N bucket >= n) and each group is padded only to ITS bucket, not the
+# global maxima.  The M-step is exactly invariant to K/N padding width
+# in exact arithmetic (padding contributes only exact zeros / -BIG
+# sentinels); f32 sums can drift across widths, which the hybrid
+# exact-resolve margins in select_memberships already absorb.  Bucket
+# counts are kept small because each (chunk, K, N) shape is a separate
+# XLA compile (~minutes on a tunneled v5e, amortized by the persistent
+# cache).
+K_BUCKETS = (3, 6, K_MAX)
+N_BUCKETS_BASE = (36, 80, 144)
+
+
+def _shape_buckets(width: int) -> list[int]:
+    buckets = [b for b in N_BUCKETS_BASE if b < width]
+    b = N_BUCKETS_BASE[-1]
+    while b < width:
+        b *= 2
+    buckets.append(min(b, width) if b != width else width)
+    buckets[-1] = min(buckets[-1], width)
+    return buckets
+
+
+def _bucket_of(v: int, buckets) -> int:
+    for b in buckets:
+        if v <= b:
+            return b
+    return buckets[-1]
 
 
 def run_batch(batch: EMBatch, params: EMParams, dtype=None,
@@ -537,56 +588,116 @@ def run_batch(batch: EMBatch, params: EMParams, dtype=None,
     """Run the batched EM and select K by BIC.  Returns per-instance
     memberships: {instance_id: list of member index lists}.
 
-    dtype defaults to f64 off-TPU (exact decision parity) and f32 on TPU
-    (v5e has no native f64).  exact_resolve defaults to on for f32:
-    instances whose decision is within the f32 drift margins are
-    re-solved exactly on the host (see ``select_memberships``), making
-    the hybrid output match the f64/native answer except when f32 and
-    f64 EM trajectories land in different optima undetectably.
+    dtype defaults to f64 on CPU with x64 enabled (exact decision
+    parity) and f32 otherwise (v5e has no native f64).  exact_resolve
+    defaults to on for f32: instances whose decision is within the f32
+    drift margins are re-solved exactly on the host (see
+    ``select_memberships``), making the hybrid output match the
+    f64/native answer except when f32 and f64 EM trajectories land in
+    different optima undetectably.
     """
     on_tpu = jax.default_backend() == "tpu"
     if dtype is None:
-        dtype = jnp.float32 if on_tpu else jnp.float64
+        # f64 only where it actually exists: v5e has no native f64, and
+        # without jax_enable_x64 an f64 request silently truncates with
+        # a UserWarning — pick f32 (+ exact_resolve) in both cases
+        x64 = bool(jax.config.read("jax_enable_x64"))
+        dtype = jnp.float64 if (not on_tpu and x64) else jnp.float32
     if chunk_rows is None:
         chunk_rows = TPU_CHUNK_ROWS if on_tpu else 0
     em = make_em_step(params.fragment_stddev)
     rows = len(batch.n)
 
-    def run_rows(xs, ys, us, ns, ks, r0s):
-        return em(jnp.asarray(xs, dtype), jnp.asarray(ys, dtype),
-                  jnp.asarray(us, dtype), jnp.asarray(ns),
-                  jnp.asarray(ks), jnp.asarray(r0s, dtype))
-
     if chunk_rows and rows > chunk_rows:
-        parts = []
-        for lo in range(0, rows, chunk_rows):
-            hi = min(rows, lo + chunk_rows)
-            pad = chunk_rows - (hi - lo)
-            idx = np.arange(lo, hi)
-            if pad:  # repeat row 0 so every slab shares one shape
-                idx = np.concatenate([idx, np.zeros(pad, np.intp)])
-            a_c, b_c, _, ll_c, ok_c, _ = run_rows(
-                batch.x[idx], batch.y[idx], batch.u[idx], batch.n[idx],
-                batch.k[idx], batch.r0[idx])
-            take = hi - lo
-            parts.append((np.asarray(a_c)[:take], np.asarray(b_c)[:take],
-                          np.asarray(ll_c)[:take], np.asarray(ok_c)[:take]))
-        a = np.concatenate([p[0] for p in parts])
-        b = np.concatenate([p[1] for p in parts])
-        ll = np.concatenate([p[2] for p in parts])
-        ok = np.concatenate([p[3] for p in parts])
+        a, b, ll, ok = _run_bucketed(em, batch, dtype, chunk_rows)
     else:
-        a, b, w, ll, ok, _ = run_rows(batch.x, batch.y, batch.u, batch.n,
-                                      batch.k, batch.r0)
-        a = np.asarray(a)
-        b = np.asarray(b)
-        ll = np.asarray(ll)
-    ok = np.asarray(ok)
+        a, b, _w, ll, ok = (np.asarray(o) for o in em(
+            jnp.asarray(batch.x, dtype), jnp.asarray(batch.y, dtype),
+            jnp.asarray(batch.u, dtype), jnp.asarray(batch.n),
+            jnp.asarray(batch.k), jnp.asarray(batch.r0, dtype))[:5])
     exact = exact_resolve
     if exact is None:
         exact = np.dtype(dtype) != np.float64
     return select_memberships(batch, params, a, b, ll, ok,
                               exact_resolve=exact)
+
+
+def _run_bucketed(em, batch: EMBatch, dtype, chunk_rows: int):
+    """Bucketed + segmented driver for large batches.
+
+    Rows are grouped by (K, N) shape bucket, each group is run in
+    uniform ``chunk_rows`` slabs for SEGMENT_ITERS iterations, converged
+    rows are retired, and stragglers are compacted into fresh slabs
+    until MAX_ITERS total.  Slab dispatches within a segment are issued
+    before any result is read back, so device work and the host link
+    overlap.  Per-row trajectories are identical to a single
+    uncompacted launch at the same padded shape (row independence).
+    """
+    rows = len(batch.n)
+    kmax = batch.r0.shape[1]
+    np_dtype = np.dtype(dtype)
+    n_buckets = _shape_buckets(batch.x.shape[1])
+    k_buckets = [min(b, kmax) for b in K_BUCKETS if b < kmax] + [kmax]
+
+    a_out = np.zeros((rows, kmax), np_dtype)
+    b_out = np.zeros((rows, kmax), np_dtype)
+    ll_out = np.full(rows, -BIG, np_dtype)
+    ok_out = np.zeros(rows, bool)
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i in range(rows):
+        key = (_bucket_of(int(batch.k[i]), k_buckets),
+               _bucket_of(int(batch.n[i]), n_buckets))
+        groups.setdefault(key, []).append(i)
+
+    n_segments = -(-MAX_ITERS // SEGMENT_ITERS)
+    for (kb, nb), idx_list in sorted(groups.items()):
+        idx = np.asarray(idx_list, np.intp)
+        r_state = np.ascontiguousarray(
+            batch.r0[idx][:, :kb, :nb], np_dtype)
+        ll_state = np.full(len(idx), -BIG, np_dtype)
+        for seg in range(n_segments):
+            last = seg == n_segments - 1
+            pending = []
+            for lo in range(0, len(idx), chunk_rows):
+                hi = min(lo + chunk_rows, len(idx))
+                sel = np.arange(lo, hi)
+                if hi - lo < chunk_rows:  # pad: repeat the first row
+                    sel = np.concatenate(
+                        [sel, np.full(chunk_rows - (hi - lo), lo, np.intp)])
+                rid = idx[sel]
+                out = em(jnp.asarray(batch.x[rid][:, :nb], dtype),
+                         jnp.asarray(batch.y[rid][:, :nb], dtype),
+                         jnp.asarray(batch.u[rid][:, :nb], dtype),
+                         jnp.asarray(batch.n[rid]),
+                         jnp.asarray(batch.k[rid]),
+                         jnp.asarray(r_state[sel]),
+                         jnp.asarray(ll_state[sel]),
+                         max_iters=SEGMENT_ITERS)
+                pending.append((lo, hi, out))
+            keep_idx, keep_r, keep_ll = [], [], []
+            for lo, hi, out in pending:
+                take = hi - lo
+                a_c, b_c, _w, ll_c, ok_c = (
+                    np.asarray(o)[:take] for o in out[:5])
+                r_c, done, failed = (
+                    np.asarray(o)[:take] for o in out[6:9])
+                fin = (done | failed) | last
+                gi = idx[lo:hi]
+                a_out[gi[fin], :kb] = a_c[fin]
+                b_out[gi[fin], :kb] = b_c[fin]
+                ll_out[gi[fin]] = ll_c[fin]
+                ok_out[gi[fin]] = ok_c[fin]
+                if not last and not fin.all():
+                    keep_idx.append(gi[~fin])
+                    keep_r.append(r_c[~fin])
+                    keep_ll.append(ll_c[~fin])
+            if not keep_idx:
+                break
+            idx = np.concatenate(keep_idx)
+            r_state = np.concatenate(keep_r)
+            ll_state = np.concatenate(keep_ll)
+    return a_out, b_out, ll_out, ok_out
 
 
 # ambiguity thresholds for exact_resolve, calibrated live on the bench

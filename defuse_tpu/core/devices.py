@@ -102,9 +102,26 @@ def link_profile() -> dict | None:
     rtt_ms}), or None before a positive verdict.  A tunneled dev chip
     measures ~30MB/s / ~25ms; a local chip orders of magnitude better —
     callers use this to decide whether shipping a workload to the device
-    beats computing it on the host."""
+    beats computing it on the host.
+
+    ``DEFUSE_LINK_BW`` (MB/s) / ``DEFUSE_LINK_RTT`` (ms) override the
+    measured values — deployment tuning for co-located/PCIe-class links
+    where the probe's one-shot measurement underestimates steady-state
+    bandwidth, and the lever behind the bench's routing crossover table.
+    """
+    import os
+    bw = os.environ.get("DEFUSE_LINK_BW")
+    rtt = os.environ.get("DEFUSE_LINK_RTT")
     with _LOCK:
-        return _STATE.get("link")
+        link = _STATE.get("link")
+    if bw or rtt:
+        link = dict(link or {})
+        if bw:
+            link["bw_MBps"] = float(bw)
+        if rtt:
+            link["rtt_ms"] = float(rtt)
+        link["override"] = True
+    return link
 
 
 _CACHE_ENABLED = False
