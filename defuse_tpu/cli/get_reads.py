@@ -47,6 +47,98 @@ def splitseq_text(task, rows, reads: dict[int, str], out) -> None:
                 break
 
 
+def get_fusion_fastq(output_directory: str, cluster_ids,
+                     fastq1_out: str, fastq2_out: str) -> int:
+    """Export the supporting reads of the given clusters as renamed
+    paired fastq — the ``get_fusion_fastq.pl`` contract (single ``--id``
+    or batch ``--list`` mode, ``get_fusion_fastq.pl:17-25``).
+
+    Fragments come from ``clusters.sc`` member rows plus
+    ``splitreads.predalign`` split-read rows; each read is renamed
+    ``{cluster_id}_{fragment_id}/{end}`` (later sources overwrite the
+    name for shared fragments, as the reference's hash writes do) and
+    records are pulled through the ``.fqi`` seek index in ascending
+    fragment order.  Returns the number of fragments written.
+    """
+    outdir = pathlib.Path(output_directory)
+    wanted = {str(c) for c in cluster_ids}
+    names: dict[int, str] = {}
+    with open(outdir / "clusters.sc") as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if f[0] in wanted:
+                names[int(f[2])] = f"{f[0]}_{f[2]}"
+    predalign = outdir / "splitreads.predalign"
+    if predalign.exists():
+        with open(predalign) as fh:
+            for line in fh:
+                f = line.rstrip("\n").split("\t")
+                if f[0] in wanted:
+                    names[int(f[1])] = f"{f[0]}_{f[1]}"
+
+    from ..io.readindex import ReadIndex
+    prefix = outdir / "reads" / "reads"
+    if not (outdir / "reads" / "reads.fqi").exists():
+        raise FileNotFoundError(f"{prefix}.fqi (run with kept reads dir)")
+    with ReadIndex(str(prefix)) as ridx:
+        for end, path in ((0, fastq1_out), (1, fastq2_out)):
+            with open(path, "w") as out:
+                for frag in sorted(names):
+                    rec = ridx.get_record(frag, end)
+                    if rec is None:
+                        raise KeyError(
+                            f"unable to retrieve read {frag}/{end + 1}")
+                    out.write(f"@{names[frag]}/{end + 1}\n{rec[1]}\n"
+                              f"{rec[2]}\n{rec[3]}\n")
+    return len(names)
+
+
+def cluster_sequences(reference: FastaStore, clusters_path: str,
+                      out=sys.stdout) -> int:
+    """Approximate fusion sequences from cluster extents — the
+    ``get_fusion_sequences.pl`` contract: per cluster end take the
+    min-start/max-end envelope of its member alignments, fetch the
+    reference span (1-based inclusive), and join the two flanks with an
+    ``N`` oriented by the strand pair (``get_fusion_sequences.pl``
+    strand table).  Clusters are emitted in ascending id order (the
+    reference iterates an unordered Perl hash; sorted order is the
+    deterministic choice).  Returns the number of clusters written.
+    """
+    ends: dict[str, dict[int, dict]] = {}
+    with open(clusters_path) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            info = ends.setdefault(f[0], {}).setdefault(
+                int(f[1]), {"ref": f[4], "strand": f[5],
+                            "start": int(f[6]), "end": int(f[7])})
+            info["ref"] = f[4]
+            info["strand"] = f[5]
+            info["start"] = min(info["start"], int(f[6]))
+            info["end"] = max(info["end"], int(f[7]))
+
+    def fetch(info):
+        seq = reference.sequence(info["ref"])
+        return seq[info["start"] - 1:info["end"]]
+
+    n = 0
+    for cid in sorted(ends, key=lambda c: (len(c), c)):
+        if 0 not in ends[cid] or 1 not in ends[cid]:
+            continue
+        s1, s2 = ends[cid][0]["strand"], ends[cid][1]["strand"]
+        seq1, seq2 = fetch(ends[cid][0]), fetch(ends[cid][1])
+        if (s1, s2) == ("+", "-"):
+            seq = seq1 + "N" + seq2
+        elif (s1, s2) == ("-", "+"):
+            seq = seq2 + "N" + seq1
+        elif (s1, s2) == ("-", "-"):
+            seq = revcomp(seq1) + "N" + seq2
+        else:
+            seq = seq1 + "N" + revcomp(seq2)
+        out.write(f">{cid}\n{seq}\n")
+        n += 1
+    return n
+
+
 def get_reads(config, output_directory: str, cluster_id: int,
               out=sys.stdout) -> None:
     outdir = pathlib.Path(output_directory)

@@ -54,11 +54,29 @@ def build_parser() -> argparse.ArgumentParser:
     coh.add_argument("--no-device", action="store_true")
 
     reads = sub.add_parser("get-reads",
-                           help="supporting reads for one cluster")
+                           help="supporting reads for one cluster "
+                                "(text report, or fastq export with "
+                                "--fastq1/--fastq2)")
     reads.add_argument("-c", "--config", required=True)
     reads.add_argument("-d", "--dataset", required=True)
     reads.add_argument("-o", "--output", required=True)
-    reads.add_argument("-i", "--id", required=True, type=int)
+    reads.add_argument("-i", "--id", type=int,
+                       help="cluster id (mutually exclusive with --list)")
+    reads.add_argument("-l", "--list", dest="id_list",
+                       help="file of cluster ids, one per line "
+                            "(get_fusion_fastq.pl batch mode)")
+    reads.add_argument("--fastq1", help="end-1 fastq output "
+                                        "(fastq export mode)")
+    reads.add_argument("--fastq2", help="end-2 fastq output")
+
+    cseq = sub.add_parser(
+        "cluster-sequences",
+        help="approximate fusion sequences from cluster extents "
+             "(get_fusion_sequences.pl)")
+    cseq.add_argument("-r", "--reference", required=True,
+                      help="reference fasta")
+    cseq.add_argument("--clusters", required=True,
+                      help="clusters file (e.g. clusters.sc)")
 
     eplot = sub.add_parser("expression-plot",
                            help="per-gene exonic expression plot "
@@ -219,9 +237,37 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "get-reads":
+        if (args.id is None) == (args.id_list is None):
+            print("get-reads: exactly one of --id / --list is required",
+                  file=sys.stderr)
+            return 2
+        if (args.fastq1 is None) != (args.fastq2 is None):
+            print("get-reads: --fastq1 and --fastq2 go together",
+                  file=sys.stderr)
+            return 2
+        if args.fastq1:
+            from ..cli.get_reads import get_fusion_fastq
+            if args.id_list:
+                with open(args.id_list) as fh:
+                    ids = [line.strip() for line in fh if line.strip()]
+            else:
+                ids = [args.id]
+            get_fusion_fastq(args.output, ids, args.fastq1, args.fastq2)
+            return 0
+        if args.id_list:
+            print("get-reads: --list requires fastq export mode "
+                  "(--fastq1/--fastq2)", file=sys.stderr)
+            return 2
         from ..cli.get_reads import get_reads
         config = Config.read(args.config, args.dataset)
         get_reads(config, args.output, args.id)
+        return 0
+
+    if args.command == "cluster-sequences":
+        from ..cli.get_reads import cluster_sequences
+        from ..io.fasta import FastaStore
+        cluster_sequences(FastaStore.from_file(args.reference),
+                          args.clusters)
         return 0
 
     if args.command == "expression-plot":

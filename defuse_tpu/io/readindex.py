@@ -36,20 +36,30 @@ class ReadIndex:
 
     def get(self, fragment: int, end: int) -> str:
         """Read sequence for (fragment, end 0/1); '' when out of range."""
+        rec = self.get_record(fragment, end)
+        return rec[1] if rec else ""
+
+    def get_record(self, fragment: int, end: int):
+        """Full fastq record (header, sequence, comment, quality) for
+        (fragment, end 0/1) with trailing newlines stripped, or None
+        when out of range — the seek protocol of
+        ``get_fusion_fastq.pl:output_reads_to_fastq``."""
         self._fqi.seek(fragment * self.RECORD.size)
         raw = self._fqi.read(self.RECORD.size)
         if len(raw) < self.RECORD.size:
-            return ""
+            return None
         offset = self.RECORD.unpack(raw)[end]
         fh = self._fastq[end]
         fh.seek(offset)
         header = fh.readline()
         if not header.startswith(b"@"):
-            return ""
+            return None
         # defensive: offset 0 is also the miss marker for absent ends
         if int(header[1:].rsplit(b"/", 1)[0]) != fragment:
-            return ""
-        return fh.readline().rstrip(b"\n").decode()
+            return None
+        return tuple(
+            [header.rstrip(b"\n").decode()]
+            + [fh.readline().rstrip(b"\n").decode() for _ in range(3)])
 
     @staticmethod
     def build(fastq1: str, fastq2: str, fqi_path: str) -> None:

@@ -73,6 +73,49 @@ def test_cli_end_to_end(tmp_path):
     assert "Split Reads:" in proc.stdout
     assert "Spanning Reads:" in proc.stdout
 
+    # batch fastq export (get_fusion_fastq.pl --list contract)
+    idlist = tmp_path / "ids.txt"
+    idlist.write_text(cid + "\n")
+    fq1, fq2 = tmp_path / "sup.1.fastq", tmp_path / "sup.2.fastq"
+    proc = subprocess.run(
+        [sys.executable, "-m", "defuse_tpu", "get-reads",
+         "-c", str(config), "-d", str(dataset), "-o", str(out),
+         "-l", str(idlist), "--fastq1", str(fq1), "--fastq2", str(fq2)],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    recs1 = fq1.read_text().splitlines()
+    recs2 = fq2.read_text().splitlines()
+    assert recs1 and len(recs1) % 4 == 0 and len(recs1) == len(recs2)
+    assert recs1[0].startswith(f"@{cid}_") and recs1[0].endswith("/1")
+    assert recs2[0].endswith("/2")
+    # paired: same renamed fragment order in both ends
+    assert [l[:-2] for l in recs1[::4]] == [l[:-2] for l in recs2[::4]]
+    # exported sequences really are the library's reads
+    lib1 = {line for line in paths["fastq1"].read_text().splitlines()
+            if set(line) <= set("ACGTN")}
+    assert set(recs1[1::4]) <= lib1
+
+    # approximate cluster sequences (get_fusion_sequences.pl)
+    proc = subprocess.run(
+        [sys.executable, "-m", "defuse_tpu", "cluster-sequences",
+         "-r", str(dataset / "defuse.reference.fa"),
+         "--clusters", str(out / "clusters.sc")],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    fasta = proc.stdout.splitlines()
+    assert fasta and fasta[0].startswith(">")
+    seqs = {fasta[i][1:]: fasta[i + 1] for i in range(0, len(fasta), 2)}
+    assert cid in seqs
+    flank1, _n, flank2 = seqs[cid].partition("N")
+    assert _n == "N" and len(flank1) > 20 and len(flank2) > 20
+    # each flank is a real reference substring (orientation per strand)
+    ref_txt = (dataset / "defuse.reference.fa").read_text()
+    refseq = "".join(line for line in ref_txt.splitlines()
+                     if not line.startswith(">"))
+    from defuse_tpu.core.types import revcomp as _rc
+    assert flank1 in refseq or _rc(flank1) in refseq
+    assert flank2 in refseq or _rc(flank2) in refseq
+
 def test_cli_run_device_requested_host_fallback(tmp_path):
     """`run` WITHOUT --no-device on a host with no usable TPU: the
     bounded probe must fall back to the native path and still produce
