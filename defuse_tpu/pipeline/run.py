@@ -36,7 +36,46 @@ from .discover import discover_fusions
 from .runner import Runner
 
 
-def run_pipeline(*, config: Config, output_dir: str, library_name: str,
+def _notify_completion(config: Config, library_name: str,
+                       status: str) -> None:
+    """Completion/failure notification (``defuse_run.pl:188-216``):
+    when the config carries a ``mailto`` value, pipe the status line to
+    ``mail -s`` exactly as the reference does; failures to send are
+    logged and swallowed (the analysis result must never depend on a
+    mail transport)."""
+    if config is None or not config.has_value("mailto"):
+        return
+    mailto = config.get_value("mailto")
+    if not mailto:
+        return
+    import subprocess
+    import time as _time
+    text = (f"Fusion analysis of library {library_name} finished "
+            f"with status {status}")
+    stamp = _time.strftime("%Y-%m-%d %H:%M:%S")
+    print(f"[{stamp}]  Attempting to mail {mailto} the result")
+    try:
+        subprocess.run(["mail", "-s", f"[AUTO] {text}", mailto],
+                       input=text + "\n", text=True, timeout=60,
+                       capture_output=True)
+    except Exception as e:
+        print(f"notification failed: {e}")
+
+
+def run_pipeline(**kwargs):
+    """``_run_pipeline`` plus the reference's completion/failure
+    notification contract (see ``_notify_completion``)."""
+    status = "failure"
+    try:
+        result = _run_pipeline(**kwargs)
+        status = "success"
+        return result
+    finally:
+        _notify_completion(kwargs.get("config"),
+                           kwargs.get("library_name", ""), status)
+
+
+def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
                  spanning: str, improper: str, fastq1: str, fastq2: str,
                  concordant_sam: str | None = None,
                  pair_table: str | None = None,

@@ -1,12 +1,43 @@
 """End-to-end pipeline test: prealigned synthetic inputs ->
 results.filtered.tsv with a classified true fusion."""
 
+import os
+
+import pytest
+
 from defuse_tpu.config import Config
-from defuse_tpu.pipeline.run import run_pipeline
+from defuse_tpu.pipeline.run import _notify_completion, run_pipeline
 
 from synthdata import make_dataset, write_dataset, write_genome_fasta, \
     write_gtf, write_repeats
 from test_stats_filters import _make_concordant_sam
+
+
+def test_completion_notification(tmp_path, monkeypatch):
+    """mailto config fires the defuse_run.pl:188-216 notification on
+    both failure (pipeline raises) and success."""
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    log = tmp_path / "mail.log"
+    mail = bin_dir / "mail"
+    mail.write_text(f'#!/bin/sh\necho "$@" >> {log}\ncat >> {log}\n')
+    mail.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+
+    config = Config.defaults(mailto="dev@example.com")
+    with pytest.raises(Exception):
+        run_pipeline(config=config, output_dir=str(tmp_path / "out"),
+                     library_name="notif",
+                     spanning=str(tmp_path / "missing.spanning"),
+                     improper=str(tmp_path / "missing.sam"),
+                     fastq1=str(tmp_path / "missing.1.fq"),
+                     fastq2=str(tmp_path / "missing.2.fq"),
+                     use_device=False)
+    text = log.read_text()
+    assert "status failure" in text and "dev@example.com" in text
+
+    _notify_completion(config, "notif", "success")
+    assert "status success" in log.read_text()
 
 
 def test_run_pipeline_e2e(tmp_path):
