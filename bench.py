@@ -633,6 +633,20 @@ def main():
                 "screen_routing": forced_extras.get("screen_routing"),
                 "stage_times_s": forced_extras.get("stage_times_s"),
             }
+    # routing crossover table (VERDICT r3 item 3): what the cost models
+    # decide for every offloadable stage at the measured tunnel vs a
+    # PCIe-class co-located link — evidence of where the device paths
+    # engage on a production deployment
+    try:
+        import re
+
+        from defuse_tpu.pipeline.routing import routing_table
+        m = re.search(r"B=(\d+)", run_extras.get("screen_routing") or "")
+        run_extras["routing_table"] = routing_table(
+            screen_candidates=int(m.group(1)) if m else 46953)
+    except Exception as e:
+        print(f"routing table failed: {e}", file=sys.stderr)
+
     # verification pass in-process on CPU (deterministic, no hang risk)
     _e, our_outs = run_ours(paths, None, tmpdir, use_tpu=False)
     ours_pairs_s = n_pairs / ours_elapsed
