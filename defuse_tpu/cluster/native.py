@@ -74,6 +74,8 @@ def _configure(lib):
     lib.dt_clustermatepairs.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int, ctypes.c_int]
+    lib.dt_fqi_build.restype = ctypes.c_int
+    lib.dt_fqi_build.argtypes = [ctypes.c_char_p] * 3
     lib.dt_split_realign.restype = ctypes.c_long
     lib.dt_split_realign.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
@@ -373,20 +375,47 @@ def load_reads_async(fastq1: str, fastq2: str):
     return lib.dt_reads_load(str(fastq1).encode(), str(fastq2).encode())
 
 
-def reads_index(fastq1: str, fastq2: str):
+def build_fqi(fastq1: str, fastq2: str, fqi_path: str) -> bool:
+    """Build the ``.fqi`` offset index over fastqs that are already in
+    renamed form (``@<fragment>/<end>`` headers, fragment == record
+    ordinal — the ``index_paired_fastq.pl`` output contract) with a
+    pure IO-bound native scan; no rewrite, no in-memory materialization.
+    The scan verifies every header, so a non-renamed library can never
+    get a wrong index — it returns False and the caller falls back to
+    the full parse.  Written atomically (tmp + rename)."""
+    lib = load_library()
+    if lib is None:
+        return False
+    import os
+    tmp = str(fqi_path) + ".tmp"
+    rc = lib.dt_fqi_build(str(fastq1).encode(), str(fastq2).encode(),
+                          tmp.encode())
+    if rc != 0:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return False
+    os.replace(tmp, fqi_path)
+    return True
+
+
+def reads_index(fastq1: str, fastq2: str, fqi_path: str | None = None):
     """Deferred .fqi-indexed read store: the realign driver preads only
     its candidate records instead of parsing the whole library (the
     full parse is ~1.5s/M pairs; candidates are typically <1% of
     fragments).  Returns a handle, or None when no ``reads.fqi`` sits
-    next to the renamed fastqs (caller should use
-    :func:`load_reads_async`)."""
+    next to the renamed fastqs and no explicit ``fqi_path`` was given
+    (caller should use :func:`build_fqi` or :func:`load_reads_async`)."""
     lib = load_library()
     if lib is None:
         return None
     import pathlib
     p1 = pathlib.Path(fastq1)
-    fqi = p1.parent / "reads.fqi"
+    fqi = pathlib.Path(fqi_path) if fqi_path else p1.parent / "reads.fqi"
     if not fqi.exists():
+        if fqi_path:
+            return None
         name = p1.name
         if name.endswith(".1.fastq"):
             fqi = p1.parent / (name[:-8] + ".fqi")

@@ -55,6 +55,24 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
         # native threads, overlapping the clustering stage
         reads_handle = native.reads_index(fastq1, fastq2)
         if reads_handle is None:
+            # renamed fastqs without the sidecar index (flows that
+            # imported alignments instead of running index_paired_fastq):
+            # build the offset index with an IO-bound scan — candidates
+            # are <1% of fragments, so pread retrieval beats parsing the
+            # whole library into memory by ~30x at the 10M-pair scale.
+            # The scan validates every header, so a non-renamed library
+            # falls through to the full parse below.
+            fqi = out / "reads.fqi"
+            try:
+                fresh = fqi.exists() and fqi.stat().st_mtime >= max(
+                    _os_t.stat(fastq1).st_mtime,
+                    _os_t.stat(fastq2).st_mtime)
+            except OSError:
+                fresh = False
+            if fresh or native.build_fqi(fastq1, fastq2, str(fqi)):
+                reads_handle = native.reads_index(fastq1, fastq2,
+                                                  str(fqi))
+        if reads_handle is None:
             reads_handle = native.load_reads_async(fastq1, fastq2)
     if em_mode in ("auto", "native") and native.available():
         # full native file->file driver: parse + bin + filter + EM + emit

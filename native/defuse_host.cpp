@@ -4790,6 +4790,87 @@ void dt_fastq_free(void* handle) {
 
 }  // extern "C"
 
+namespace fastq_ingest {
+
+// Offset-only scan of one already-renamed fastq: record i must carry
+// the canonical header "@<i>/<end1>" (the fragment-id == ordinal
+// contract the .fqi depends on); the separator/quality lines may hold
+// anything (real quality strings are fine — the index reader preads a
+// whole record and re-parses it).  Collects record header byte
+// offsets; ok=false on the first name divergence, record truncation,
+// or IO error (the caller then falls back to the full parse).
+inline void ScanCanonicalOffsets(const char* in_path, int end1,
+                                 std::vector<int64_t>* rec_off, bool* ok) {
+  *ok = false;
+  FILE* f = fopen(in_path, "rb");
+  if (!f) return;
+  {
+    struct stat st;
+    if (stat(in_path, &st) == 0 && st.st_size > 0)
+      rec_off->reserve((size_t)(st.st_size / 60) + 16);
+  }
+  LineReader lr(f);
+  int64_t pos = 0;
+  long i = 0;
+  char tmp[64];
+  const char *ph, *ps, *pp, *pq;
+  size_t nh, ns, np_, nq;
+  while (lr.next(ph, nh)) {
+    int hn = CanonHeader(tmp, i, end1);
+    if ((long)nh != hn || memcmp(ph, tmp, hn) != 0) {
+      fclose(f);
+      return;
+    }
+    if (!lr.next(ps, ns) || !lr.next(pp, np_) || np_ < 1 ||
+        pp[0] != '+') {
+      fclose(f);
+      return;
+    }
+    if (!lr.next(pq, nq)) nq = 0;
+    rec_off->push_back(pos);
+    pos += (int64_t)nh + (int64_t)ns + (int64_t)np_ + (int64_t)nq + 4;
+    i++;
+  }
+  fclose(f);
+  *ok = true;
+}
+
+}  // namespace fastq_ingest
+
+extern "C" {
+
+// Build the .fqi offset index (two little-endian int64 record offsets
+// per fragment, 0 for a missing end — the dt_fastq_ingest byte format)
+// over fastqs that are ALREADY in renamed form, without rewriting or
+// materializing them: a pure IO-bound scan, so flows that imported
+// renamed fastqs from elsewhere (no index_paired_fastq stage) get
+// pread-based candidate retrieval instead of a whole-library parse.
+// Returns 0 ok; 2 when either file is not in canonical renamed form
+// (caller must fall back); 1 on IO error.
+int dt_fqi_build(const char* fq1, const char* fq2, const char* fqi_path) {
+  std::vector<int64_t> r1, r2;
+  bool ok1 = false, ok2 = false;
+  std::thread t1(fastq_ingest::ScanCanonicalOffsets, fq1, 1, &r1, &ok1);
+  std::thread t2(fastq_ingest::ScanCanonicalOffsets, fq2, 2, &r2, &ok2);
+  t1.join();
+  t2.join();
+  if (!ok1 || !ok2) return 2;
+  FILE* ff = fopen(fqi_path, "wb");
+  if (!ff) return 1;
+  size_t n = std::max(r1.size(), r2.size());
+  std::vector<int64_t> recs(n * 2);
+  for (size_t i = 0; i < n; i++) {
+    recs[i * 2] = i < r1.size() ? r1[i] : 0;
+    recs[i * 2 + 1] = i < r2.size() ? r2[i] : 0;
+  }
+  bool wok = recs.empty() ||
+             fwrite(recs.data(), sizeof(int64_t), recs.size(), ff) ==
+                 recs.size();
+  return (fclose(ff) == 0 && wok) ? 0 : 1;
+}
+
+}  // extern "C"
+
 // ---------------------------------------------------------------------
 // K-way merge of sorted packed (key<<32|pos) seed-table chunks into
 // split keys/positions outputs — the bounded-memory genome-scale index

@@ -189,3 +189,48 @@ def test_driver_emit_eval_matches_python_chain(setup, tmp_path):
     assert outs["seq"].read_text() == seq_o.getvalue()
     assert outs["break"].read_text() == break_o.getvalue()
     assert outs["predalign"].read_text() == pred_o.getvalue()
+
+
+def test_build_fqi_matches_ingest_index(setup, tmp_path):
+    """dt_fqi_build (the IO-only offset scan over already-renamed
+    fastqs) must emit the exact .fqi bytes dt_fastq_ingest writes, and a
+    driver over it must match the eager full-parse driver.  A
+    non-renamed library must be refused (rc 2 -> False) so a wrong
+    index can never be built."""
+    from defuse_tpu.cluster import native
+    tmp, paths, tasks, realigner = setup
+
+    ingested = native.ingest_fastq(str(paths["fastq1"]),
+                                   str(paths["fastq2"]),
+                                   str(tmp_path / "reads"))
+    assert ingested is not None
+    r1 = tmp_path / "reads" / "reads.1.fastq"
+    r2 = tmp_path / "reads" / "reads.2.fastq"
+    ingest_fqi = (tmp_path / "reads" / "reads.fqi").read_bytes()
+
+    built = tmp_path / "built.fqi"
+    assert native.build_fqi(str(r1), str(r2), str(built))
+    assert built.read_bytes() == ingest_fqi
+
+    handle = native.reads_index(str(r1), str(r2), str(built))
+    assert handle is not None
+    cluster_ids = sorted(tasks)
+    indexed = native.RealignDriver(
+        str(paths["improper"]), handle, realigner.binned, cluster_ids,
+        [tasks[c].split_align_seq[0] for c in cluster_ids],
+        [tasks[c].split_align_seq[1] for c in cluster_ids])
+    eager = _make_driver(native, paths, tasks, realigner)
+    out_i = tmp_path / "rows.fqi_built"
+    out_e = tmp_path / "rows.eager2"
+    indexed.emit(out_i)
+    eager.emit(out_e)
+    assert out_i.read_bytes() == out_e.read_bytes()
+    indexed.close()
+    eager.close()
+
+    # a non-renamed library must be refused
+    bad1 = tmp_path / "bad.1.fastq"
+    bad1.write_text("@SRR001.7/1\nACGT\n+\nIIII\n")
+    assert not native.build_fqi(str(bad1), str(r2),
+                                str(tmp_path / "bad.fqi"))
+    assert not (tmp_path / "bad.fqi").exists()
