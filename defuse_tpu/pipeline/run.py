@@ -424,8 +424,20 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
                 breakseqs[int(f[0])] = f[1]
         targets = dict(target_indices or {})
         if "genome" not in targets:
-            targets["genome"] = SeedIndex(
-                FastaStore.from_file(genome_fasta)._seqs)
+            # mmap-load the persisted index (bowtie-build semantics)
+            # instead of rebuilding the multi-GB genome index per run —
+            # the build dominated the whole breakseq stage (~10s at 10M
+            # pairs); content is identical (load_or_build stamps and
+            # validates the fasta source).  create-ref persists one
+            # under dataset_prefix; otherwise it lands beside the fasta.
+            genome_prefix = None
+            if config.has_value("dataset_prefix"):
+                genome_prefix = config.get_value("dataset_prefix") \
+                    + ".genome.seedidx"
+                if not SeedIndex.saved_exists(genome_prefix):
+                    genome_prefix = None
+            targets["genome"] = SeedIndex.load_or_build(
+                genome_fasta, prefix=genome_prefix)
         for tname, key in (("cdna", "cdna_fasta"),
                            ("exons", "exons_fasta"),
                            ("cds", "cds_fasta"), ("est", "est_fasta")):
@@ -433,8 +445,7 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
                 path = config.get_value(key)
                 import os as _os
                 if _os.path.exists(path):
-                    targets[tname] = SeedIndex(
-                        FastaStore.from_file(path)._seqs)
+                    targets[tname] = SeedIndex.load_or_build(path)
         psl_paths = align_breakpoints(breakseqs, targets, str(out))
 
     _mark("breakseq")
