@@ -253,11 +253,14 @@ def pair_sam_from_tbl(tbl_path, reads_prefix, out_path) -> str:
             f"{tbl_path} is a v1 pair table (no packed strand bit); "
             "the SAM flags cannot be regenerated from it — rerun the "
             "frontend or use the eager pair SAM")
-    for end in (1, 2):
-        if not os.path.exists(f"{reads_prefix}.{end}.fastq"):
+    from ..io.readindex import resolve_fastq_pair
+    seq_paths, _backed, _fqi = resolve_fastq_pair(
+        f"{reads_prefix}.1.fastq", f"{reads_prefix}.2.fastq")
+    for path in seq_paths:
+        if not os.path.exists(path):
             raise ValueError(
                 "lazy pair-SAM regeneration needs the frontend's "
-                f"renamed fastqs at {reads_prefix}.<end>.fastq")
+                f"read store at {reads_prefix}.<end>.fastq")
     names, recs = read_pair_table(tbl_path)
     seq_id, strand1 = unpack_seq_strand(recs)
 
@@ -265,8 +268,7 @@ def pair_sam_from_tbl(tbl_path, reads_prefix, out_path) -> str:
         """Yield read sequences for ascending table fragments from the
         renamed fastq (4-line records in fragment order)."""
         frags = recs["frag"].tolist()
-        with open(f"{reads_prefix}.{end + 1}.fastq", "r",
-                  buffering=1 << 20) as fh:
+        with open(seq_paths[end], "r", buffering=1 << 20) as fh:
             pos = -1
             for frag in frags:
                 while pos < frag:

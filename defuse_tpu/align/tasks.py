@@ -353,18 +353,9 @@ class SplitReadRealigner:
                 self.binned.add(cid, region)
 
     def add_reads_fastq(self, path: str) -> None:
-        with open(path) as fh:
-            while True:
-                header = fh.readline()
-                if not header:
-                    break
-                seq = fh.readline().rstrip("\n")
-                fh.readline()
-                fh.readline()
-                name = header[1:].rstrip("\n")
-                fragment, end = name.rsplit("/", 1)
-                read_id = int(fragment) | ((0 if end == "1" else 1) << 31)
-                self.reads[read_id] = seq
+        from ..io.readindex import iter_renamed_fastq
+        for read_id, seq in iter_renamed_fastq(path):
+            self.reads[read_id] = seq
 
     def align_stream(self, mate_alignments, out) -> None:
         """mate_alignments: iterable of SamRecord; out: writable."""

@@ -141,8 +141,9 @@ def _find_or_materialize_pair_sam(out_dir):
         if p.exists() and (tbl_mtime is None
                            or p.stat().st_mtime >= tbl_mtime):
             return p
+    from ..io.readindex import store_present
     if tbl_path is not None \
-            and (out_dir / "reads" / "reads.1.fastq").exists():
+            and store_present(out_dir / "reads" / "reads"):
         from ..align.frontend import pair_sam_from_tbl
         return pathlib.Path(pair_sam_from_tbl(
             tbl_path, out_dir / "reads" / "reads",

@@ -411,6 +411,16 @@ def reads_index(fastq1: str, fastq2: str, fqi_path: str | None = None):
     if lib is None:
         return None
     import pathlib
+
+    from ..io.readindex import resolve_fastq_pair
+    # original-backed stores (index-only ingest): the renamed paths are
+    # virtual — resolve to the physical files + the v2 .fqi (the native
+    # loader detects the header and relaxes id validation for backed
+    # ends)
+    paths, _backed, store_fqi = resolve_fastq_pair(fastq1, fastq2)
+    fastq1, fastq2 = paths
+    if fqi_path is None and store_fqi is not None:
+        fqi_path = store_fqi
     p1 = pathlib.Path(fastq1)
     fqi = pathlib.Path(fqi_path) if fqi_path else p1.parent / "reads.fqi"
     if not fqi.exists():
@@ -1088,21 +1098,35 @@ def globalize_ids(src, dst, offset, qname_style):
     return int(rc)
 
 
-def ingest_fastq(fastq1, fastq2, outdir):
-    """Native paired-fastq ingest (index_paired_fastq byte contract):
-    writes renamed fastqs + .fqi + .names into ``outdir`` and returns
+def ingest_fastq(fastq1, fastq2, outdir, rename=None):
+    """Native paired-fastq ingest (index_paired_fastq id contract):
+    writes the .fqi + .names into ``outdir`` and returns
     ((arr1, lens1), (arr2, lens2)) read matrices, or None when the
-    native library is unavailable or IO fails."""
+    native library is unavailable or IO fails.
+
+    By default the store is *index-only*: already-canonical inputs are
+    hardlinked into place as ``reads.<end>.fastq`` and non-canonical
+    inputs are NOT rewritten — the .fqi carries a v2 header plus
+    offsets into the ORIGINAL files, recorded in ``reads.store.json``
+    (see :func:`resolve_read_store`).  Retrieval synthesizes the
+    canonical renamed record byte-for-byte, so every consumer sees the
+    same bytes the rewrite would have produced, without the ~GB write
+    (the single largest write of a run).  ``rename=True`` (or
+    DEFUSE_EAGER_RENAME=1) forces the eager rewrite."""
     lib = load_library()
     if lib is None:
         return None
+    import json
+    import os
     import pathlib
+    if rename is None:
+        rename = bool(os.environ.get("DEFUSE_EAGER_RENAME"))
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     lib.dt_fastq_ingest.restype = ctypes.c_void_p
     lib.dt_fastq_matrix.restype = None
     lib.dt_fastq_free.restype = None
-    dims = np.zeros(3, dtype=np.int64)
+    dims = np.zeros(5, dtype=np.int64)
     handle = lib.dt_fastq_ingest(
         ctypes.c_char_p(str(fastq1).encode()),
         ctypes.c_char_p(str(fastq2).encode()),
@@ -1110,9 +1134,26 @@ def ingest_fastq(fastq1, fastq2, outdir):
         ctypes.c_char_p(str(out / "reads.2.fastq").encode()),
         ctypes.c_char_p(str(out / "reads.fqi").encode()),
         ctypes.c_char_p(str(out / "reads.names").encode()),
+        ctypes.c_int(0 if rename else 1),
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if not handle:
         return None
+    store_path = out / "reads.store.json"
+    backed = [bool(dims[3]), bool(dims[4])]
+    if any(backed):
+        originals = [str(fastq1), str(fastq2)]
+        stamps = []
+        for p in originals:
+            st = os.stat(p)
+            stamps.append({"size": st.st_size,
+                           "mtime_ns": st.st_mtime_ns})
+        tmp = str(store_path) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"fastq": originals, "backed": backed,
+                       "stamp": stamps}, fh)
+        os.replace(tmp, store_path)
+    elif store_path.exists():
+        store_path.unlink()  # stale store from a previous backed run
     try:
         n1, n2, width = (int(dims[0]), int(dims[1]), int(dims[2]))
         width = max(1, width)

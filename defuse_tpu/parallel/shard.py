@@ -24,6 +24,12 @@ def split_fastq(fastq1: str, fastq2: str, outdir: str,
                 reads_per_job: int):
     """Shard renamed fastqs; returns the shard catalog
     (``split_fastq.pl``: catalog lists shard prefixes)."""
+    from ..io.readindex import resolve_fastq_pair
+    # original-backed stores (index-only ingest): stream the physical
+    # files — shard records keep their original headers, which is fine
+    # because every shard is re-ingested (and re-renamed) by its own
+    # frontend run
+    (fastq1, fastq2), _backed, _fqi = resolve_fastq_pair(fastq1, fastq2)
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     prefixes = []

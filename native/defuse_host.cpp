@@ -2579,8 +2579,20 @@ bool SelectiveLoadReads(ReadStoreHandle& rh,
   };
   Map fqi;
   if (!fqi.open(rh.fqi_path.c_str()) || fqi.n % 16 != 0) return false;
-  long n_entries = (long)(fqi.n / 16);
-  const int64_t* offs_tbl = (const int64_t*)fqi.p;
+  // v2 header: original-backed ends carry arbitrary headers in their
+  // (original) fastq, so the frag-id validation is skipped for them —
+  // the index itself is the id mapping (built by the same scan that
+  // assigned the ordinals)
+  uint64_t backed_flags = 0;
+  const char* tbl_base = fqi.p;
+  size_t tbl_bytes = fqi.n;
+  if (fqi.n >= 16 && memcmp(fqi.p, "DFQI2\0\0\0", 8) == 0) {
+    memcpy(&backed_flags, fqi.p + 8, sizeof(backed_flags));
+    tbl_base += 16;
+    tbl_bytes -= 16;
+  }
+  long n_entries = (long)(tbl_bytes / 16);
+  const int64_t* offs_tbl = (const int64_t*)tbl_base;
 
   std::vector<uint32_t> ids;
   ids.reserve(cand.size() / 4);
@@ -2612,6 +2624,7 @@ bool SelectiveLoadReads(ReadStoreHandle& rh,
         if (!fq.p && !work[end].empty()) ok.store(false);
         return;
       }
+      bool relaxed = (backed_flags >> end) & 1;
       for (auto& [id, off] : work[end]) {
         if (off < 0 || (size_t)off >= fq.n || fq.p[off] != '@') continue;
         const char* rec = fq.p + off;
@@ -2621,11 +2634,13 @@ bool SelectiveLoadReads(ReadStoreHandle& rh,
         const char* nl2 = (const char*)memchr(
             nl1 + 1, '\n', avail - (size_t)(nl1 + 1 - rec));
         if (!nl2) continue;
-        char* endp;
-        long frag = strtol(rec + 1, &endp, 10);
-        if (frag != (long)(id & 0x7FFFFFFFu) || endp[0] != '/' ||
-            endp[1] != '1' + end)
-          continue;  // stale/missing record
+        if (!relaxed) {
+          char* endp;
+          long frag = strtol(rec + 1, &endp, 10);
+          if (frag != (long)(id & 0x7FFFFFFFu) || endp[0] != '/' ||
+              endp[1] != '1' + end)
+            continue;  // stale/missing record
+        }
         out[id].assign(nl1 + 1, nl2);
       }
     });
@@ -4442,9 +4457,13 @@ inline bool IngestTiming() {
 struct End {
   std::vector<char> bases;     // concatenated read bases
   std::vector<int64_t> off;    // n+1 offsets into bases
-  std::vector<int64_t> rec_off;  // renamed-file byte offset per record
+  std::vector<int64_t> rec_off;  // per-record byte offset (renamed
+                                 // file in rewrite mode, input file in
+                                 // index-only backed mode)
   std::vector<std::string> names;  // end-1 only
   bool ok = false;
+  bool backed = false;  // index-only: offsets point into the ORIGINAL
+                        // file (no renamed copy exists on disk)
 };
 
 struct Handle {
@@ -4476,6 +4495,7 @@ struct LineReader {
   FILE* f;
   std::vector<char> buf;
   size_t lo = 0, hi = 0;
+  int64_t base = 0;  // input-file offset of buf[0]
   bool eof = false;
   explicit LineReader(FILE* fh) : f(fh), buf(1 << 22) {}
   bool next(const char*& p, size_t& n) {
@@ -4497,6 +4517,7 @@ struct LineReader {
         return false;
       }
       size_t keep = hi - lo;
+      base += (int64_t)lo;
       memmove(buf.data(), buf.data() + lo, keep);
       lo = 0;
       hi = keep;
@@ -4505,6 +4526,11 @@ struct LineReader {
       hi += got;
       if (got == 0) eof = true;
     }
+  }
+  // input-file byte offset of a view returned by the LAST next() call
+  // (valid until the following next(), like the view itself)
+  int64_t off_of(const char* p) const {
+    return base + (int64_t)(p - buf.data());
   }
 };
 
@@ -4538,7 +4564,7 @@ inline int CanonHeader(char* dst, long i, int end1) {
 }
 
 inline void ParseAndWrite(const char* in_path, const char* out_path,
-                          int end, End& e) {
+                          int end, End& e, bool index_only = false) {
   double t0 = IngestTiming() ? IngestNow() : 0.0;
   FILE* in_f = fopen(in_path, "rb");
   if (!in_f) return;
@@ -4567,6 +4593,7 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
   const char *ph, *ps, *pp, *pq;
   size_t nh, ns, np_, nq;
   while (lr.next(ph, nh)) {
+    int64_t in_off = lr.off_of(ph);
     if (end == 0) {
       // fragment name: strip '@' and any trailing /end suffix
       size_t beg = nh ? 1 : 0, len = nh ? nh - 1 : 0;
@@ -4599,18 +4626,20 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
                   memcmp(pq, iqual.data(), nq) == 0;
     }
     if (canon && !rec_canon) {
-      out = fopen(out_path, "w");
-      if (!out || (wpos > 0 && !CopyRange(in_path, out, wpos))) {
-        io_fail = true;
-        break;
+      if (!index_only) {
+        out = fopen(out_path, "w");
+        if (!out || (wpos > 0 && !CopyRange(in_path, out, wpos))) {
+          io_fail = true;
+          break;
+        }
       }
       canon = false;
     }
-    e.rec_off.push_back(wpos);
+    e.rec_off.push_back(index_only ? in_off : wpos);
     int64_t lo = e.off[i], hi = e.off[i + 1];
     int n = CanonHeader(tmp, i, end + 1) + 1;
     tmp[n - 1] = '\n';
-    if (!canon) {
+    if (!canon && !index_only) {
       buf.append(tmp, n);
       buf.append(e.bases.data() + lo, hi - lo);
       buf += "\n+\n";
@@ -4632,6 +4661,17 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
     if (out) fclose(out);
     return;
   }
+  if (index_only && !canon) {
+    // original-backed store: no renamed copy on disk — rec_off holds
+    // input-file offsets; retrieval synthesizes the canonical record
+    // (header "@<i>/<end>", seq, "+", 'I' quals) on pread.  Kill any
+    // stale renamed file from a previous rewrite-mode run so path
+    // resolution can never serve mismatched ids.
+    unlink(out_path);
+    e.backed = true;
+    e.ok = true;
+    return;
+  }
   if (!canon) {
     fwrite(buf.data(), 1, buf.size(), out);
     fclose(out);
@@ -4643,6 +4683,14 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
   bool exact = stat(in_path, &st) == 0 && (int64_t)st.st_size == wpos;
   unlink(out_path);
   if (exact && link(in_path, out_path) == 0) {
+    e.ok = true;
+    return;
+  }
+  if (index_only && i > 0) {
+    // canonical records but the link failed (cross-device) or the file
+    // tail differs: serve it original-backed too — offsets of the i
+    // complete records are valid regardless of trailing junk
+    e.backed = true;
     e.ok = true;
     return;
   }
@@ -4675,17 +4723,23 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
 
 extern "C" {
 
-// dims out: n1, n2, max_width.  Returns handle or null on IO error.
+// dims out: n1, n2, max_width, end1_backed, end2_backed.  Returns
+// handle or null on IO error.  index_only=1: non-canonical inputs are
+// NOT rewritten — the .fqi gets a v2 header and offsets into the
+// ORIGINAL files (kills the ~GB renamed-fastq write, the largest write
+// of a run, on a slow filesystem the whole ingest cost).
 void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
                       const char* out2, const char* fqi_path,
-                      const char* names_path, int64_t* dims) {
+                      const char* names_path, int index_only,
+                      int64_t* dims) {
   auto* h = new fastq_ingest::Handle();
   double t0 = fastq_ingest::IngestTiming() ? fastq_ingest::IngestNow()
                                            : 0.0;
+  bool idx = index_only != 0;
   std::thread t1(fastq_ingest::ParseAndWrite, fq1, out1, 0,
-                 std::ref(h->ends[0]));
+                 std::ref(h->ends[0]), idx);
   std::thread t2(fastq_ingest::ParseAndWrite, fq2, out2, 1,
-                 std::ref(h->ends[1]));
+                 std::ref(h->ends[1]), idx);
   t1.join();
   t2.join();
   if (fastq_ingest::IngestTiming()) {
@@ -4735,14 +4789,30 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
   });
   std::thread fqi_t([&]() {
     // .fqi: two packed little-endian int64 offsets per fragment
-    // (ReadIndex.cpp:67-129); 0 for a missing end
+    // (ReadIndex.cpp:67-129); 0 for a missing end.  When either end is
+    // original-backed a 16-byte v2 header leads the array: magic
+    // "DFQI2\0\0\0" + uint64 per-end backed flags (v1 files always
+    // start with int64 0 — fragment 0 end 1's offset — so the magic
+    // can never collide with a v1 payload).
     FILE* ff = fopen(fqi_path, "wb");
     if (!ff) return;
+    bool b0 = h->ends[0].backed, b1 = h->ends[1].backed;
+    if (b0 || b1) {
+      char magic[8] = {'D', 'F', 'Q', 'I', '2', 0, 0, 0};
+      uint64_t flags = (b0 ? 1u : 0u) | (b1 ? 2u : 0u);
+      fwrite(magic, 1, 8, ff);
+      fwrite(&flags, sizeof(flags), 1, ff);
+    }
     long n = std::max(n1, n2);
     std::vector<int64_t> recs((size_t)n * 2);
+    // miss marker for an absent end: 0 in v1 (offset 0 never holds a
+    // fragment>0 record and the id check rejects it), -1 when that end
+    // is backed (offset 0 is the original file's first record and the
+    // id check is relaxed, so 0 would silently serve fragment 0's read)
+    int64_t miss0 = b0 ? -1 : 0, miss1 = b1 ? -1 : 0;
     for (long i = 0; i < n; i++) {
-      recs[(size_t)i * 2] = i < n1 ? h->ends[0].rec_off[i] : 0;
-      recs[(size_t)i * 2 + 1] = i < n2 ? h->ends[1].rec_off[i] : 0;
+      recs[(size_t)i * 2] = i < n1 ? h->ends[0].rec_off[i] : miss0;
+      recs[(size_t)i * 2 + 1] = i < n2 ? h->ends[1].rec_off[i] : miss1;
     }
     fwrite(recs.data(), sizeof(int64_t), recs.size(), ff);
     fclose(ff);
@@ -4760,6 +4830,8 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
   dims[0] = n1;
   dims[1] = n2;
   dims[2] = w;
+  dims[3] = h->ends[0].backed ? 1 : 0;
+  dims[4] = h->ends[1].backed ? 1 : 0;
   return h;
 }
 

@@ -300,13 +300,15 @@ def test_native_fastq_ingest_byte_parity(tmp_path):
         assert arr2[i, :lens2[i]].tobytes().decode() == r2_py[i]
 
 
+@pytest.mark.parametrize("rename", [True, False])
 @pytest.mark.parametrize("style", ["rename", "mixed", "no_trailing_nl"])
-def test_native_fastq_ingest_lazy_rewrite(tmp_path, style):
-    """The lazy renamed-fastq writer: arbitrary-named inputs rewrite
-    (byte parity vs the Python indexer), a canonical prefix followed by
-    a divergent record copies the prefix verbatim before switching, and
-    a canonical file missing its final newline is repaired.  In every
-    case the .fqi offsets must resolve reads through ReadIndex."""
+def test_native_fastq_ingest_lazy_rewrite(tmp_path, style, rename):
+    """The read-store writer in both modes.  rename=True (eager): every
+    style produces renamed fastqs byte-identical to the Python indexer.
+    rename=False (index-only default): non-canonical inputs are NOT
+    rewritten — a v2 .fqi + store sidecar points into the originals —
+    yet every record retrieved through ReadIndex must be byte-identical
+    to what the rewrite would have stored."""
     from defuse_tpu.cluster import native
     from defuse_tpu.io.readindex import ReadIndex
     if not native.available():
@@ -340,13 +342,29 @@ def test_native_fastq_ingest_lazy_rewrite(tmp_path, style):
         str(tmp_path / "py"))
     ingested = native.ingest_fastq(
         str(tmp_path / "in.1.fastq"), str(tmp_path / "in.2.fastq"),
-        str(tmp_path / "nat"))
+        str(tmp_path / "nat"), rename=rename)
     assert ingested is not None
-    for name in ("reads.1.fastq", "reads.2.fastq", "reads.fqi",
-                 "reads.names"):
-        assert (tmp_path / "nat" / name).read_bytes() == \
-            (tmp_path / "py" / name).read_bytes(), name
-    with ReadIndex(str(tmp_path / "nat" / "reads")) as ri:
+    backed = not rename and style in ("rename", "mixed",
+                                      "no_trailing_nl")
+    if backed:
+        # index-only: no renamed copy on disk, sidecar + v2 index
+        # instead ("no_trailing_nl" is canonical content but an inexact
+        # file tail, so it is served original-backed too)
+        assert not (tmp_path / "nat" / "reads.1.fastq").exists()
+        assert (tmp_path / "nat" / "reads.store.json").exists()
+        assert (tmp_path / "nat" / "reads.fqi").read_bytes()[:5] == \
+            b"DFQI2"
+        assert (tmp_path / "nat" / "reads.names").read_bytes() == \
+            (tmp_path / "py" / "reads.names").read_bytes()
+    else:
+        for name in ("reads.1.fastq", "reads.2.fastq", "reads.fqi",
+                     "reads.names"):
+            assert (tmp_path / "nat" / name).read_bytes() == \
+                (tmp_path / "py" / name).read_bytes(), name
+    with ReadIndex(str(tmp_path / "nat" / "reads")) as ri, \
+            ReadIndex(str(tmp_path / "py" / "reads")) as ri_py:
         for i, s in enumerate(seqs):
             assert ri.get(i, 0) == s
             assert ri.get(i, 1) == s
+            for end in (0, 1):
+                assert ri.get_record(i, end) == ri_py.get_record(i, end)
