@@ -245,6 +245,30 @@ def clustermatepairs(in_path: str, out_path: str, params,
         raise RuntimeError(f"dt_clustermatepairs failed with code {rc}")
 
 
+def clustermatepairs_part(in_path: str, out_path: str, sidecar_path: str,
+                          params, part: int, n_parts: int,
+                          n_threads: int = 0) -> None:
+    """One rank's share of a distributed clustering stage: processes
+    the bin pairs whose canonical (ascending-key) index ≡ ``part`` (mod
+    ``n_parts``) and writes its cluster rows (locally-numbered) plus a
+    sidecar with one cluster count per owned bin pair, in order.
+    ``parallel.shard.merge_cluster_parts`` interleaves the rank outputs
+    back into the exact single-process byte stream."""
+    lib = load_library()
+    if n_threads <= 0:
+        n_threads = _default_threads()
+    rc = lib.dt_clustermatepairs_part(
+        str(in_path).encode(), str(out_path).encode(),
+        str(sidecar_path).encode(),
+        ctypes.c_double(params.fragment_mean),
+        ctypes.c_double(params.fragment_stddev),
+        ctypes.c_double(params.precision), params.min_cluster_size,
+        n_threads, part, n_parts)
+    if rc != 0:
+        raise RuntimeError(
+            f"dt_clustermatepairs_part failed with code {rc}")
+
+
 def _concat_seqs(seqs):
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
     for i, s in enumerate(seqs):

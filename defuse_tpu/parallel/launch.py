@@ -63,6 +63,49 @@ def init_distributed() -> tuple[int, int]:
     return 0, 1
 
 
+class DistContext:
+    """Rank handle for the distributed pipeline-tail stages.
+
+    The reference fans the clustering stage per chr-pair across cluster
+    jobs (``defuse_run.pl:448-459``); the rebuild partitions the
+    canonical bin-pair sequence round-robin across ranks and interleaves
+    the outputs back byte-identically (``shard.merge_cluster_parts``).
+    Rank 0 runs ``run_pipeline(dist=ctx)``; every other rank runs
+    ``cluster_partition_worker(ctx, outdir)`` — the two sides meet at
+    named gloo barriers."""
+
+    def __init__(self, pid: int, n_proc: int):
+        self.pid = int(pid)
+        self.n_proc = int(n_proc)
+
+    def barrier(self, name: str) -> None:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"defuse:{name}")
+
+
+def cluster_partition_worker(ctx: DistContext, outdir) -> None:
+    """Ranks>0 side of the distributed clustering stage: wait for rank
+    0 to publish the partition inputs (merged spanning path + exact EM
+    params as float hex), cluster the owned bin-pair partition, and
+    rendezvous for the rank-0 merge."""
+    import json
+
+    from ..cluster import native
+    from ..cluster.matepair_em import EMParams
+    out = pathlib.Path(outdir)
+    ctx.barrier("cluster_inputs")
+    meta = json.loads((out / "clusters.partmeta.json").read_text())
+    params = EMParams(float.fromhex(meta["frag_mean"]),
+                      float.fromhex(meta["frag_std"]),
+                      float.fromhex(meta["precision"]),
+                      int(meta["min_cluster_size"]))
+    native.clustermatepairs_part(
+        meta["spanning"], out / f"clusters.part{ctx.pid}",
+        out / f"clusters.part{ctx.pid}.counts", params, ctx.pid,
+        ctx.n_proc)
+    ctx.barrier("cluster_parts")
+
+
 def global_mesh(data_axis: str = "data", inst_axis: str = "inst",
                 inst_size: int = 1):
     """Global device mesh over all hosts' devices: outer data-parallel

@@ -29,7 +29,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                      min_cluster_size, min_read_length, max_read_length,
                      outdir, use_device=True, em_mode="auto",
                      gene_models=None, mt_chromosome="MT",
-                     dna_concordant_length=2000):
+                     dna_concordant_length=2000, dist=None):
     import os as _os_t
 
     out = pathlib.Path(outdir)
@@ -75,9 +75,34 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
         if reads_handle is None:
             reads_handle = native.load_reads_async(fastq1, fastq2)
     if em_mode in ("auto", "native") and native.available():
-        # full native file->file driver: parse + bin + filter + EM + emit
-        # all in C++ (byte-identical; test_cluster_parity pins it)
-        native.clustermatepairs(spanning, clusters_path, params)
+        if dist is not None and dist.n_proc > 1:
+            # distributed clustering (defuse_run.pl:448-459 fans
+            # clustering per chr-pair across jobs): every rank owns the
+            # bin pairs with canonical index ≡ rank (mod n); this rank
+            # publishes the exact inputs, clusters its share, and
+            # interleaves the parts back byte-identically
+            import json as _json
+            (out / "clusters.partmeta.json").write_text(_json.dumps({
+                "frag_mean": float(params.fragment_mean).hex(),
+                "frag_std": float(params.fragment_stddev).hex(),
+                "precision": float(params.precision).hex(),
+                "min_cluster_size": int(params.min_cluster_size),
+                "spanning": str(spanning)}))
+            dist.barrier("cluster_inputs")
+            native.clustermatepairs_part(
+                spanning, out / "clusters.part0",
+                out / "clusters.part0.counts", params, 0, dist.n_proc)
+            dist.barrier("cluster_parts")
+            from ..parallel.shard import merge_cluster_parts
+            merge_cluster_parts(
+                [out / f"clusters.part{r}" for r in range(dist.n_proc)],
+                [out / f"clusters.part{r}.counts"
+                 for r in range(dist.n_proc)], clusters_path)
+        else:
+            # full native file->file driver: parse + bin + filter + EM +
+            # emit all in C++ (byte-identical; test_cluster_parity pins
+            # it)
+            native.clustermatepairs(spanning, clusters_path, params)
     else:
         table = load_alignments(iter_compact(spanning))
         rows = cluster_alignments(table, params, use_device=use_device,

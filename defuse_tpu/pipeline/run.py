@@ -85,7 +85,8 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
                  genome_fasta: str | None = None,
                  repeats_regions: str | None = None,
                  expression: dict | None = None,
-                 use_device: bool = True, target_indices=None):
+                 use_device: bool = True, target_indices=None,
+                 dist=None):
     """Run the post-alignment pipeline end to end.
 
     Alignment-stage inputs (spanning compact file, improper SAM,
@@ -311,7 +312,8 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
         outdir=str(out), use_device=use_device,
         gene_models=gm,
         mt_chromosome=config.get_value("mt_chromosome"),
-        dna_concordant_length=config.get_int("dna_concordant_length"))
+        dna_concordant_length=config.get_int("dna_concordant_length"),
+        dist=dist)
 
     _mark("discover")
     # --- p-values -------------------------------------------------------

@@ -1498,12 +1498,19 @@ void ProcessBinPair(uint32_t key1, uint32_t key2, const BinPairData& data,
 
 }  // namespace
 
-extern "C" {
-
-int dt_clustermatepairs(const char* in_path, const char* out_path,
-                        double frag_mean, double frag_std,
-                        double precision, int min_cluster_size,
-                        int n_threads) {
+// Full clustering driver.  part/n_parts partition the canonical
+// (ascending bin-pair key) item sequence round-robin across ranks of a
+// distributed run: rank r processes items with index ≡ r (mod
+// n_parts) and, when sidecar_path is given, records one line per owned
+// item — the number of clusters it produced — so the rank-0 merge can
+// interleave the per-rank cluster groups back into the exact global
+// canonical order and renumber sequentially (byte-identical to the
+// single-process output; see parallel/shard.py merge_cluster_parts).
+static int ClusterMatePairsImpl(const char* in_path, const char* out_path,
+                                const char* sidecar_path,
+                                double frag_mean, double frag_std,
+                                double precision, int min_cluster_size,
+                                int n_threads, int part, int n_parts) {
   const bool timing = getenv("DT_TIMING") != nullptr;
   auto tick = std::chrono::steady_clock::now();
   auto mark = [&](const char* stage) {
@@ -1719,6 +1726,10 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
         (int)kv.second.second.size() >= min_cluster_size)
       items.push_back(&kv);
 
+  if (n_parts < 1) n_parts = 1;
+  auto owned = [&](size_t idx) {
+    return n_parts == 1 || (int)(idx % (size_t)n_parts) == part;
+  };
   std::vector<BinPairResult> results(items.size());
   if (n_threads < 1) n_threads = 1;
   std::vector<std::thread> threads;
@@ -1726,6 +1737,7 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
     threads.emplace_back([&, t]() {
       MatePairEMHost em(frag_mean, frag_std, precision, min_cluster_size);
       for (size_t idx = t; idx < items.size(); idx += n_threads) {
+        if (!owned(idx)) continue;
         ProcessBinPair(items[idx]->first.first, items[idx]->first.second,
                        items[idx]->second, min_fusion_range, frag_mean,
                        em, min_cluster_size, results[idx]);
@@ -1737,9 +1749,17 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
   mark("em");
   std::ofstream out(out_path);
   if (!out.good()) return 2;
+  std::ofstream sidecar;
+  if (sidecar_path) {
+    sidecar.open(sidecar_path);
+    if (!sidecar.good()) return 2;
+  }
   int cluster_id = 0;
   char buf[256];
-  for (const auto& res : results) {
+  for (size_t idx = 0; idx < results.size(); idx++) {
+    if (!owned(idx)) continue;
+    const auto& res = results[idx];
+    if (sidecar_path) sidecar << res.clusters.size() << "\n";
     for (const auto& cluster : res.clusters) {
       for (const auto& row : cluster) {
         snprintf(buf, sizeof(buf), "%d\t0\t%d\t%d\t%s\t%c\t%d\t%d\n",
@@ -1758,6 +1778,27 @@ int dt_clustermatepairs(const char* in_path, const char* out_path,
   }
   mark("output");
   return 0;
+}
+
+extern "C" {
+
+int dt_clustermatepairs(const char* in_path, const char* out_path,
+                        double frag_mean, double frag_std,
+                        double precision, int min_cluster_size,
+                        int n_threads) {
+  return ClusterMatePairsImpl(in_path, out_path, nullptr, frag_mean,
+                              frag_std, precision, min_cluster_size,
+                              n_threads, 0, 1);
+}
+
+int dt_clustermatepairs_part(const char* in_path, const char* out_path,
+                             const char* sidecar_path, double frag_mean,
+                             double frag_std, double precision,
+                             int min_cluster_size, int n_threads,
+                             int part, int n_parts) {
+  return ClusterMatePairsImpl(in_path, out_path, sidecar_path, frag_mean,
+                              frag_std, precision, min_cluster_size,
+                              n_threads, part, n_parts);
 }
 
 }  // extern "C"

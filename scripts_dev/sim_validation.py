@@ -112,6 +112,16 @@ def generate(rng, n_background, chrom_mb=CHROM_MB, n_genes=N_GENES,
         reads1.append(noisy(frag[:50]))
         reads2.append(noisy(revcomp(frag[-50:])))
 
+    # interleave read types (real libraries are not sorted by locus):
+    # the blocked fusion/transcriptomic/genomic layout concentrates
+    # whole classes in single contiguous multi-process shards (the
+    # genomic-background block made the last shard ~2x slower in
+    # scaling runs — an artifact no real library has)
+    order = list(range(len(reads1)))
+    rng.shuffle(order)
+    reads1 = [reads1[i] for i in order]
+    reads2 = [reads2[i] for i in order]
+
     return genome, genes, reads1, reads2, truth, n_fusion_pairs
 
 
