@@ -85,18 +85,41 @@ def _seed_hits(index: SeedIndex, codes: np.ndarray):
     return q_off, index.positions[flat]
 
 
+XDROP = 12  # +1 match / -3 mismatch: tolerates isolated mismatches,
+#             terminates within ~4 consecutive errors — the ungapped
+#             x-drop blat/gmap-style extension that keeps percident
+#             tracking the real identity of diverged paralogs (a pure
+#             exact-run extension under-reported 85-95%-identity
+#             paralogs by ~2x; see BREAKSEQ_SENSITIVITY_r4.md)
+
+
 def _extend_block(codes, tcodes, q, t, k):
-    """Maximal exact-ish run around a seed: greedy extension left/right
-    while bases match."""
+    """Maximal ungapped x-drop run around a seed: extend left/right
+    through mismatches while the running score (+1 match, -3 mismatch)
+    stays within XDROP of its best; the returned span ends at the
+    best-scoring positions.  PSL ``matches`` still counts only equal
+    bases over the span, so mismatches inside the block lower percident
+    exactly as blat's would."""
     L, T = len(codes), len(tcodes)
-    s = 0
-    while q - s - 1 >= 0 and t - s - 1 >= 0 \
-            and codes[q - s - 1] == tcodes[t - s - 1]:
+    best_s = s = 0
+    score = best = 0
+    while q - s - 1 >= 0 and t - s - 1 >= 0:
+        score += 1 if codes[q - s - 1] == tcodes[t - s - 1] else -3
         s += 1
-    e = k
-    while q + e < L and t + e < T and codes[q + e] == tcodes[t + e]:
+        if score > best:
+            best, best_s = score, s
+        elif score <= best - XDROP:
+            break
+    best_e = e = k
+    score = best = 0
+    while q + e < L and t + e < T:
+        score += 1 if codes[q + e] == tcodes[t + e] else -3
         e += 1
-    return q - s, t - s, s + e  # q_start, t_start, length
+        if score > best:
+            best, best_e = score, e
+        elif score <= best - XDROP:
+            break
+    return q - best_s, t - best_s, best_s + best_e
 
 
 def align_breakseq(index: SeedIndex, name: str, seq: str, *,
@@ -157,8 +180,14 @@ def align_breakseq(index: SeedIndex, name: str, seq: str, *,
                     pq, pt, pl = chain[-1]
                     q_gap = qs - (pq + pl)
                     t_gap = ts - (pt + pl)
+                    # same-diagonal gaps are pure mismatch runs (no
+                    # indel): chain through them like blat's ungapped
+                    # extension would — they lower percident via the
+                    # match count, not by truncating the alignment
                     if q_gap >= -8 and t_gap >= -8 and \
-                            t_gap <= max_gap and q_gap <= 30:
+                            t_gap <= max_gap and \
+                            (q_gap <= 30 or
+                             (q_gap == t_gap and q_gap <= 200)):
                         chain.append((qs, ts, ln))
                         placed = True
                         break
