@@ -508,6 +508,74 @@ def verify_kernel_bench(L=50):
         print(f"verify kernel bench failed: {e}", file=sys.stderr)
 
 
+def kernel_rooflines(run_extras, timeout_s=420):
+    """Per-device-kernel measured-vs-ceiling table (VERDICT r3 item 10).
+
+    split-DP: measured marginal vs the static int32 VPU vreg census of
+    PALLAS_SPLIT_DP_r3.md (0.56µs/read; 0.28 when the int16 variant
+    compiles).  verify: the kernel is decomposed live into its gather
+    and compute legs (scripts_dev/verify_roofline_probe.py) — the
+    larger leg is the binding-resource ceiling, their sum the serial
+    floor.  EM: attribution of the warm device wall into device-compute
+    vs link/dispatch fractions (scripts_dev/em_roofline_probe.py part
+    A), naming what a faster kernel could and couldn't buy."""
+    roof = {}
+    pk = run_extras.get("pallas_kernel") or {}
+    try:
+        if pk.get("marginal_us") is not None:
+            variant = str(pk.get("variant", "v1-i32"))
+            ceiling = 0.28 if "i16" in variant else 0.56
+            m = float(pk["marginal_us"])
+            roof["split_dp"] = {
+                "measured_us_per_read": m,
+                "ceiling_us_per_read": ceiling,
+                "pct_of_ceiling": round(100 * ceiling / m, 1),
+                "basis": "int32 VPU vreg census "
+                         "(PALLAS_SPLIT_DP_r3.md)"}
+    except Exception as e:
+        print(f"split_dp roofline failed: {e}", file=sys.stderr)
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             str(REPO / "scripts_dev" / "verify_roofline_probe.py")],
+            capture_output=True, text=True, timeout=timeout_s)
+        for line in proc.stdout.splitlines():
+            if line.startswith("VERIFY_ROOFLINE "):
+                vr = json.loads(line[len("VERIFY_ROOFLINE "):])
+                g = vr["gather"]["marginal_us"]
+                c = vr["compute"]["marginal_us"]
+                full = vr["full"]["marginal_us"]
+                roof["verify"] = {
+                    "measured_us_per_cand": full,
+                    "gather_leg_us": g, "compute_leg_us": c,
+                    "ceiling_us_per_cand": round(max(g, c), 4),
+                    "serial_floor_us": round(g + c, 4),
+                    "pct_of_ceiling": round(100 * max(g, c) / full, 1),
+                    "basis": "measured gather/compute leg decomposition"}
+    except Exception as e:
+        print(f"verify roofline failed: {e}", file=sys.stderr)
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             str(REPO / "scripts_dev" / "em_roofline_probe.py"), "A"],
+            capture_output=True, text=True, timeout=timeout_s)
+        for line in proc.stdout.splitlines():
+            if line.startswith("EM_PROBE_A "):
+                pa = json.loads(line[len("EM_PROBE_A "):])
+                roof["em"] = {
+                    "wall_s": pa["wall_s"],
+                    "device_fraction": pa["device_fraction"],
+                    "link_fraction": pa["link_fraction"],
+                    "up_MB": pa["totals"]["up_MB"],
+                    "down_MB": pa["totals"]["down_MB"],
+                    "slabs": pa["totals"]["slabs"],
+                    "basis": "per-slab dispatch/device/pull attribution "
+                             "(em_roofline_probe part A)"}
+    except Exception as e:
+        print(f"em roofline failed: {e}", file=sys.stderr)
+    return roof
+
+
 def em_ablation_only(tmpdir):
     """Time the EM stage native-C++ vs batched-device on the bench
     dataset (clustering only), recording why the production path routes
@@ -633,6 +701,11 @@ def main():
                 "screen_routing": forced_extras.get("screen_routing"),
                 "stage_times_s": forced_extras.get("stage_times_s"),
             }
+        # measured-vs-ceiling statement for every device kernel
+        # (VERDICT r3 item 10)
+        rl = kernel_rooflines(run_extras)
+        if rl:
+            run_extras["kernel_rooflines"] = rl
     # routing crossover table (VERDICT r3 item 3): what the cost models
     # decide for every offloadable stage at the measured tunnel vs a
     # PCIe-class co-located link — evidence of where the device paths
