@@ -24,6 +24,63 @@ sys.path.insert(0, str(REPO / "tests"))
 sys.path.insert(0, str(REPO / "scripts_dev"))
 
 
+def sweep_results(results_path, truth, seeds=20):
+    """20-seed classifier sweep over a finished run's results.tsv:
+    emulates the reference's unseeded ada() bagging (run_adaboost.R
+    never seeds R's RNG, bag.frac=0.5) to bound how much filtered
+    recall moves between IDENTICAL runs.  Returns summary stats plus
+    per-truth-fusion keep counts and mean probability margins."""
+    import numpy as np
+
+    from defuse_tpu.annotate import adaboost as A
+    header, rows = A._read_table(results_path)
+    idx = {f: header.index(f) for f in A.FEATURES}
+    X = np.array([[float(r[idx[f]]) for f in A.FEATURES] for r in rows])
+    gi1, gi2 = header.index("gene1"), header.index("gene2")
+    pairs = [frozenset((r[gi1], r[gi2])) for r in rows]
+    Xc, yc = A.load_controls()
+
+    recalls = []
+    per_pair_hits = {t: 0 for t in truth}
+    prob_sum = {t: 0.0 for t in truth}
+    prob_n = {t: 0 for t in truth}
+    for seed in range(seeds):
+        probs = A.AdaBoostClassifier(50, seed=seed).fit(
+            Xc, yc).predict_proba(X)
+        by_pair = {}
+        for pr, pa in zip(probs, pairs):
+            by_pair[pa] = max(by_pair.get(pa, 0.0), float(pr))
+        kept = {pa for pa, pr in by_pair.items() if pr > 0.5}
+        recalls.append(sum(1 for t in truth if t in kept))
+        for t in truth:
+            if t in kept:
+                per_pair_hits[t] += 1
+            if t in by_pair:
+                prob_sum[t] += by_pair[t]
+                prob_n[t] += 1
+    margins = {
+        "|".join(sorted(t)): {
+            "kept_seeds": per_pair_hits[t],
+            "mean_prob": round(prob_sum[t] / prob_n[t], 4)
+            if prob_n[t] else None,
+            "margin_to_0.5": round(prob_sum[t] / prob_n[t] - 0.5, 4)
+            if prob_n[t] else None,
+        }
+        for t in truth
+        if prob_n[t] == 0 or per_pair_hits[t] < seeds}
+    return {
+        "seeds": seeds,
+        "recall_min": min(recalls), "recall_max": max(recalls),
+        "recall_mean": round(sum(recalls) / len(recalls), 2),
+        "n_truth": len(truth),
+        "always_kept": sum(1 for h in per_pair_hits.values()
+                           if h == seeds),
+        "never_kept": sum(1 for t, h in per_pair_hits.items()
+                          if h == 0),
+        "seed_dependent_or_lost": margins,
+    }
+
+
 def main(n=10_000_000, seeds=20):
     import numpy as np
     from sim_validation import generate

@@ -131,6 +131,14 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
     filtered = pairs_of(outs["filtered"])
     recall = sum(1 for f in truth if f in set(filtered))
     fp = sum(1 for f in filtered if f not in truth)
+    sweep = None
+    if os.environ.get("DEFUSE_SCALE_SWEEP"):
+        # 20-seed classifier sweep on THIS run's frozen features
+        # (emulating the reference's unseeded ada() bagging) — bounds
+        # the run-to-run recall band at this depth (VERDICT r3 item 7)
+        from diag_seed_sweep import sweep_results
+        sweep = sweep_results(outs["results"], truth, seeds=20)
+        print("seed sweep:", json.dumps(sweep), flush=True)
     report = {
         "n_read_pairs": n_pairs,
         "n_shards": n_shards,
@@ -143,6 +151,8 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
         "frontend_pairs_per_s": round(n_pairs / frontend_s),
         "e2e_pairs_per_s": round(n_pairs / e2e_s),
     }
+    if sweep is not None:
+        report["classifier_seed_sweep"] = sweep
     print(json.dumps(report))
     if n_pairs >= 5_000_000:
         scale_m = round(n_pairs / 1_000_000)
@@ -155,8 +165,15 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
             "pipeline -> "
             "results.filtered.tsv, on the 4-CPU host.\n\n"
             "| metric | value |\n|---|---|\n" +
-            "".join(f"| {k} | {v} |\n" for k, v in report.items()) +
-            "\nGenerated by scripts_dev/scale10m.py (seed 777).\n")
+            "".join(f"| {k} | {json.dumps(v) if isinstance(v, dict) else v} |\n"
+                    for k, v in report.items()) +
+            "\nClassifier: R ada() protocol (shrinkage 0.1 + 0.5"
+            " weighted bagging, the r3 RECALL_DIAGNOSIS fix);"
+            " classifier_seed_sweep emulates the reference's unseeded"
+            " bagging across 20 seeds on this run's frozen features."
+            " Library read order is shuffled (round-4 generator; real"
+            " libraries are not sorted by locus).\n\n"
+            "Generated by scripts_dev/scale10m.py (seed 777).\n")
         print(f"wrote {md}")
     return report
 
