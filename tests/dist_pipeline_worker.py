@@ -78,6 +78,18 @@ def main():
     # every shard's artifacts must be on disk before process 0 merges
     multihost_utils.sync_global_devices("frontend_done")
 
+    # distributed pipeline tail: rank 0 runs the pipeline with a
+    # DistContext, every other rank clusters its bin-pair partition —
+    # the byte-identity assertion then pins the whole distributed
+    # protocol (partition, barriers, sidecar merge) under real gloo
+    from defuse_tpu.cluster import native as _native
+    from defuse_tpu.parallel.launch import (DistContext,
+                                            cluster_partition_worker)
+    ctx = DistContext(pid, n_proc) \
+        if n_proc > 1 and _native.available() else None
+    if pid != 0 and ctx is not None:
+        cluster_partition_worker(ctx, work / "out_dist")
+
     if pid == 0:
         from defuse_tpu.parallel.launch import merge_artifacts
         from defuse_tpu.parallel.shard import merge_pair_tables
@@ -107,7 +119,8 @@ def main():
             gene_models_gtf=meta["gtf"],
             genome_fasta=meta["genome_fasta"],
             repeats_regions=meta["repeats"],
-            expression=meta["expression"], use_device=False)
+            expression=meta["expression"], use_device=False,
+            dist=ctx)
         (work / "outs.json").write_text(json.dumps(
             {k: str(v) for k, v in outs.items() if v}))
     # keep every process alive until the files are written
