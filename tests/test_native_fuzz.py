@@ -159,3 +159,28 @@ def test_exp_twin_bit_exact_vs_libm():
             w = math.inf
         assert np.array([w]).view(np.uint64)[0] == \
             np.array([dst[i]]).view(np.uint64)[0], (v, dst[i], w)
+
+
+@pytest.mark.parametrize("seed", [11, 58, 307])
+def test_clustermatepairs_partition_fuzz(native, tmp_path, seed):
+    """Random inputs x random rank counts: the partitioned clustering
+    merge must reproduce the whole-run bytes (the distributed-tail
+    contract, beyond the fixed fixture of test_distributed_tail)."""
+    from defuse_tpu.parallel.shard import merge_cluster_parts
+    rng = random.Random(seed)
+    compact = tmp_path / "in.compact"
+    _random_compact(rng, compact, n_frags=200)
+    whole = tmp_path / "whole"
+    native.clustermatepairs(compact, whole, PARAMS, n_threads=2)
+    for n_parts in rng.sample(range(2, 9), 3):
+        parts, sides = [], []
+        for r in range(n_parts):
+            p = tmp_path / f"p{n_parts}_{r}"
+            s = tmp_path / f"s{n_parts}_{r}"
+            native.clustermatepairs_part(compact, p, s, PARAMS, r,
+                                         n_parts, n_threads=2)
+            parts.append(p)
+            sides.append(s)
+        merged = tmp_path / f"m{n_parts}"
+        merge_cluster_parts(parts, sides, merged)
+        assert merged.read_bytes() == whole.read_bytes(), n_parts
