@@ -508,7 +508,7 @@ def verify_kernel_bench(L=50):
         print(f"verify kernel bench failed: {e}", file=sys.stderr)
 
 
-def kernel_rooflines(run_extras, timeout_s=420):
+def kernel_rooflines(run_extras, timeout_s=300):
     """Per-device-kernel measured-vs-ceiling table (VERDICT r3 item 10).
 
     split-DP: measured marginal vs the static int32 VPU vreg census of
