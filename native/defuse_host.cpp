@@ -4619,7 +4619,7 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
       size_t est_recs = (size_t)(st.st_size / 60) + 16;
       e.off.reserve(est_recs + 1);
       e.rec_off.reserve(est_recs);
-      if (end == 0) e.names.reserve(est_recs);
+      if (end == 0 && !index_only) e.names.reserve(est_recs);
     }
   }
   LineReader lr(in_f);
@@ -4635,8 +4635,12 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
   size_t nh, ns, np_, nq;
   while (lr.next(ph, nh)) {
     int64_t in_off = lr.off_of(ph);
-    if (end == 0) {
-      // fragment name: strip '@' and any trailing /end suffix
+    if (end == 0 && !index_only) {
+      // fragment name: strip '@' and any trailing /end suffix.
+      // index-only stores skip the collection entirely (10M
+      // std::strings ≈ 0.6GB heap + the dominant tail write; the
+      // originals hold the names and nothing in the pipeline reads
+      // the .names map)
       size_t beg = nh ? 1 : 0, len = nh ? nh - 1 : 0;
       const char* slash =
           (const char*)memrchr(ph + beg, '/', len);
@@ -4649,7 +4653,8 @@ inline void ParseAndWrite(const char* in_path, const char* out_path,
       rec_canon = (long)nh == hn && memcmp(ph, tmp, hn) == 0;
     }
     if (!lr.next(ps, ns)) {
-      if (end == 0) e.names.pop_back();  // header without a record
+      if (end == 0 && !index_only)
+        e.names.pop_back();  // header without a record
       break;
     }
     e.bases.insert(e.bases.end(), ps, ps + ns);
@@ -4801,7 +4806,14 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
   std::thread names_t([&]() {
     // names map (end-1 fragment names); formatted into per-range
     // buffers in parallel, written in order (byte-identical to the
-    // fprintf loop)
+    // fprintf loop).  index-only stores skip it — nothing in the
+    // pipeline reads the map, and the write dominated the warm ingest
+    // tail (~2.5s at 10M pairs); a stale map from a previous eager run
+    // is removed so it can never pair with a new store.
+    if (idx) {
+      unlink(names_path);
+      return;
+    }
     FILE* nf = fopen(names_path, "w");
     if (!nf) return;
     const auto& names = h->ends[0].names;

@@ -286,13 +286,24 @@ def test_native_fastq_ingest_byte_parity(tmp_path):
         str(tmp_path / "py"))
     ingested = native.ingest_fastq(str(paths["fastq1"]),
                                    str(paths["fastq2"]),
-                                   str(tmp_path / "nat"))
+                                   str(tmp_path / "nat"), rename=True)
     assert ingested is not None
     for name in ("reads.1.fastq", "reads.2.fastq", "reads.fqi",
                  "reads.names"):
         a = (tmp_path / "py" / name).read_bytes()
         b = (tmp_path / "nat" / name).read_bytes()
         assert a == b, name
+    # index-only mode on the same canonical input: hardlinked fastqs +
+    # identical .fqi, no .names map (nothing in the pipeline reads it)
+    ingested2 = native.ingest_fastq(str(paths["fastq1"]),
+                                    str(paths["fastq2"]),
+                                    str(tmp_path / "nat2"))
+    assert ingested2 is not None
+    assert (tmp_path / "nat2" / "reads.fqi").read_bytes() == \
+        (tmp_path / "py" / "reads.fqi").read_bytes()
+    assert (tmp_path / "nat2" / "reads.1.fastq").read_bytes() == \
+        (tmp_path / "py" / "reads.1.fastq").read_bytes()
+    assert not (tmp_path / "nat2" / "reads.names").exists()
     (arr1, lens1), (arr2, lens2) = ingested
     assert len(lens1) == len(r1_py)
     for i in (0, 1, len(r1_py) - 1):
@@ -354,8 +365,9 @@ def test_native_fastq_ingest_lazy_rewrite(tmp_path, style, rename):
         assert (tmp_path / "nat" / "reads.store.json").exists()
         assert (tmp_path / "nat" / "reads.fqi").read_bytes()[:5] == \
             b"DFQI2"
-        assert (tmp_path / "nat" / "reads.names").read_bytes() == \
-            (tmp_path / "py" / "reads.names").read_bytes()
+        # index-only stores skip the .names map (nothing reads it; the
+        # originals hold the names)
+        assert not (tmp_path / "nat" / "reads.names").exists()
     else:
         for name in ("reads.1.fastq", "reads.2.fastq", "reads.fqi",
                      "reads.names"):
