@@ -4509,6 +4509,9 @@ struct End {
 
 struct Handle {
   End ends[2];
+  // deferred artifact writers (.names / .fqi): joined in
+  // dt_fastq_free, so the writes overlap the caller's matrix copies
+  std::thread names_t, fqi_t;
 };
 
 inline bool CopyRange(const char* src, FILE* out, int64_t n) {
@@ -4803,7 +4806,11 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
   long n1 = (long)h->ends[0].rec_off.size();
   long n2 = (long)h->ends[1].rec_off.size();
   int64_t w = 0;
-  std::thread names_t([&]() {
+  // by-value captures: these writers outlive this call (joined in
+  // dt_fastq_free so they overlap the caller's matrix copies)
+  std::string names_p(names_path), fqi_p(fqi_path);
+  h->names_t = std::thread([h, idx, names_p]() {
+    const char* names_path = names_p.c_str();
     // names map (end-1 fragment names); formatted into per-range
     // buffers in parallel, written in order (byte-identical to the
     // fprintf loop).  index-only stores skip it — nothing in the
@@ -4840,14 +4847,14 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
       if (!s.empty()) fwrite(s.data(), 1, s.size(), nf);
     fclose(nf);
   });
-  std::thread fqi_t([&]() {
+  h->fqi_t = std::thread([h, fqi_p, n1, n2]() {
     // .fqi: two packed little-endian int64 offsets per fragment
     // (ReadIndex.cpp:67-129); 0 for a missing end.  When either end is
     // original-backed a 16-byte v2 header leads the array: magic
     // "DFQI2\0\0\0" + uint64 per-end backed flags (v1 files always
     // start with int64 0 — fragment 0 end 1's offset — so the magic
     // can never collide with a v1 payload).
-    FILE* ff = fopen(fqi_path, "wb");
+    FILE* ff = fopen(fqi_p.c_str(), "wb");
     if (!ff) return;
     bool b0 = h->ends[0].backed, b1 = h->ends[1].backed;
     if (b0 || b1) {
@@ -4875,10 +4882,9 @@ void* dt_fastq_ingest(const char* fq1, const char* fq2, const char* out1,
     for (size_t i = 0; i + 1 < e.off.size(); i++)
       w = std::max<int64_t>(w, e.off[i + 1] - e.off[i]);
   }
-  names_t.join();
-  fqi_t.join();
   if (fastq_ingest::IngestTiming())
-    fprintf(stderr, "[ingest-timing] tail (names||fqi||width) %.2fs\n",
+    fprintf(stderr, "[ingest-timing] width scan %.2fs "
+            "(names/fqi writers deferred to dt_fastq_free)\n",
             fastq_ingest::IngestNow() - t0);
   dims[0] = n1;
   dims[1] = n2;
@@ -4910,7 +4916,10 @@ void dt_fastq_matrix(void* handle, int end, uint8_t* out, int32_t* lens,
 }
 
 void dt_fastq_free(void* handle) {
-  delete (fastq_ingest::Handle*)handle;
+  auto* h = (fastq_ingest::Handle*)handle;
+  if (h->names_t.joinable()) h->names_t.join();
+  if (h->fqi_t.joinable()) h->fqi_t.join();
+  delete h;
 }
 
 }  // extern "C"
