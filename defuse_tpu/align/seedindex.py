@@ -81,6 +81,7 @@ class Alignment:
 class SeedIndex:
     def __init__(self, sequences: dict[str, str], seed_len: int = SEED_LEN):
         self.seed_len = seed_len
+        self.prefix_table = None  # persisted form only (see load())
         self.names = list(sequences)
         self.offsets = np.zeros(len(self.names) + 1, dtype=np.int64)
         codes = []
@@ -129,6 +130,23 @@ class SeedIndex:
     # -- persistence (bowtie-build equivalence: build once at create-ref,
     #    mmap-load at run; arrays stay on-disk until touched) ------------
 
+    @staticmethod
+    def _compute_ptab(keys, seed_len: int):
+        """Bucket prefix table over the top min(2k, 22) key bits —
+        identical content to the native BuildPrefixTable counting pass
+        (bucket b spans keys[ptab[b]..ptab[b+1])).  Persisted at
+        create-ref so runs mmap it instead of paying the counting pass
+        per process (~1.8s at genome scale)."""
+        key_bits = 2 * seed_len
+        p = min(key_bits, 22)
+        shift = key_bits - p
+        ptab = np.zeros((1 << p) + 1, np.int64)
+        if len(keys):
+            counts = np.bincount((keys >> np.uint64(shift))
+                                 .astype(np.int64), minlength=1 << p)
+            np.cumsum(counts, out=ptab[1:])
+        return ptab
+
     def save(self, prefix: str, source: dict | None = None) -> None:
         """Persist the index.  Every file is written to a pid-unique
         tmp name and renamed, meta last: concurrent savers cannot
@@ -142,7 +160,9 @@ class SeedIndex:
         import numpy as _np
         for name, arr in (("codes", self.codes), ("offsets", self.offsets),
                           ("keys", self.keys),
-                          ("positions", self.positions)):
+                          ("positions", self.positions),
+                          ("ptab", self._compute_ptab(self.keys,
+                                                      self.seed_len))):
             tmp = f"{prefix}.{name}.npy.tmp.{os.getpid()}"
             with open(tmp, "wb") as fh:
                 _np.save(fh, arr)
@@ -170,6 +190,10 @@ class SeedIndex:
         self.keys = _np.load(prefix + ".keys.npy", mmap_mode="r")
         self.positions = _np.load(prefix + ".positions.npy",
                                   mmap_mode="r")
+        import os as _os
+        self.prefix_table = _np.load(prefix + ".ptab.npy",
+                                     mmap_mode="r") \
+            if _os.path.exists(prefix + ".ptab.npy") else None
         self.seq_lens = np.diff(self.offsets)
         return self
 
@@ -254,6 +278,8 @@ class SeedIndex:
         keys_mm.flush()
         pos_mm.flush()
         np.save(prefix + ".offsets.npy", offsets)
+        np.save(prefix + ".ptab.npy",
+                cls._compute_ptab(keys_mm, seed_len))
         with open(prefix + ".meta.json", "w") as fh:
             json.dump({"names": names, "seed_len": seed_len}, fh)
         import shutil

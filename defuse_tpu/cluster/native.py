@@ -688,6 +688,21 @@ def _index_group(index):
     positions = np.ascontiguousarray(index.positions, dtype=np.int64)
     # hold refs on the index to keep arrays alive for the call
     index._native_refs = (codes, offsets, keys, positions)
+    # persisted bucket prefix table (create-ref artifact): seed the
+    # process cache once so the per-process counting pass (~1.8s at
+    # genome scale) is skipped; the native side copies the table
+    ptab = getattr(index, "prefix_table", None)
+    if ptab is not None and len(keys) \
+            and not getattr(index, "_ptab_attached", False):
+        lib = load_library()
+        if lib is not None:
+            pt = np.ascontiguousarray(ptab, dtype=np.int64)
+            lib.dt_prefixtab_attach(
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                ctypes.c_long(len(keys)), ctypes.c_int(index.seed_len),
+                pt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_long(len(pt)))
+            index._ptab_attached = True
     return (codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             ctypes.c_long(len(codes)),
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

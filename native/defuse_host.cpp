@@ -3363,23 +3363,34 @@ inline void BuildPrefixTable(SeedIdx& ix, std::vector<int64_t>& storage) {
 // shard of a run, so the counting pass (~0.1s per shard at genome
 // scale) is paid once.  Keyed by (keys pointer, n_keys, k) and
 // validated by the first/last key values, so a freed-and-remapped
-// index at the same address cannot serve a stale table.
+// index at the same address cannot serve a stale table.  Entries can
+// also be seeded from a PERSISTED table (dt_prefixtab_attach: written
+// at create-ref, mmap-loaded by the run), skipping the counting pass
+// entirely.
+inline std::mutex& PtabMutex() {
+  static std::mutex mu;
+  return mu;
+}
+using PtabCache =
+    std::map<std::tuple<const uint64_t*, int64_t, int>,
+             std::pair<std::pair<uint64_t, uint64_t>,
+                       std::shared_ptr<std::vector<int64_t>>>>;
+inline PtabCache& PtabEntries() {
+  static PtabCache cache;
+  return cache;
+}
+
 inline void BuildPrefixTableCached(
     SeedIdx& ix, std::shared_ptr<std::vector<int64_t>>& keep) {
   if (!ix.present() || ix.n_keys == 0) return;
-  static std::mutex mu;
-  static std::map<std::tuple<const uint64_t*, int64_t, int>,
-                  std::pair<std::pair<uint64_t, uint64_t>,
-                            std::shared_ptr<std::vector<int64_t>>>>
-      cache;
   int key_bits = 2 * ix.k;
   int shift = key_bits - std::min(key_bits, 22);
   auto ckey = std::make_tuple(ix.keys, ix.n_keys, ix.k);
   auto sig = std::make_pair(ix.keys[0], ix.keys[ix.n_keys - 1]);
   {
-    std::lock_guard<std::mutex> lk(mu);
-    auto it = cache.find(ckey);
-    if (it != cache.end() && it->second.first == sig) {
+    std::lock_guard<std::mutex> lk(PtabMutex());
+    auto it = PtabEntries().find(ckey);
+    if (it != PtabEntries().end() && it->second.first == sig) {
       keep = it->second.second;
       ix.boff = keep->data();
       ix.bshift = shift;
@@ -3391,8 +3402,8 @@ inline void BuildPrefixTableCached(
   keep = fresh;
   ix.boff = keep->data();
   ix.bshift = shift;
-  std::lock_guard<std::mutex> lk(mu);
-  cache[ckey] = {sig, fresh};
+  std::lock_guard<std::mutex> lk(PtabMutex());
+  PtabEntries()[ckey] = {sig, fresh};
 }
 
 // Binary proper-pair table (cdna.pair.tbl): the pair.sam content in a
@@ -3784,6 +3795,46 @@ inline PairBest BestProperPair(const std::vector<Hit>& al1,
 }
 
 }  // namespace alignjob
+
+extern "C" {
+
+// Seed the process prefix-table cache from a persisted table
+// (<index>.ptab.npy, written at create-ref; content identical to
+// BuildPrefixTable's counting pass).  The table is COPIED into a
+// native-owned buffer: the cache outlives any one Python mmap, and a
+// same-address remap of the same file must never leave a dangling
+// pointer.  Returns 0 on accept, nonzero when the shape disagrees
+// with (n_keys, k) — caller falls back to the in-process build.
+int dt_prefixtab_attach(const uint64_t* keys, int64_t n_keys, int k,
+                        const int64_t* ptab, int64_t ptab_len) {
+  using namespace alignjob;
+  if (!keys || n_keys <= 0 || !ptab) return 1;
+  int key_bits = 2 * k;
+  int p = std::min(key_bits, 22);
+  if (ptab_len != ((int64_t)1 << p) + 1) return 2;
+  if (ptab[0] != 0 || ptab[ptab_len - 1] != n_keys) return 3;
+  // sampled consistency check (atomic save ordering already prevents
+  // mixed-generation files; this catches hand-copied mismatches):
+  // bucket b's boundary key must straddle b at ~64 spread positions
+  int shift = key_bits - p;
+  int64_t nb = ptab_len - 1;
+  for (int64_t s = 1; s <= 64; s++) {
+    int64_t b = nb * s / 65;
+    int64_t off = ptab[b];
+    if (off < 0 || off > n_keys) return 4;
+    if (off < n_keys && (int64_t)(keys[off] >> shift) < b) return 4;
+    if (off > 0 && (int64_t)(keys[off - 1] >> shift) >= b) return 4;
+  }
+  auto ckey = std::make_tuple(keys, n_keys, k);
+  auto sig = std::make_pair(keys[0], keys[n_keys - 1]);
+  auto copy = std::make_shared<std::vector<int64_t>>(ptab,
+                                                     ptab + ptab_len);
+  std::lock_guard<std::mutex> lk(PtabMutex());
+  PtabEntries()[ckey] = {sig, copy};
+  return 0;
+}
+
+}  // extern "C"
 
 extern "C" {
 

@@ -193,3 +193,49 @@ def test_chunked_build_byte_identical(tmp_path):
     b = sharded.align_batch(reads, max_mismatch=2)
     assert a == b
     assert any(hits for hits in b)
+
+
+def test_persisted_prefix_table(tmp_path):
+    """save() persists the bucket prefix table; load() mmaps it; its
+    content matches the counting-pass definition, and the native attach
+    accepts it (rejecting a corrupted one)."""
+    import numpy as np
+
+    from defuse_tpu.align.seedindex import SeedIndex
+    from defuse_tpu.cluster import native
+    rng = __import__("random").Random(3)
+    seqs = {"a": "".join(rng.choice("ACGT") for _ in range(5000)),
+            "b": "".join(rng.choice("ACGT") for _ in range(3000))}
+    idx = SeedIndex(seqs)
+    idx.save(str(tmp_path / "ix"))
+    loaded = SeedIndex.load(str(tmp_path / "ix"))
+    pt = np.asarray(loaded.prefix_table)
+    assert pt[0] == 0 and pt[-1] == len(loaded.keys)
+    key_bits = 2 * loaded.seed_len
+    shift = key_bits - min(key_bits, 22)
+    # every bucket boundary straddles its bucket id
+    ids = (np.asarray(loaded.keys) >> np.uint64(shift)).astype(np.int64)
+    for b in range(0, len(pt) - 1, max(1, (len(pt) - 1) // 97)):
+        off = pt[b]
+        assert off == np.searchsorted(ids, b)
+    if native.available():
+        import ctypes
+        lib = native.load_library()
+        keys = np.ascontiguousarray(loaded.keys, dtype=np.uint64)
+        ptc = np.ascontiguousarray(pt, dtype=np.int64)
+        ok = lib.dt_prefixtab_attach(
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_long(len(keys)), ctypes.c_int(loaded.seed_len),
+            ptc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_long(len(ptc)))
+        assert ok == 0
+        bad = ptc.copy()
+        # corrupt one of the 64 sampled boundary buckets (s=32)
+        sampled = (len(bad) - 1) * 32 // 65
+        bad[sampled] = max(0, bad[sampled] - 17)
+        rc = lib.dt_prefixtab_attach(
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_long(len(keys)), ctypes.c_int(loaded.seed_len),
+            bad.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_long(len(bad)))
+        assert rc != 0
