@@ -1147,7 +1147,7 @@ def ingest_fastq(fastq1, fastq2, outdir, rename=None):
     hardlinked into place as ``reads.<end>.fastq`` and non-canonical
     inputs are NOT rewritten — the .fqi carries a v2 header plus
     offsets into the ORIGINAL files, recorded in ``reads.store.json``
-    (see :func:`resolve_read_store`).  Retrieval synthesizes the
+    (see ``io.readindex.read_store``).  Retrieval synthesizes the
     canonical renamed record byte-for-byte, so every consumer sees the
     same bytes the rewrite would have produced, without the ~GB write
     (the single largest write of a run).  ``rename=True`` (or
