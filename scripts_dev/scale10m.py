@@ -34,7 +34,11 @@ def write_fastqs(reads1, reads2, f1_path, f2_path, chunk=200_000):
                 f.write("\n".join(block) + "\n")
 
 
-def main(n_background=10_000_000, reads_per_job=1_000_000):
+DATASET_VERSION = 2  # v2: shuffled read order (sim_validation)
+
+
+def main(n_background=10_000_000, reads_per_job=1_000_000,
+         workdir=None):
     from sim_validation import generate
     from defuse_tpu.align.frontend import align_reads
     from defuse_tpu.annotate.gene_models import GeneModels  # noqa: F401
@@ -44,7 +48,16 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
     from synthdata import SynthDataset, write_genome_fasta, write_gtf, \
         write_repeats
 
-    tmp = pathlib.Path(tempfile.mkdtemp(prefix="defuse_10m_%d_" % os.getpid()))
+    # persistent workdir: reuse the generated dataset (and a warm page
+    # cache) across invocations so timing records are reproducible
+    # rather than dominated by first-touch IO of a ~GB-scale fresh
+    # dataset; the caller owns cleanup
+    if workdir:
+        tmp = pathlib.Path(workdir)
+        tmp.mkdir(parents=True, exist_ok=True)
+    else:
+        tmp = pathlib.Path(
+            tempfile.mkdtemp(prefix="defuse_10m_%d_" % os.getpid()))
     rng = random.Random(777)
     t0 = time.time()
     marks = {}
@@ -55,39 +68,59 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
         print(f"  {label}: {marks[label]:.1f}s", flush=True)
         t0 = time.time()
 
-    genome, genes, reads1, reads2, truth, n_fusion_pairs = generate(
-        rng, n_background)
-    n_pairs = len(reads1)
-    mark(f"generate ({n_pairs} pairs)")
-
-    ds = SynthDataset(genome, genes, ("", 0, "", 0), "", [], [], [])
     gtf = tmp / "genes.gtf"
-    write_gtf(ds, gtf)
     genome_fa = tmp / "genome.fa"
-    write_genome_fasta(ds, genome_fa)
     repeats = tmp / "repeats.regions"
-    write_repeats(ds, repeats)
-    cdna_seqs = {f"{g.name}|{g.transcript}": g.cdna(genome) + "A" * 50
-                 for g in genes}
     cdna_fa = tmp / "cdna.fa"
-    write_fasta(str(cdna_fa), cdna_seqs)
     ref_fa = tmp / "reference.fa"
-    allseq = dict(genome)
-    allseq.update(cdna_seqs)
-    write_fasta(str(ref_fa), allseq)
     regions = tmp / "cdna.regions"
-    with open(regions, "w") as out:
-        for g in genes:
-            fields = [g.name, g.transcript, g.chromosome,
-                      "+" if g.strand == 0 else "-"]
-            for s, e in g.exons:
-                fields += [str(s), str(e)]
-            out.write("\t".join(fields) + "\t\n")
-
     fq1, fq2 = tmp / "reads.1.fastq", tmp / "reads.2.fastq"
-    write_fastqs(reads1, reads2, fq1, fq2)
-    del reads1, reads2
-    mark("dataset + fastq files")
+
+    stamp_p = tmp / "dataset_meta.json"
+    reuse = False
+    if workdir and stamp_p.exists():
+        dm = json.loads(stamp_p.read_text())
+        if dm.get("n_background") == n_background \
+                and dm.get("version") == DATASET_VERSION:
+            reuse = True
+            truth = {frozenset(t) for t in dm["truth"]}
+            gene_names = dm["gene_names"]
+            n_pairs = dm["n_pairs"]
+            mark(f"dataset reused ({n_pairs} pairs)")
+    if not reuse:
+        genome, genes, reads1, reads2, truth, _nf = generate(
+            rng, n_background)
+        n_pairs = len(reads1)
+        gene_names = [g.name for g in genes]
+        mark(f"generate ({n_pairs} pairs)")
+
+        ds = SynthDataset(genome, genes, ("", 0, "", 0), "", [], [], [])
+        write_gtf(ds, gtf)
+        write_genome_fasta(ds, genome_fa)
+        write_repeats(ds, repeats)
+        cdna_seqs = {f"{g.name}|{g.transcript}": g.cdna(genome) + "A" * 50
+                     for g in genes}
+        write_fasta(str(cdna_fa), cdna_seqs)
+        allseq = dict(genome)
+        allseq.update(cdna_seqs)
+        write_fasta(str(ref_fa), allseq)
+        with open(regions, "w") as out:
+            for g in genes:
+                fields = [g.name, g.transcript, g.chromosome,
+                          "+" if g.strand == 0 else "-"]
+                for s, e in g.exons:
+                    fields += [str(s), str(e)]
+                out.write("\t".join(fields) + "\t\n")
+
+        write_fastqs(reads1, reads2, fq1, fq2)
+        del reads1, reads2
+        if workdir:
+            stamp_p.write_text(json.dumps(
+                {"n_background": n_background,
+                 "version": DATASET_VERSION,
+                 "truth": [sorted(t) for t in truth],
+                 "gene_names": gene_names, "n_pairs": n_pairs}))
+        mark("dataset + fastq files")
 
     # create-ref phase: persist the seed indices next to the fastas the
     # way pipeline/create_ref.py does (one-time dataset build; the
@@ -104,6 +137,8 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
         gene_models=str(gtf), span_count_threshold=5,
         reads_per_job=reads_per_job)
     outdir = tmp / "out"
+    import shutil as _sh
+    _sh.rmtree(outdir, ignore_errors=True)
 
     n_shards = (n_pairs + reads_per_job - 1) // reads_per_job
     t_run = time.time()
@@ -116,7 +151,7 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
         config=config, output_dir=str(outdir), library_name="sim10m",
         use_device=True, gene_models_gtf=str(gtf),
         genome_fasta=str(genome_fa), repeats_regions=str(repeats),
-        expression={g.name: "10" for g in genes}, **inputs)
+        expression={g: "10" for g in gene_names}, **inputs)
     mark("pipeline")
     e2e_s = time.time() - t_run
 
@@ -181,8 +216,9 @@ def main(n_background=10_000_000, reads_per_job=1_000_000):
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     rpj = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    wd = sys.argv[3] if len(sys.argv) > 3 else None
     try:
-        main(n, rpj)
+        main(n, rpj, workdir=wd)
     finally:
         # the working set is tens of GB at scale; never leak the tmpdir
         import glob
