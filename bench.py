@@ -646,6 +646,61 @@ def run_em_ablation_subprocess(tmpdir, timeout_s=560):
     return {}
 
 
+def compact_headline(result, extras_file=None):
+    """Compress the full bench result into a headline JSON guaranteed to
+    fit the driver's capture window (VERDICT r4 item 1: the round-4
+    monolithic line outgrew the 2000-char tail and the headline was lost
+    — `parsed: null`).  Keeps the metric/value/vs_baseline contract plus
+    one-number summaries of every extras block, with a hard byte budget
+    enforced by dropping the least-important keys from the end."""
+    ex = result.get("extra", {})
+
+    def num(x, nd=3):
+        try:
+            return round(float(x), nd)
+        except (TypeError, ValueError):
+            return None
+
+    roof = ex.get("kernel_rooflines") or {}
+    ab = ex.get("em_ablation_s") or {}
+    fscr = ex.get("forced_device_screen") or {}
+    fver = ex.get("forced_device_verify") or {}
+    partb = roof.get("em_partB") or {}
+    # ordered most- to least-important; the tail is dropped first
+    compact_extra = [
+        ("device", ex.get("device")),
+        ("exact_match_vs_reference", ex.get("exact_match_vs_reference")),
+        ("n_read_pairs", ex.get("n_read_pairs")),
+        ("baseline_pairs_s", num(ex.get("baseline_pairs_s"), 1)),
+        ("frontend_pairs_s", num(ex.get("frontend_pairs_s"), 1)),
+        ("em_native_s", num(ab.get("native"))),
+        ("em_device_warm_s", num(ab.get("device_warm"))),
+        ("em_device_matches_native", ab.get("device_matches_native")),
+        ("split_dp_pct_ceiling",
+         num((roof.get("split_dp") or {}).get("pct_of_ceiling"), 1)),
+        ("verify_pct_ceiling",
+         num((roof.get("verify") or {}).get("pct_of_ceiling"), 1)),
+        ("em_partB", {k: num(v.get("speedup_device"), 2)
+                      for k, v in sorted(partb.items())
+                      if isinstance(v, dict)} or None),
+        ("forced_device_screen_pairs_s", num(fscr.get("pairs_s"), 1)),
+        ("forced_device_verify_pairs_s", num(fver.get("pairs_s"), 1)),
+        ("full_extras_file", extras_file),
+    ]
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "extra": {k: v for k, v in compact_extra if v is not None},
+    }
+    budget = 1500
+    keys = [k for k, v in compact_extra if v is not None]
+    while len(json.dumps(out)) > budget and keys:
+        out["extra"].pop(keys.pop(), None)
+    return out
+
+
 def main():
     tmpdir = pathlib.Path(tempfile.mkdtemp(prefix="defuse_bench_"))
     ds, paths, n_pairs = build_dataset(tmpdir)
@@ -754,7 +809,20 @@ def main():
             **run_extras,
         },
     }
-    print(json.dumps(result))
+    # full record: earlier stdout line + a file in the repo root (the
+    # driver's capture keeps only the last 2000 chars; VERDICT r4 item 1)
+    full = json.dumps(result)
+    print("BENCH_FULL " + full, flush=True)
+    extras_file = None
+    try:
+        (REPO / "BENCH_EXTRAS.json").write_text(full + "\n")
+        extras_file = "BENCH_EXTRAS.json"
+    except OSError:
+        pass
+    sys.stderr.flush()
+    # the compact headline is the FINAL line — guaranteed <1.5KB so the
+    # driver's tail capture always parses it
+    print(json.dumps(compact_headline(result, extras_file)), flush=True)
 
 
 if __name__ == "__main__":
