@@ -77,33 +77,82 @@ class DistContext:
     def __init__(self, pid: int, n_proc: int):
         self.pid = int(pid)
         self.n_proc = int(n_proc)
+        # set once rank 0 has drained both clustering barriers; the
+        # run_pipeline abort guard uses it to decide whether workers
+        # still need a rendezvous on failure (ADVICE r4 medium)
+        self.cluster_rendezvous_done = False
 
     def barrier(self, name: str) -> None:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices(f"defuse:{name}")
 
 
+def abort_cluster_partition(ctx: DistContext, outdir, error) -> None:
+    """Rank-0 failure path BEFORE the clustering rendezvous: publish an
+    abort partmeta and drain both barriers so ranks>0 blocked in
+    ``cluster_partition_worker`` wake up, see the abort, and exit
+    loudly instead of hanging in gloo forever (ADVICE r4 medium).
+    Called from the ``run_pipeline`` exception wrapper."""
+    import json
+    if outdir is not None:
+        try:
+            out = pathlib.Path(outdir)
+            out.mkdir(parents=True, exist_ok=True)
+            (out / "clusters.partmeta.json").write_text(json.dumps(
+                {"mode": "abort", "error": str(error)[:500]}))
+        except OSError:
+            pass  # workers fall back to the missing-file abort path
+    ctx.barrier("cluster_inputs")
+    ctx.barrier("cluster_parts")
+    ctx.cluster_rendezvous_done = True
+
+
 def cluster_partition_worker(ctx: DistContext, outdir) -> None:
     """Ranks>0 side of the distributed clustering stage: wait for rank
     0 to publish the partition inputs (merged spanning path + exact EM
     params as float hex), cluster the owned bin-pair partition, and
-    rendezvous for the rank-0 merge."""
+    rendezvous for the rank-0 merge.
+
+    Aborts loudly (after draining both barriers, so rank 0 is never
+    stranded either) when rank 0 published ``mode: abort`` (it failed
+    before clustering), ``mode: local`` (it routed clustering locally —
+    an em_mode/native-availability disagreement), or no readable
+    partmeta at all."""
     import json
 
     from ..cluster import native
     from ..cluster.matepair_em import EMParams
     out = pathlib.Path(outdir)
     ctx.barrier("cluster_inputs")
-    meta = json.loads((out / "clusters.partmeta.json").read_text())
-    params = EMParams(float.fromhex(meta["frag_mean"]),
-                      float.fromhex(meta["frag_std"]),
-                      float.fromhex(meta["precision"]),
-                      int(meta["min_cluster_size"]))
-    native.clustermatepairs_part(
-        meta["spanning"], out / f"clusters.part{ctx.pid}",
-        out / f"clusters.part{ctx.pid}.counts", params, ctx.pid,
-        ctx.n_proc)
+    try:
+        meta = json.loads((out / "clusters.partmeta.json").read_text())
+    except (OSError, ValueError) as e:
+        meta = {"mode": "abort", "error": f"partmeta unreadable: {e}"}
+    mode = meta.get("mode", "part")
+    part_error = None
+    if mode == "part":
+        try:
+            params = EMParams(float.fromhex(meta["frag_mean"]),
+                              float.fromhex(meta["frag_std"]),
+                              float.fromhex(meta["precision"]),
+                              int(meta["min_cluster_size"]))
+            native.clustermatepairs_part(
+                meta["spanning"], out / f"clusters.part{ctx.pid}",
+                out / f"clusters.part{ctx.pid}.counts", params, ctx.pid,
+                ctx.n_proc)
+        except Exception as e:
+            # still drain the merge barrier so rank 0 is not stranded;
+            # its merge then fails loudly on the short/missing part file
+            part_error = e
     ctx.barrier("cluster_parts")
+    ctx.cluster_rendezvous_done = True
+    if part_error is not None:
+        raise part_error
+    if mode != "part":
+        raise RuntimeError(
+            f"rank 0 did not run distributed clustering (mode={mode}): "
+            f"{meta.get('error', 'rank 0 routed clustering locally — '
+                        'em_mode/native availability disagree across ranks')}")
 
 
 def global_mesh(data_axis: str = "data", inst_axis: str = "inst",

@@ -74,36 +74,45 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                                                   str(fqi))
         if reads_handle is None:
             reads_handle = native.load_reads_async(fastq1, fastq2)
-    if em_mode in ("auto", "native") and native.available():
-        if dist is not None and dist.n_proc > 1:
-            # distributed clustering (defuse_run.pl:448-459 fans
-            # clustering per chr-pair across jobs): every rank owns the
-            # bin pairs with canonical index ≡ rank (mod n); this rank
-            # publishes the exact inputs, clusters its share, and
-            # interleaves the parts back byte-identically
-            import json as _json
-            (out / "clusters.partmeta.json").write_text(_json.dumps({
-                "frag_mean": float(params.fragment_mean).hex(),
-                "frag_std": float(params.fragment_stddev).hex(),
-                "precision": float(params.precision).hex(),
-                "min_cluster_size": int(params.min_cluster_size),
-                "spanning": str(spanning)}))
-            dist.barrier("cluster_inputs")
+    native_cluster = em_mode in ("auto", "native") and native.available()
+    if dist is not None and dist.n_proc > 1:
+        # distributed clustering (defuse_run.pl:448-459 fans clustering
+        # per chr-pair across jobs): every rank owns the bin pairs with
+        # canonical index ≡ rank (mod n); rank 0 publishes the exact
+        # inputs, clusters its share, and interleaves the parts back
+        # byte-identically.  The rendezvous (partmeta publish + both
+        # barriers) runs UNCONDITIONALLY whenever a DistContext is live
+        # — including when this rank routes clustering locally (em_mode
+        # or native availability disagreement) — so ranks>0 can never
+        # be stranded in the gloo barrier (ADVICE r4 medium); the
+        # published ``mode`` tells workers which side they are on.
+        import json as _json
+        mode = "part" if native_cluster else "local"
+        (out / "clusters.partmeta.json").write_text(_json.dumps({
+            "mode": mode,
+            "frag_mean": float(params.fragment_mean).hex(),
+            "frag_std": float(params.fragment_stddev).hex(),
+            "precision": float(params.precision).hex(),
+            "min_cluster_size": int(params.min_cluster_size),
+            "spanning": str(spanning)}))
+        dist.barrier("cluster_inputs")
+        if native_cluster:
             native.clustermatepairs_part(
                 spanning, out / "clusters.part0",
                 out / "clusters.part0.counts", params, 0, dist.n_proc)
-            dist.barrier("cluster_parts")
+        dist.barrier("cluster_parts")
+        dist.cluster_rendezvous_done = True
+        if native_cluster:
             from ..parallel.shard import merge_cluster_parts
             merge_cluster_parts(
                 [out / f"clusters.part{r}" for r in range(dist.n_proc)],
                 [out / f"clusters.part{r}.counts"
                  for r in range(dist.n_proc)], clusters_path)
-        else:
-            # full native file->file driver: parse + bin + filter + EM +
-            # emit all in C++ (byte-identical; test_cluster_parity pins
-            # it)
-            native.clustermatepairs(spanning, clusters_path, params)
-    else:
+    elif native_cluster:
+        # full native file->file driver: parse + bin + filter + EM +
+        # emit all in C++ (byte-identical; test_cluster_parity pins it)
+        native.clustermatepairs(spanning, clusters_path, params)
+    if not native_cluster:
         table = load_alignments(iter_compact(spanning))
         rows = cluster_alignments(table, params, use_device=use_device,
                                   em_mode=em_mode)

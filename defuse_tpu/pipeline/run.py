@@ -64,12 +64,26 @@ def _notify_completion(config: Config, library_name: str,
 
 def run_pipeline(**kwargs):
     """``_run_pipeline`` plus the reference's completion/failure
-    notification contract (see ``_notify_completion``)."""
+    notification contract (see ``_notify_completion``) and, when a
+    DistContext is live, the distributed-abort contract: any rank-0
+    failure BEFORE the clustering rendezvous publishes an abort
+    partmeta and drains both barriers so ranks>0 can never be left
+    blocked in the gloo barrier (ADVICE r4 medium)."""
     status = "failure"
+    dist = kwargs.get("dist")
     try:
         result = _run_pipeline(**kwargs)
         status = "success"
         return result
+    except BaseException as e:
+        if (dist is not None and getattr(dist, "n_proc", 1) > 1
+                and not getattr(dist, "cluster_rendezvous_done", False)):
+            try:
+                from ..parallel.launch import abort_cluster_partition
+                abort_cluster_partition(dist, kwargs.get("output_dir"), e)
+            except Exception as abort_err:
+                print(f"distributed abort rendezvous failed: {abort_err}")
+        raise
     finally:
         _notify_completion(kwargs.get("config"),
                            kwargs.get("library_name", ""), status)

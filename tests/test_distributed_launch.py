@@ -199,3 +199,49 @@ def test_two_process_pipeline_parity(tmp_path):
     for pid in range(2):
         got = (tmp_path / f"shard{pid}" / "stats.merged").read_text()
         assert f"{whole_stats.frag_count}\t" in got
+
+
+def test_rank0_failure_aborts_workers(tmp_path):
+    """Distributed-abort protocol (ADVICE r4 medium): a rank-0 failure
+    BEFORE the clustering rendezvous must not strand ranks>0 in the
+    gloo barrier.  Rank 0 fails on a missing spanning file; the
+    run_pipeline wrapper publishes an abort partmeta and drains both
+    barriers; rank 1 wakes, sees the abort, and exits loudly.  Both
+    processes must terminate well inside the timeout."""
+    from defuse_tpu.cluster import native
+    if not native.available():
+        pytest.skip("native library required for the partition worker")
+    # empty fastqs so only the spanning file is missing
+    (tmp_path / "reads.1.fastq").write_text("")
+    (tmp_path / "reads.2.fastq").write_text("")
+
+    port = _free_port()
+    worker = WORKER.parent / "dist_abort_worker.py"
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_COORDINATOR": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), str(tmp_path)], env=env,
+            cwd=str(REPO), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=180))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("abort protocol hung — worker stranded in barrier")
+    # rank 0 re-raised the original pipeline error after the rendezvous
+    assert procs[0].returncode == 3, outs[0]
+    assert "RANK0_FAILED" in outs[0][0]
+    # rank 1 saw mode=abort and exited loudly instead of hanging
+    assert procs[1].returncode == 5, outs[1]
+    assert "WORKER_ABORTED" in outs[1][0]
+    assert "abort" in outs[1][0]
