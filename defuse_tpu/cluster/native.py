@@ -1179,19 +1179,7 @@ def ingest_fastq(fastq1, fastq2, outdir, rename=None):
         return None
     store_path = out / "reads.store.json"
     backed = [bool(dims[3]), bool(dims[4])]
-    if any(backed):
-        originals = [str(fastq1), str(fastq2)]
-        stamps = []
-        for p in originals:
-            st = os.stat(p)
-            stamps.append({"size": st.st_size,
-                           "mtime_ns": st.st_mtime_ns})
-        tmp = str(store_path) + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump({"fastq": originals, "backed": backed,
-                       "stamp": stamps}, fh)
-        os.replace(tmp, store_path)
-    elif store_path.exists():
+    if not any(backed) and store_path.exists():
         store_path.unlink()  # stale store from a previous backed run
     try:
         n1, n2, width = (int(dims[0]), int(dims[1]), int(dims[2]))
@@ -1206,9 +1194,28 @@ def ingest_fastq(fastq1, fastq2, outdir, rename=None):
                 lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 ctypes.c_long(width))
             mats.append((arr, lens[:n]))
-        return tuple(mats)
     finally:
         lib.dt_fastq_free(ctypes.c_void_p(handle))
+    if any(backed):
+        # committed only AFTER dt_fastq_free joined the deferred .fqi
+        # writer thread (ADVICE r4: a sidecar visible while the index is
+        # still being written let a crash leave a valid-looking store
+        # over a truncated .fqi, silently resolving high fragment ids to
+        # None).  n_fragments lets read_store cross-check the .fqi size.
+        originals = [str(fastq1), str(fastq2)]
+        stamps = []
+        for p in originals:
+            st = os.stat(p)
+            stamps.append({"size": st.st_size,
+                           "mtime_ns": st.st_mtime_ns})
+        tmp = str(store_path) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"fastq": originals, "backed": backed,
+                       "stamp": stamps,
+                       "n_fragments": max(int(dims[0]), int(dims[1]))},
+                      fh)
+        os.replace(tmp, store_path)
+    return tuple(mats)
 
 
 def merge_seed_chunks(chunk_arrays, out_keys, out_positions):

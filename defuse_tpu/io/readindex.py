@@ -67,6 +67,17 @@ def read_store(prefix: str):
             raise FileNotFoundError(
                 f"original-backed read store {prefix} lost its .fqi")
         fqi = None
+    elif store_path.exists() and "n_fragments" in store:
+        # cross-check the index size against the sidecar's fragment
+        # count (ADVICE r4): a truncated .fqi from an interrupted ingest
+        # must fail loudly here, not resolve high fragment ids to None
+        want = (16 if any(backed) else 0) + store["n_fragments"] * 16
+        got = os.path.getsize(fqi)
+        if got != want:
+            raise ValueError(
+                f"{fqi} is {got} bytes but the store sidecar says "
+                f"{store['n_fragments']} fragments ({want} bytes) — "
+                "truncated/partial index; re-run the ingest")
     return paths, backed, fqi
 
 

@@ -79,7 +79,10 @@ def merge_cluster_parts(part_paths, sidecar_paths, out_path):
     rewritten sequentially.  Byte-identical output is pinned by
     tests/test_distributed_tail.py."""
     n = len(part_paths)
-    counts = [[int(x) for x in open(sp)] for sp in sidecar_paths]
+    counts = []
+    for sp in sidecar_paths:
+        with open(sp) as fh:
+            counts.append([int(x) for x in fh])
     readers = [open(p) for p in part_paths]
     pending = [None] * n  # lookahead line per reader
     next_item = [0] * n
@@ -106,15 +109,30 @@ def merge_cluster_parts(part_paths, sidecar_paths, out_path):
     total_items = sum(len(c) for c in counts)
     tmp = str(out_path) + ".tmp"
     cid = 0
-    with open(tmp, "w") as out:
-        for idx in range(total_items):
-            r = idx % n
-            k = counts[r][next_item[r]]
-            next_item[r] += 1
-            if k:
-                cid = take_groups(r, k, out, cid)
-    for fh in readers:
-        fh.close()
+    try:
+        with open(tmp, "w") as out:
+            for idx in range(total_items):
+                r = idx % n
+                k = counts[r][next_item[r]]
+                next_item[r] += 1
+                if k:
+                    cid = take_groups(r, k, out, cid)
+        # exhaustion check (ADVICE r4): a part file holding MORE cluster
+        # groups than its sidecar claims would otherwise have its
+        # trailing clusters silently dropped — the mirror image of the
+        # 'ended early' error above, and just as much a
+        # corrupted-partition signal
+        for r, fh in enumerate(readers):
+            leftover = (pending[r] if pending[r] is not None
+                        else fh.readline())
+            if leftover:
+                raise ValueError(
+                    f"cluster part {part_paths[r]} has trailing "
+                    "clusters beyond its sidecar's counts "
+                    f"(first: {leftover[:80]!r})")
+    finally:
+        for fh in readers:
+            fh.close()
     import os
     os.replace(tmp, out_path)
 

@@ -3813,18 +3813,21 @@ int dt_prefixtab_attach(const uint64_t* keys, int64_t n_keys, int k,
   int p = std::min(key_bits, 22);
   if (ptab_len != ((int64_t)1 << p) + 1) return 2;
   if (ptab[0] != 0 || ptab[ptab_len - 1] != n_keys) return 3;
-  // sampled consistency check (atomic save ordering already prevents
-  // mixed-generation files; this catches hand-copied mismatches):
-  // bucket b's boundary key must straddle b at ~64 spread positions
+  // full consistency check: EVERY bucket boundary key must straddle
+  // its bucket (a corrupted interior entry silently mis-buckets seed
+  // lookups and drops hits).  One linear pass over the 2^p+1 entries —
+  // a few ms, negligible next to the ~1.8s counting pass being
+  // skipped.  (A 64-sample spot check was not enough: mixed-generation
+  // files whose end keys happen to match would pass it.)
   int shift = key_bits - p;
   int64_t nb = ptab_len - 1;
-  for (int64_t s = 1; s <= 64; s++) {
-    int64_t b = nb * s / 65;
+  for (int64_t b = 1; b < nb; b++) {
     int64_t off = ptab[b];
-    if (off < 0 || off > n_keys) return 4;
+    if (off < ptab[b - 1] || off > n_keys) return 4;
     if (off < n_keys && (int64_t)(keys[off] >> shift) < b) return 4;
     if (off > 0 && (int64_t)(keys[off - 1] >> shift) >= b) return 4;
   }
+  if (ptab[nb] < ptab[nb - 1]) return 4;
   auto ckey = std::make_tuple(keys, n_keys, k);
   auto sig = std::make_pair(keys[0], keys[n_keys - 1]);
   auto copy = std::make_shared<std::vector<int64_t>>(ptab,

@@ -143,3 +143,34 @@ def test_backed_store_stale_original_fails_loudly(tmp_path):
     fq1.write_text(recs + "@extra y\nTTTT\n+\nFFFF\n")
     with pytest.raises((ValueError, FileNotFoundError)):
         ReadIndex(str(tmp_path / "st" / "reads"))
+
+
+def test_backed_store_truncated_fqi_fails_loudly(tmp_path):
+    """A truncated .fqi behind a valid-looking sidecar must fail store
+    resolution (ADVICE r4: a crash between the sidecar commit and the
+    index write used to let high fragment ids resolve to None)."""
+    import pytest
+
+    from defuse_tpu.cluster import native
+    from defuse_tpu.io.readindex import ReadIndex, read_store
+    if not native.available():
+        pytest.skip("native library not built")
+    fq1, fq2 = tmp_path / "a.1.fq", tmp_path / "a.2.fq"
+    recs = "".join(f"@r{i} x\nACGTACGT\n+\nFFFFFFFF\n" for i in range(8))
+    fq1.write_text(recs)
+    fq2.write_text(recs)
+    assert native.ingest_fastq(str(fq1), str(fq2),
+                               str(tmp_path / "st")) is not None
+    prefix = str(tmp_path / "st" / "reads")
+    # sanity: the sidecar carries the fragment count and the store opens
+    import json
+    store = json.loads((tmp_path / "st" / "reads.store.json").read_text())
+    assert store["n_fragments"] == 8
+    read_store(prefix)
+    # simulate the interrupted-ingest crash window: index truncated
+    fqi = tmp_path / "st" / "reads.fqi"
+    fqi.write_bytes(fqi.read_bytes()[:-16])
+    with pytest.raises(ValueError, match="truncated"):
+        read_store(prefix)
+    with pytest.raises(ValueError, match="truncated"):
+        ReadIndex(prefix)
