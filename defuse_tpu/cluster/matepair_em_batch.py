@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 
 import jax
 import jax.numpy as jnp
@@ -420,11 +421,11 @@ def _m_step(r, batch_static, sigma, lam):
 import functools
 
 
-@functools.lru_cache(maxsize=32)
-def make_em_step(sigma: float, lam: float = LAMBDA,
-                 tol: float = TOLERANCE):
-    """Build the jitted batched EM iteration + driver (cached so repeated
-    runs reuse the compiled executable)."""
+def _build_em_run(sigma: float, lam: float = LAMBDA,
+                  tol: float = TOLERANCE):
+    """The traceable batched EM driver (unjitted) — shared by the plain
+    jitted entry (``make_em_step``) and the device-resident slab step
+    (``make_em_slab_step``)."""
     from ..core.devices import enable_compilation_cache
     enable_compilation_cache()
 
@@ -528,7 +529,63 @@ def make_em_step(sigma: float, lam: float = LAMBDA,
             cond, body, state0)
         return a, b, w, ll, done & ~failed, iters, r, done, failed, it_done
 
-    return jax.jit(em_run, static_argnames=("max_iters",))
+    return em_run
+
+
+@functools.lru_cache(maxsize=32)
+def make_em_step(sigma: float, lam: float = LAMBDA,
+                 tol: float = TOLERANCE):
+    """Build the jitted batched EM iteration + driver (cached so repeated
+    runs reuse the compiled executable)."""
+    return jax.jit(_build_em_run(sigma, lam, tol),
+                   static_argnames=("max_iters",))
+
+
+@functools.lru_cache(maxsize=32)
+def make_em_slab_step(sigma: float, lam: float = LAMBDA,
+                      tol: float = TOLERANCE):
+    """Device-resident slab step for the bucketed driver.
+
+    The round-4 link attribution (EM_ROOFLINE_r4 / BENCH_r04
+    ``kernel_rooflines.em``) showed the warm device EM wall was ~8%
+    device compute and ~92% link + dispatch: every 256-row slab paid 7
+    uploads and 8 pulls, each a ~133ms round trip on the tunneled dev
+    chip, and straggler compaction round-tripped the full (B, K, N)
+    responsibility state through the host between segments.  This step
+    keeps ALL state on the device: the group's inputs are uploaded once,
+    each slab is selected with a tiny (chunk,) index vector, the
+    responsibility/log-likelihood carry is gathered and scattered
+    in-place (donated buffers — no reallocation, no transfer), and the
+    only per-slab download is one packed (chunk, 2K+3) result matrix.
+
+    Gather/scatter of whole rows is exact, and every EM op is
+    row-independent, so per-row trajectories are bit-identical to the
+    host-compacted round-4 driver and to a single uncompacted launch.
+    Padded slab positions repeat a live row; their scattered updates are
+    byte-identical copies of that row's update, so duplicate-index
+    scatter order cannot change the result.
+    """
+    em_run = _build_em_run(sigma, lam, tol)
+
+    def slab_step(xyu, nk, R, LL, sel, max_iters):
+        x = jnp.take(xyu[0], sel, axis=0)
+        y = jnp.take(xyu[1], sel, axis=0)
+        u = jnp.take(xyu[2], sel, axis=0)
+        n = jnp.take(nk[0], sel, axis=0)
+        k = jnp.take(nk[1], sel, axis=0)
+        r0 = jnp.take(R, sel, axis=0)
+        ll0 = jnp.take(LL, sel, axis=0)
+        a, b, _w, ll, _ok, _it, r, done, failed, _itd = em_run(
+            x, y, u, n, k, r0, ll0, max_iters=max_iters)
+        R = R.at[sel].set(r)
+        LL = LL.at[sel].set(ll)
+        packed = jnp.concatenate(
+            [a, b, ll[:, None], done[:, None].astype(a.dtype),
+             failed[:, None].astype(a.dtype)], axis=1)
+        return R, LL, packed
+
+    return jax.jit(slab_step, static_argnames=("max_iters",),
+                   donate_argnums=(2, 3))
 
 
 # Largest (instance, k) row count shipped to the device in one program.
@@ -609,7 +666,7 @@ def run_batch(batch: EMBatch, params: EMParams, dtype=None,
     rows = len(batch.n)
 
     if chunk_rows and rows > chunk_rows:
-        a, b, ll, ok = _run_bucketed(em, batch, dtype, chunk_rows)
+        a, b, ll, ok = _run_bucketed(params, batch, dtype, chunk_rows)
     else:
         a, b, _w, ll, ok = (np.asarray(o) for o in em(
             jnp.asarray(batch.x, dtype), jnp.asarray(batch.y, dtype),
@@ -622,17 +679,59 @@ def run_batch(batch: EMBatch, params: EMParams, dtype=None,
                               exact_resolve=exact)
 
 
-def _run_bucketed(em, batch: EMBatch, dtype, chunk_rows: int):
-    """Bucketed + segmented driver for large batches.
+# Device-memory budget for one slab's M-step working set.  The
+# gather-free M-step materializes four (B, N, N)-byte one-hot masks
+# (xo_oh/yo_oh + one rpos_oh per side) plus O(B*K*N) f32 state; slabs
+# are sized so that footprint stays well under the v5e's 16GB HBM even
+# at the large-N bin-pair regime (defuse_run.pl:475's 32GB setcover
+# shapes), where N^2 masks dominate.
+EM_SLAB_BYTES = 2 << 30
 
-    Rows are grouped by (K, N) shape bucket, each group is run in
-    uniform ``chunk_rows`` slabs for SEGMENT_ITERS iterations, converged
-    rows are retired, and stragglers are compacted into fresh slabs
-    until MAX_ITERS total.  Slab dispatches within a segment are issued
-    before any result is read back, so device work and the host link
-    overlap.  Per-row trajectories are identical to a single
-    uncompacted launch at the same padded shape (row independence).
+
+def _chunk_for(nb: int, kb: int, chunk_rows: int) -> int:
+    per_row = 4 * nb * nb + 64 * kb * nb
+    return int(max(8, min(chunk_rows, EM_SLAB_BYTES // per_row)))
+
+
+def _group_pad(g: int) -> int:
+    """Bucket the per-group row count so executables are reused across
+    datasets (every distinct (Gb, chunk, kb, nb) is one XLA compile)."""
+    b = 64
+    while b < g:
+        b *= 2
+    return b
+
+
+# observability: per-phase attribution of the last bucketed run, filled
+# by _run_bucketed (consumed by scripts_dev/em_roofline_probe.py and the
+# bench kernel_rooflines collector)
+EM_RUN_STATS: dict = {}
+
+
+def _run_bucketed(params: EMParams, batch: EMBatch, dtype,
+                  chunk_rows: int):
+    """Bucketed + segmented + device-resident driver for large batches.
+
+    Rows are grouped by (K, N) shape bucket.  Each group's inputs are
+    uploaded to the device ONCE (one stacked coordinate tensor, one
+    stacked n/k tensor, the seed responsibilities, and the
+    log-likelihood carry); slabs of ``chunk`` rows are then selected
+    with a tiny on-device gather, run for SEGMENT_ITERS iterations, and
+    scattered back into the donated device-resident carry
+    (``make_em_slab_step``).  Converged rows are retired on the host
+    from the packed per-slab result (the only per-slab download, ~30KB)
+    and stragglers are re-slabbed by index — the (B, K, N)
+    responsibility state never crosses the link.
+
+    Per-row trajectories are identical to a single uncompacted launch at
+    the same padded shape (row independence; gather/scatter moves whole
+    rows exactly).
     """
+    t_wall0 = time.time()
+    stats = {"t_upload": 0.0, "t_dispatch": 0.0, "t_device_wait": 0.0,
+             "t_pull": 0.0, "up_MB": 0.0, "down_MB": 0.0,
+             "slabs": 0, "groups": 0, "segments": 0}
+    slab_step = make_em_slab_step(params.fragment_stddev)
     rows = len(batch.n)
     kmax = batch.r0.shape[1]
     np_dtype = np.dtype(dtype)
@@ -652,51 +751,85 @@ def _run_bucketed(em, batch: EMBatch, dtype, chunk_rows: int):
 
     n_segments = -(-MAX_ITERS // SEGMENT_ITERS)
     for (kb, nb), idx_list in sorted(groups.items()):
-        idx = np.asarray(idx_list, np.intp)
-        r_state = np.ascontiguousarray(
-            batch.r0[idx][:, :kb, :nb], np_dtype)
-        ll_state = np.full(len(idx), -BIG, np_dtype)
+        idx0 = np.asarray(idx_list, np.intp)
+        G = len(idx0)
+        Gb = _group_pad(G)
+        chunk = _chunk_for(nb, kb, chunk_rows)
+
+        t0 = time.time()
+        xyu = np.zeros((3, Gb, nb), np_dtype)
+        xyu[0, :G] = batch.x[idx0][:, :nb]
+        xyu[1, :G] = batch.y[idx0][:, :nb]
+        xyu[2, :G] = batch.u[idx0][:, :nb]
+        nk = np.zeros((2, Gb), np.int32)
+        nk[0, :G] = batch.n[idx0]
+        nk[1, :G] = batch.k[idx0]
+        r_init = np.zeros((Gb, kb, nb), np_dtype)
+        r_init[:G] = batch.r0[idx0][:, :kb, :nb]
+        ll_init = np.full(Gb, -BIG, np_dtype)
+        xyu_d = jax.device_put(xyu)
+        nk_d = jax.device_put(nk)
+        R_d = jax.device_put(r_init)
+        LL_d = jax.device_put(ll_init)
+        jax.block_until_ready((xyu_d, nk_d, R_d, LL_d))
+        stats["t_upload"] += time.time() - t0
+        stats["up_MB"] += (xyu.nbytes + nk.nbytes + r_init.nbytes
+                           + ll_init.nbytes) / 1e6
+        stats["groups"] += 1
+
+        alive = np.arange(G)  # group-row positions still running
         for seg in range(n_segments):
             last = seg == n_segments - 1
             pending = []
-            for lo in range(0, len(idx), chunk_rows):
-                hi = min(lo + chunk_rows, len(idx))
-                sel = np.arange(lo, hi)
-                if hi - lo < chunk_rows:  # pad: repeat the first row
+            t0 = time.time()
+            for lo in range(0, len(alive), chunk):
+                hi = min(lo + chunk, len(alive))
+                sel = alive[lo:hi]
+                if hi - lo < chunk:  # pad: repeat the first live row
                     sel = np.concatenate(
-                        [sel, np.full(chunk_rows - (hi - lo), lo, np.intp)])
-                rid = idx[sel]
-                out = em(jnp.asarray(batch.x[rid][:, :nb], dtype),
-                         jnp.asarray(batch.y[rid][:, :nb], dtype),
-                         jnp.asarray(batch.u[rid][:, :nb], dtype),
-                         jnp.asarray(batch.n[rid]),
-                         jnp.asarray(batch.k[rid]),
-                         jnp.asarray(r_state[sel]),
-                         jnp.asarray(ll_state[sel]),
-                         max_iters=SEGMENT_ITERS)
-                pending.append((lo, hi, out))
-            keep_idx, keep_r, keep_ll = [], [], []
-            for lo, hi, out in pending:
+                        [sel, np.full(chunk - (hi - lo), sel[0],
+                                      sel.dtype)])
+                R_d, LL_d, packed = slab_step(
+                    xyu_d, nk_d, R_d, LL_d,
+                    jnp.asarray(sel.astype(np.int32)),
+                    max_iters=SEGMENT_ITERS)
+                pending.append((lo, hi, packed))
+            stats["t_dispatch"] += time.time() - t0
+            stats["segments"] += 1
+            t0 = time.time()
+            jax.block_until_ready(pending[-1][2])
+            stats["t_device_wait"] += time.time() - t0
+            t0 = time.time()
+            keep = []
+            for lo, hi, packed in pending:
+                pk = np.asarray(packed)
+                stats["down_MB"] += pk.nbytes / 1e6
+                stats["slabs"] += 1
                 take = hi - lo
-                a_c, b_c, _w, ll_c, ok_c = (
-                    np.asarray(o)[:take] for o in out[:5])
-                r_c, done, failed = (
-                    np.asarray(o)[:take] for o in out[6:9])
+                a_c = pk[:take, :kb]
+                b_c = pk[:take, kb:2 * kb]
+                ll_c = pk[:take, 2 * kb]
+                done = pk[:take, 2 * kb + 1] > 0.5
+                failed = pk[:take, 2 * kb + 2] > 0.5
                 fin = (done | failed) | last
-                gi = idx[lo:hi]
-                a_out[gi[fin], :kb] = a_c[fin]
-                b_out[gi[fin], :kb] = b_c[fin]
-                ll_out[gi[fin]] = ll_c[fin]
-                ok_out[gi[fin]] = ok_c[fin]
+                g = alive[lo:hi]
+                gi = idx0[g[fin]]
+                a_out[gi, :kb] = a_c[fin]
+                b_out[gi, :kb] = b_c[fin]
+                ll_out[gi] = ll_c[fin]
+                ok_out[gi] = (done & ~failed)[fin]
                 if not last and not fin.all():
-                    keep_idx.append(gi[~fin])
-                    keep_r.append(r_c[~fin])
-                    keep_ll.append(ll_c[~fin])
-            if not keep_idx:
+                    keep.append(g[~fin])
+            stats["t_pull"] += time.time() - t0
+            if not keep:
                 break
-            idx = np.concatenate(keep_idx)
-            r_state = np.concatenate(keep_r)
-            ll_state = np.concatenate(keep_ll)
+            alive = np.concatenate(keep)
+        del xyu_d, nk_d, R_d, LL_d
+    stats["wall_s"] = round(time.time() - t_wall0, 3)
+    EM_RUN_STATS.clear()
+    EM_RUN_STATS.update(
+        {k: (round(v, 3) if isinstance(v, float) else v)
+         for k, v in stats.items()})
     return a_out, b_out, ll_out, ok_out
 
 
