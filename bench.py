@@ -314,6 +314,13 @@ def run_ours_subprocess(tmpdir, device, timeout_s=480, env=None):
                 p.split("=") for p in line.split()[1:])
         elif line.startswith("FRONTEND_PAIRS_S"):
             extras["frontend_pairs_s"] = float(line.split()[1])
+        elif line.startswith("FRONTEND_HASH"):
+            extras["frontend_hash"] = line.split()[1]
+        elif line.startswith("VPU_PEAK "):
+            try:
+                extras["vpu_peak"] = json.loads(line[len("VPU_PEAK "):])
+            except ValueError:
+                pass
         elif line.startswith("OURS_ELAPSED"):
             elapsed = float(line.split()[1])
             # stage lines from the timed (second) run overwrite the
@@ -364,6 +371,11 @@ def ours_only(tmpdir):
     if use_tpu:
         pallas_kernel_bench()
         verify_kernel_bench()
+        try:
+            from defuse_tpu.ops.split_dp_census import vpu_peak_probe
+            print("VPU_PEAK " + json.dumps(vpu_peak_probe()))
+        except Exception as e:
+            print(f"vpu peak probe failed: {e}", file=sys.stderr)
 
 
 def frontend_bench(ds, tmpdir):
@@ -389,6 +401,16 @@ def frontend_bench(ds, tmpdir):
                   outdir=str(pathlib.Path(tmpdir) / "bench_frontend"))
         dt = time.time() - t0
         print(f"FRONTEND_PAIRS_S {len(ds.reads1) / dt:.1f}")
+        # output digest so routing-forced legs (e.g. device verify) can
+        # assert hit-set identity with the default-routing run
+        import hashlib
+        h = hashlib.md5()
+        fdir = pathlib.Path(tmpdir) / "bench_frontend"
+        for name in ("spanning.compact", "improper.sam"):
+            p = fdir / name
+            if p.exists():
+                h.update(p.read_bytes())
+        print(f"FRONTEND_HASH {h.hexdigest()}")
     except Exception as e:
         print(f"frontend bench failed: {e}", file=sys.stderr)
 
@@ -523,15 +545,30 @@ def kernel_rooflines(run_extras, timeout_s=300):
     pk = run_extras.get("pallas_kernel") or {}
     try:
         if pk.get("marginal_us") is not None:
-            variant = str(pk.get("variant", "v1-i32"))
-            ceiling = 0.28 if "i16" in variant else 0.56
+            from defuse_tpu.ops.split_dp_census import census_vreg_ops
+            # the microbench's post-tighten shapes: R=256, 50 real rows
+            census = census_vreg_ops(256, 50)
+            peak = (run_extras.get("vpu_peak") or {}).get(
+                "vreg_ops_per_us")
+            if peak:
+                ceiling = census["vreg_ops_per_read"] / peak
+                basis = ("segmented-cascade vreg census / measured VPU "
+                         "peak issue rate (PALLAS_SPLIT_DP_r5.md)")
+            else:
+                ceiling = census["vreg_ops_per_read"] / 940.0
+                basis = ("segmented-cascade vreg census at an ASSUMED "
+                         "1 vreg-op/cycle, 0.94GHz (peak probe absent "
+                         "— see PALLAS_SPLIT_DP_r5.md)")
             m = float(pk["marginal_us"])
             roof["split_dp"] = {
                 "measured_us_per_read": m,
-                "ceiling_us_per_read": ceiling,
+                "ceiling_us_per_read": round(ceiling, 4),
+                "census_vreg_ops_per_read": round(
+                    census["vreg_ops_per_read"], 1),
+                "measured_peak_vreg_ops_per_us": (round(peak, 1)
+                                                  if peak else None),
                 "pct_of_ceiling": round(100 * ceiling / m, 1),
-                "basis": "int32 VPU vreg census "
-                         "(PALLAS_SPLIT_DP_r3.md)"}
+                "basis": basis}
     except Exception as e:
         print(f"split_dp roofline failed: {e}", file=sys.stderr)
     try:
@@ -566,6 +603,7 @@ def kernel_rooflines(run_extras, timeout_s=300):
                     "wall_s": pa["wall_s"],
                     "device_fraction": pa["device_fraction"],
                     "link_fraction": pa["link_fraction"],
+                    "host_fraction": pa.get("host_fraction"),
                     "up_MB": pa["totals"]["up_MB"],
                     "down_MB": pa["totals"]["down_MB"],
                     "slabs": pa["totals"]["slabs"],
@@ -573,6 +611,26 @@ def kernel_rooflines(run_extras, timeout_s=300):
                              "(em_roofline_probe part A)"}
     except Exception as e:
         print(f"em roofline failed: {e}", file=sys.stderr)
+    try:
+        # part B — the large-instance regime (VERDICT r4 item 2: the
+        # 32GB setcover bin-pairs, defuse_run.pl:475): native vs warm
+        # device walls at N in {512, 2048, 8192}, decisions compared.
+        # Gets its own generous budget: its compiles are cached
+        # persistently, so only the first-ever run pays them.
+        proc = subprocess.run(
+            [sys.executable,
+             str(REPO / "scripts_dev" / "em_roofline_probe.py"), "B"],
+            capture_output=True, text=True,
+            timeout=float(os.environ.get("DEFUSE_BENCH_PARTB_TIMEOUT",
+                                         "900")))
+        for line in proc.stdout.splitlines():
+            if line.startswith("EM_PROBE_B "):
+                roof["em_partB"] = json.loads(line[len("EM_PROBE_B "):])
+        if "em_partB" not in roof:
+            print("em part B probe produced no record: "
+                  + proc.stderr[-500:], file=sys.stderr)
+    except Exception as e:
+        print(f"em part B roofline failed: {e}", file=sys.stderr)
     return roof
 
 
@@ -755,6 +813,25 @@ def main():
                 "pairs_s": round(n_pairs / forced_elapsed, 1),
                 "screen_routing": forced_extras.get("screen_routing"),
                 "stage_times_s": forced_extras.get("stage_times_s"),
+            }
+        # forced-device-verify leg (VERDICT r4 item 8): the frontend's
+        # candidate-verify stage on the 3-bit packed device kernel at
+        # bench scale, with hit-set identity asserted against the
+        # default-routing run's frontend output digest
+        forced_v_elapsed, forced_v_extras = run_ours_subprocess(
+            tmpdir, "tpu", env={"DEFUSE_DEVICE_VERIFY": "force"})
+        if forced_v_elapsed is not None:
+            base_hash = run_extras.get("frontend_hash")
+            got_hash = forced_v_extras.get("frontend_hash")
+            run_extras["forced_device_verify"] = {
+                "elapsed_s": round(forced_v_elapsed, 3),
+                "pairs_s": round(n_pairs / forced_v_elapsed, 1),
+                "frontend_pairs_s": forced_v_extras.get(
+                    "frontend_pairs_s"),
+                "frontend_hash_matches": (
+                    None if not (base_hash and got_hash)
+                    else got_hash == base_hash),
+                "stage_times_s": forced_v_extras.get("stage_times_s"),
             }
         # measured-vs-ceiling statement for every device kernel
         # (VERDICT r3 item 10)
