@@ -210,9 +210,23 @@ def load_controls(path=None):
 
 
 def classify_results(results_path, out_path, controls_path=None,
-                     n_rounds: int = 50):
+                     n_rounds: int = 50, margin_seeds: int = 0):
     """Append a ``probability`` column to results.tsv
-    (``run_adaboost.R``)."""
+    (``run_adaboost.R``).
+
+    ``margin_seeds > 0`` additionally appends ``probability_mean`` /
+    ``probability_sd`` columns: the ensemble is refit ``margin_seeds``
+    times with bagging seeds 0..N-1 (emulating the reference's
+    UNSEEDED ``ada()`` bagging — ``run_adaboost.R`` never seeds R's
+    RNG, so its probabilities vary run to run) and the per-row spread
+    is reported.  A row whose mean sits near ``probability_threshold``
+    or whose sd is large is a borderline call the reference could have
+    kept or dropped depending on the run — the depth-driven filtered-
+    recall band documented in RECALL_DIAGNOSIS_r4.md and MIGRATION.md
+    ("classifier margins at depth").  The default (0) output is
+    byte-identical to previous rounds: the ``probability`` column
+    always comes from the canonical seed-11 fit.
+    """
     header, rows = _read_table(results_path)
     if not rows:
         with open(out_path, "w") as out:
@@ -223,7 +237,19 @@ def classify_results(results_path, out_path, controls_path=None,
     idx = {name: header.index(name) for name in FEATURES}
     X = np.array([[float(r[idx[f]]) for f in FEATURES] for r in rows])
     probs = model.predict_proba(X)
+    extra_cols: list[str] = []
+    extra_vals = None
+    if margin_seeds > 0:
+        sweep = np.stack([
+            AdaBoostClassifier(n_rounds, seed=s).fit(Xc, yc)
+            .predict_proba(X) for s in range(margin_seeds)])
+        extra_cols = ["probability_mean", "probability_sd"]
+        extra_vals = np.stack([sweep.mean(axis=0),
+                               sweep.std(axis=0, ddof=0)], axis=1)
     with open(out_path, "w") as out:
-        out.write("\t".join(header + ["probability"]) + "\n")
-        for r, p in zip(rows, probs):
-            out.write("\t".join(r + [f"{p:.15g}"]) + "\n")
+        out.write("\t".join(header + ["probability"] + extra_cols) + "\n")
+        for i, (r, p) in enumerate(zip(rows, probs)):
+            cells = r + [f"{p:.15g}"]
+            if extra_vals is not None:
+                cells += [f"{v:.15g}" for v in extra_vals[i]]
+            out.write("\t".join(cells) + "\n")

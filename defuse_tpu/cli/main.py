@@ -30,6 +30,15 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("-s", "--submit", default="direct",
                      help="direct | (cluster submitters TBD)")
     run.add_argument("-p", "--parallel", type=int, default=1)
+    run.add_argument("--report-margin", type=int, default=0,
+                     metavar="N",
+                     help="append probability_mean/probability_sd "
+                          "columns from an N-seed classifier bagging "
+                          "sweep to results.classify.tsv, surfacing "
+                          "borderline calls near the probability "
+                          "threshold (see MIGRATION.md 'classifier "
+                          "margins at depth'; default 0 = off, output "
+                          "identical to deFuse's)")
     run.add_argument("--no-device", action="store_true",
                      help="host-only compute (no TPU)")
     run.add_argument("--prealigned", default=None,
@@ -157,6 +166,9 @@ def main(argv=None) -> int:
 
     if args.command == "run":
         config = Config.read(args.config, args.dataset)
+        if args.report_margin:
+            config = config.with_value("report_margin_seeds",
+                                       args.report_margin)
         from ..pipeline.run import run_pipeline
         if args.bam:
             if args.fastq1 or args.fastq2:

@@ -690,7 +690,8 @@ EM_SLAB_BYTES = 2 << 30
 
 def _chunk_for(nb: int, kb: int, chunk_rows: int) -> int:
     per_row = 4 * nb * nb + 64 * kb * nb
-    return int(max(8, min(chunk_rows, EM_SLAB_BYTES // per_row)))
+    c = int(max(8, min(chunk_rows, EM_SLAB_BYTES // per_row)))
+    return c // 8 * 8  # sublane multiple
 
 
 def _group_pad(g: int) -> int:

@@ -85,6 +85,13 @@ class Config:
         values.update({k: str(v) for k, v in overrides.items()})
         return cls(values)
 
+    def with_value(self, key: str, value) -> "Config":
+        """A copy with one value overridden (CLI flags layered over a
+        config file, e.g. ``--report-margin``)."""
+        values = dict(self._values)
+        values[key] = str(value)
+        return type(self)(values)
+
     def has_value(self, key: str) -> bool:
         return key in self._values
 

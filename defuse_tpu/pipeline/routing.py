@@ -38,12 +38,14 @@ LINK_POINTS = {
 # core (pipeline/discover.py uses the same numbers)
 SCREEN_DEVICE_READS_S = 700e3
 SCREEN_HOST_READS_S_PER_CORE = 90e3
-# EM: native C++ rate (3806 (instance,K) rows / 2.1s, BENCH_r03) vs the
-# bucketed+compacted device driver (BENCH_r04 em_ablation warm) — both
-# on the bench dataset shapes; device upload is x/y/u/r0 per row
-EM_NATIVE_ROWS_S = 1800.0
-EM_DEVICE_ROWS_S = 900.0
-EM_UPLOAD_BYTES_PER_ROW = 13 * 141 * 4
+# EM — recalibrated to the round-5 device-resident driver's measured
+# attribution (BENCH_r05 kernel_rooflines.em / em_roofline_probe part
+# A on the bench workload: warm wall 2.62s for 3806 rows, device
+# compute 1.17s, uplink 15.5MB, 25 slab dispatches, ~0.38MB down):
+EM_NATIVE_ROWS_S = 5500.0        # native C++: 3806 rows / 0.57-0.80s
+EM_DEVICE_COMPUTE_ROWS_S = 3250.0  # pure device compute (t_device_wait)
+EM_UPLOAD_BYTES_PER_ROW = 4100     # bucketed x/y/u/nk/r0, measured
+EM_SLAB_ROWS = 256                 # TPU_CHUNK_ROWS at bench shapes
 
 
 def screen_decision(n_candidates: int, read_pad_len: int, link: dict,
@@ -72,15 +74,20 @@ def verify_decision(n_candidates: int, n_reads: int, read_len: int,
 
 
 def em_decision(n_rows: int, link: dict) -> dict:
-    """Bin-pair EM: native C++ vs the bucketed device driver.  The
-    device side pays one round trip per ~15 slab dispatches (pipelined)
-    plus the r0/coordinate upload."""
+    """Bin-pair EM: native C++ vs the device-resident bucketed driver
+    (``cluster/matepair_em_batch._run_bucketed``).  The device side
+    pays the one-time group uploads (bytes + a couple of round trips),
+    a fractional round trip per slab dispatch (dispatches pipeline
+    behind each other; the packed ~30KB result pulls ride the same
+    window), and pure device compute.  Calibrated against the measured
+    round-5 attribution: at the bench workload (3806 rows, tunnel
+    link) this predicts 3.1s vs the 2.6s measured warm wall."""
     bw = link["bw_MBps"] * 1e6
     rtt = link["rtt_ms"] / 1e3
-    n_dispatch = max(1, -(-n_rows // 256))
-    t_dev = (2 * rtt + 0.3 * rtt * n_dispatch
+    n_slabs = max(1, -(-n_rows // EM_SLAB_ROWS))
+    t_dev = (2 * rtt + 0.3 * rtt * n_slabs
              + n_rows * EM_UPLOAD_BYTES_PER_ROW / bw
-             + n_rows / EM_DEVICE_ROWS_S)
+             + n_rows / EM_DEVICE_COMPUTE_ROWS_S)
     t_host = n_rows / EM_NATIVE_ROWS_S
     return {"t_dev_s": round(t_dev, 4), "t_host_s": round(t_host, 4),
             "choice": "device" if t_dev < t_host else "host"}

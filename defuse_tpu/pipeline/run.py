@@ -622,7 +622,10 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
     classified = out / "results.classify.tsv"
     filtered = out / "results.filtered.tsv"
     if full_annotation and annotations:
-        classify_results(str(results), str(classified))
+        margin_seeds = (config.get_int("report_margin_seeds")
+                        if config.has_value("report_margin_seeds") else 0)
+        classify_results(str(results), str(classified),
+                         margin_seeds=margin_seeds)
         filter_by_probability(str(classified), str(filtered),
                               config.get_float("probability_threshold"))
     else:

@@ -45,3 +45,47 @@ def test_feature_list_matches_reference():
     assert len(FEATURES) == 14
     assert FEATURES[0] == "break_adj_entropy_min"
     assert "mean_map_count" in FEATURES
+
+
+def test_report_margin_columns(tmp_path):
+    """--report-margin (VERDICT r4 item 7): margin_seeds adds
+    probability_mean/probability_sd columns from an N-seed bagging
+    sweep WITHOUT changing the canonical probability column or the
+    default output."""
+    from defuse_tpu.annotate.adaboost import classify_results
+    from defuse_tpu.annotate.collate import filter_by_probability
+
+    X, y = load_controls()
+    header = "\t".join(["cluster_id"] + list(FEATURES))
+    rows = []
+    for i in range(12):
+        rows.append("\t".join([str(i)] + [f"{v:.6g}" for v in X[i]]))
+    results = tmp_path / "results.tsv"
+    results.write_text(header + "\n" + "\n".join(rows) + "\n")
+
+    plain = tmp_path / "plain.tsv"
+    margin = tmp_path / "margin.tsv"
+    classify_results(str(results), str(plain))
+    classify_results(str(results), str(margin), margin_seeds=6)
+
+    p_lines = plain.read_text().splitlines()
+    m_lines = margin.read_text().splitlines()
+    assert p_lines[0] + "\tprobability_mean\tprobability_sd" == m_lines[0]
+    for pl, ml in zip(p_lines[1:], m_lines[1:]):
+        mf = ml.split("\t")
+        # canonical probability column identical to the default run
+        assert pl == "\t".join(mf[:-2])
+        mean, sd = float(mf[-2]), float(mf[-1])
+        assert 0.0 <= mean <= 1.0 and 0.0 <= sd <= 0.5
+        # the seed-11 probability sits within a few sd of the sweep mean
+        prob = float(mf[-3])
+        assert abs(prob - mean) <= max(5 * sd, 0.35)
+    # at least one row shows genuine seed spread on the curated set
+    sds = [float(l.split("\t")[-1]) for l in m_lines[1:]]
+    assert max(sds) > 0.0
+
+    # the probability filter is name-keyed, so margin columns pass
+    # through it untouched
+    filt = tmp_path / "filtered.tsv"
+    filter_by_probability(str(margin), str(filt), 0.5)
+    assert filt.read_text().splitlines()[0] == m_lines[0]
