@@ -665,7 +665,13 @@ def run_batch(batch: EMBatch, params: EMParams, dtype=None,
     em = make_em_step(params.fragment_stddev)
     rows = len(batch.n)
 
-    if chunk_rows and rows > chunk_rows:
+    # bucketed driver when the row count exceeds the slab width — which
+    # the M-step's (B, N, N) mask footprint can shrink well below
+    # chunk_rows at bin-pair widths in the thousands (a 20-row N=8192
+    # batch needs 8-row slabs to stay inside the HBM budget)
+    eff_chunk = (_chunk_for(batch.x.shape[1], batch.r0.shape[1],
+                            chunk_rows) if chunk_rows else 0)
+    if chunk_rows and rows > eff_chunk:
         a, b, ll, ok = _run_bucketed(params, batch, dtype, chunk_rows)
     else:
         a, b, _w, ll, ok = (np.asarray(o) for o in em(

@@ -100,13 +100,18 @@ def part_a():
 
 
 def synth_large(n_points, n_instances, seed=0):
-    """G=3 well-separated components per instance, fragment-length-like
+    """G=3 OVERLAPPING components per instance, fragment-length-like
     coordinates (the 32GB-setcover-scale bin-pairs the reference feared,
-    defuse_run.pl:475 — many fragments in one bin pair)."""
+    defuse_run.pl:475 — many fragments in one bin pair).  Component
+    centers sit within ~2 fragment lengths of each other so the mixture
+    is genuinely ambiguous and EM needs many iterations — the
+    adversarial case for the HOST (a well-separated mixture converges
+    in a handful of iterations and native wins trivially)."""
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(n_instances):
-        centers = rng.uniform(2000, 30000, (3, 2))
+        base = rng.uniform(2000, 30000, 2)
+        centers = base[None, :] + rng.uniform(0, 400, (3, 2))
         g = rng.integers(0, 3, n_points)
         x = centers[g, 0] + rng.integers(-150, 150, n_points)
         y = centers[g, 1] + rng.integers(-150, 150, n_points)
@@ -131,6 +136,7 @@ def part_b():
         t_native = time.time() - t0
         # warm device pass: run twice, report the second
         mb.run_batch(batch, params)
+        mb.EM_RUN_STATS.clear()  # stats only describe THIS timed run
         t0 = time.time()
         dev = mb.run_batch(batch, params)
         t_device = time.time() - t0
@@ -143,7 +149,16 @@ def part_b():
             "native_s": round(t_native, 3),
             "device_warm_s": round(t_device, 3),
             "speedup_device": round(t_native / t_device, 2),
-            "decisions_match": same}
+            "decisions_match": same,
+            # how much of the matching answer the HOST produced: at
+            # large N the f32 log-likelihood's rounding noise (|ll| ~
+            # N) can exceed the 1e-3 convergence tolerance, so rows
+            # never flag done and the hybrid re-solves them exactly on
+            # the host — attribution that matters for an honest
+            # device-EM story
+            "host_resolved_instances":
+                mb.LAST_SELECT_STATS.get("n_host_resolved"),
+            "driver_stats": dict(mb.EM_RUN_STATS)}
         print(f"  N={n_points}: native {t_native:.2f}s device "
               f"{t_device:.2f}s match={same}", file=sys.stderr, flush=True)
     print("EM_PROBE_B " + json.dumps(report), flush=True)
