@@ -421,7 +421,15 @@ def pallas_kernel_bench(R=256, L=64):
     fixed costs (dispatch + one link round trip, which dominates over
     a tunneled dev link) cancel in the difference, so the number
     reflects the chip, not the link.  Total ms for the large batch is
-    recorded too so the link-inclusive cost stays visible."""
+    recorded too so the link-inclusive cost stays visible.
+
+    Both batch sizes are LARGE: the fixed link cost is ~25ms with
+    ±3ms jitter, so a small-batch subtrahend (the round-3/4 2048-read
+    choice) made the marginal a difference of two noisy numbers and
+    scattered it ±50% run to run — round 4's recorded 0.327µs/read was
+    such an artifact (a 5-point batch sweep this round fit
+    t(B) = 24.2ms + B*0.66µs with <±3% residuals;
+    PALLAS_SPLIT_DP_r5.md)."""
     try:
         import jax
         import jax.numpy as jnp
@@ -429,7 +437,7 @@ def pallas_kernel_bench(R=256, L=64):
 
         from defuse_tpu.ops.split_dp_batch import pad_batch
         rng = _np.random.default_rng(0)
-        B_small, B_big = 2048, 16384
+        B_small, B_big = 16384, 65536
         refs = ["".join(rng.choice(list("ACGT"), R))
                 for _ in range(B_big)]
         reads = ["".join(rng.choice(list("ACGT"), 50))
@@ -492,7 +500,9 @@ def verify_kernel_bench(L=50):
         lens = _np.full(B_reads, L, _np.int32)
         reads_d = jax.device_put(pack_rows3(reads))
         lens_d = jax.device_put(lens)
-        C_small, C_big = 16384, 262144
+        # both sizes large so the fixed-cost subtraction stays inside
+        # a few percent (see pallas_kernel_bench)
+        C_small, C_big = 65536, 524288
         starts = rng.integers(0, N - L, C_big).astype(_np.int64)
         w16 = (starts // 10).astype(_np.int32)
         l16 = (starts % 10).astype(_np.int32)
@@ -548,25 +558,34 @@ def kernel_rooflines(run_extras, timeout_s=300):
             from defuse_tpu.ops.split_dp_census import census_vreg_ops
             # the microbench's post-tighten shapes: R=256, 50 real rows
             census = census_vreg_ops(256, 50)
-            peak = (run_extras.get("vpu_peak") or {}).get(
-                "vreg_ops_per_us")
-            if peak:
-                ceiling = census["vreg_ops_per_read"] / peak
-                basis = ("segmented-cascade vreg census / measured VPU "
-                         "peak issue rate (PALLAS_SPLIT_DP_r5.md)")
+            peak = run_extras.get("vpu_peak") or {}
+            if peak.get("alu_us_per_vreg_op"):
+                # census priced by the MEASURED sustained issue costs
+                # (saturation probes, flat across stream counts and op
+                # mixes) — the defensible denominator; the 1.5GHz
+                # architectural single-pipe bound is recorded alongside
+                # (derivation + error bars: PALLAS_SPLIT_DP_r5.md)
+                ceiling = (census["alu_vreg_ops_per_read"]
+                           * peak["alu_us_per_vreg_op"]
+                           + census["roll_vreg_ops_per_read"]
+                           * peak["roll_us_per_vreg_op"])
+                basis = ("segmented-cascade vreg census priced at the "
+                         "measured sustained VPU issue rate "
+                         "(PALLAS_SPLIT_DP_r5.md)")
             else:
-                ceiling = census["vreg_ops_per_read"] / 940.0
-                basis = ("segmented-cascade vreg census at an ASSUMED "
-                         "1 vreg-op/cycle, 0.94GHz (peak probe absent "
-                         "— see PALLAS_SPLIT_DP_r5.md)")
+                ceiling = census["vreg_ops_per_read"] / 950.0
+                basis = ("segmented-cascade vreg census at the "
+                         "measured-typical 0.95 vreg-ops/ns issue "
+                         "rate (peak probe absent this run — "
+                         "PALLAS_SPLIT_DP_r5.md)")
             m = float(pk["marginal_us"])
             roof["split_dp"] = {
                 "measured_us_per_read": m,
                 "ceiling_us_per_read": round(ceiling, 4),
                 "census_vreg_ops_per_read": round(
                     census["vreg_ops_per_read"], 1),
-                "measured_peak_vreg_ops_per_us": (round(peak, 1)
-                                                  if peak else None),
+                "architectural_1p5ghz_us": round(
+                    census["vreg_ops_per_read"] / 1500.0, 4),
                 "pct_of_ceiling": round(100 * ceiling / m, 1),
                 "basis": basis}
     except Exception as e:

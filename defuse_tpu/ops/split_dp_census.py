@@ -82,21 +82,28 @@ def census_vreg_ops(R: int, L: int, batch_tile: int = 256) -> dict:
     readv = (batch_tile // SUBLANES) * (_round_up(L, LANES) // LANES)
     outv = (batch_tile // SUBLANES) * (_round_up(L + 1, LANES) // LANES)
 
-    per_row_fixed = 7 * readv + (2 + 4 + 2 + 1 + 2) * full + 2 * outv
-    total = 0
+    # per-row fixed work split by op class: lane-rolls go through the
+    # lane-crossbar path and cost more than elementwise ALU ops (the
+    # two are priced separately from the two measured probe mixes)
+    alu_row_fixed = 7 * readv + (2 + 3 + 2 + 1 + 2) * full + 2 * outv
+    roll_row_fixed = 1 * full  # the vert prev-shift
+    alu = roll = 0
     cascade_steps_total = 0
     for rows, steps in segment_rows(L, W):
-        cascade = steps * 2 * full + 1 * full  # + final wrap select
-        total += rows * (per_row_fixed + cascade)
+        alu += rows * (alu_row_fixed + steps * full + 1 * full)
+        roll += rows * (roll_row_fixed + steps * full)
         cascade_steps_total += rows * steps
+    total = alu + roll
     return {
         "R": R, "L": L, "W": W, "batch_tile": batch_tile,
         "vreg_ops_per_tile": total,
         "vreg_ops_per_read": total / batch_tile,
+        "alu_vreg_ops_per_read": alu / batch_tile,
+        "roll_vreg_ops_per_read": roll / batch_tile,
         "cascade_steps_total": cascade_steps_total,
-        "cascade_steps_uniform": L * len([
-            1 for s in _powers_below(min(W, 2 * L))]),
-        "per_row_fixed": per_row_fixed,
+        "cascade_steps_uniform": L * len(
+            _powers_below(min(W, 2 * L))),
+        "per_row_fixed": alu_row_fixed + roll_row_fixed,
     }
 
 
@@ -110,8 +117,8 @@ def _powers_below(limit: int):
 
 
 def vpu_peak_probe(batch_tile: int = 256, W: int = 384,
-                   streams: int = 4, iters_small: int = 256,
-                   iters_big: int = 2048) -> dict:
+                   streams: int = 4, iters_small: int = 1 << 17,
+                   iters_big: int = 1 << 20) -> dict:
     """Measured sustained VPU vector-op issue rate (vreg-ops/s).
 
     Runs ``streams`` independent roll/add/max chains (the split-DP op
@@ -133,43 +140,74 @@ def vpu_peak_probe(batch_tile: int = 256, W: int = 384,
 
     interpret = jax.default_backend() != "tpu"
 
-    def kernel(x_ref, o_ref, *, iters):
+    def kernel(x_ref, o_ref, *, iters, mix):
         accs = tuple(x_ref[:] + i for i in range(streams))
 
-        def body(j, accs):
+        def body_roll(j, accs):
+            # 1 roll + 1 add + 1 max per stream (the cascade's mix)
             return tuple(
                 jnp.maximum(pltpu.roll(a, 1, 1), a + 1) for a in accs)
 
-        accs = jax.lax.fori_loop(0, iters, body, accs)
+        def body_alu(j, accs):
+            # 2 adds + 2 maxes per stream pair, no lane movement —
+            # cross-linked so nothing folds to a closed form
+            out = list(accs)
+            for i in range(0, streams, 2):
+                a, b = accs[i], accs[i + 1]
+                out[i] = jnp.maximum(a + 1, b)
+                out[i + 1] = jnp.maximum(b + 2, a)
+            return tuple(out)
+
+        accs = jax.lax.fori_loop(
+            0, iters, body_roll if mix == "roll" else body_alu, accs)
         o_ref[:] = functools.reduce(jnp.maximum, accs)
 
-    def run(iters):
+    def run(iters, mix):
         x = np.zeros((batch_tile, W), np.int32)
         f = pl.pallas_call(
-            functools.partial(kernel, iters=iters),
+            functools.partial(kernel, iters=iters, mix=mix),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((batch_tile, W), jnp.int32),
             interpret=interpret,
         )
-        g = jax.jit(f)
+        # scalar fetch forces remote completion — on the tunneled axon
+        # backend block_until_ready alone can return before the remote
+        # program finishes (measured: a 1.3s kernel "completes" in
+        # 100µs), which silently voids the measurement; every bench
+        # microbench uses the same fetch-a-scalar pattern
+        g = jax.jit(lambda a: jnp.sum(f(a)))
         xd = jax.device_put(x)
-        jax.block_until_ready(g(xd))  # compile + warm
+        float(g(xd))  # compile + warm
         best = 1e9
         for _ in range(8):
             t0 = time.time()
-            jax.block_until_ready(g(xd))
+            float(g(xd))
             best = min(best, time.time() - t0)
         return best
 
-    t_small = run(iters_small)
-    t_big = run(iters_big)
-    per_iter = (t_big - t_small) / (iters_big - iters_small)
     full = (batch_tile // SUBLANES) * (W // LANES)
-    ops_per_iter = streams * 3 * full
-    return {
-        "batch_tile": batch_tile, "W": W, "streams": streams,
-        "per_iter_us": per_iter * 1e6,
-        "vreg_ops_per_s": ops_per_iter / per_iter,
-        "vreg_ops_per_us": ops_per_iter / per_iter / 1e6,
-    }
+    out = {"batch_tile": batch_tile, "W": W, "streams": streams,
+           "iters": [iters_small, iters_big]}
+    per_iter = {}
+    for mix in ("roll", "alu"):
+        t_small = run(iters_small, mix)
+        t_big = run(iters_big, mix)
+        per_iter[mix] = (t_big - t_small) / (iters_big - iters_small)
+        ops = streams * 3 * full if mix == "roll" else streams * 2 * full
+        out[mix] = {
+            "t_small_s": round(t_small, 4), "t_big_s": round(t_big, 4),
+            "per_iter_us": round(per_iter[mix] * 1e6, 4),
+            "vreg_ops_per_us": round(ops / per_iter[mix] / 1e6, 1)}
+    # per-vreg-op costs: alu mix issues 4 ALU ops per stream-pair —
+    # wait: body_alu does 2 adds + 2 maxes per PAIR, i.e. 2 ops per
+    # stream; body_roll does 1 roll + 2 ALU per stream.  Solve:
+    #   t_alu_iter  = streams * 2 * full * c_alu
+    #   t_roll_iter = streams * full * (c_roll + 2 * c_alu)
+    c_alu = per_iter["alu"] / (streams * 2 * full)
+    c_roll = per_iter["roll"] / (streams * full) - 2 * c_alu
+    out["alu_us_per_vreg_op"] = c_alu * 1e6
+    out["roll_us_per_vreg_op"] = max(c_roll, c_alu) * 1e6
+    # single blended rate kept for backwards compatibility
+    out["vreg_ops_per_us"] = out["roll"]["vreg_ops_per_us"]
+    return out
