@@ -83,7 +83,7 @@ def marginal(fn, args_small, args_big, iters=10):
     return best_s, best_b
 
 
-def main(n_ref=4_000_000, c_big=262_144):
+def main(n_ref=4_000_000, c_big=1_048_576):
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, n_ref).astype(np.int8)
     ref3 = jax.device_put(pack_codes3(codes))
@@ -91,7 +91,11 @@ def main(n_ref=4_000_000, c_big=262_144):
     reads = rng.integers(0, 4, (b_reads, L)).astype(np.int8)
     reads3 = jax.device_put(pack_rows3(reads))
     lens = jax.device_put(np.full(b_reads, L, np.int32))
-    c_small = c_big // 16
+    # both sizes large: the ~25ms fixed dispatch cost carries ±3ms
+    # jitter, so a small subtrahend makes the marginal a difference of
+    # two noisy numbers (the round-4 split-DP artifact,
+    # PALLAS_SPLIT_DP_r5.md §1)
+    c_small = c_big // 4
     starts = rng.integers(0, n_ref - L, c_big).astype(np.int64)
     w10 = jax.device_put((starts // 10).astype(np.int32))
     l10 = jax.device_put((starts % 10).astype(np.int32))
@@ -120,5 +124,5 @@ def main(n_ref=4_000_000, c_big=262_144):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    c = int(sys.argv[2]) if len(sys.argv) > 2 else 262_144
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 1_048_576
     main(n, c)
