@@ -102,6 +102,19 @@ def run_cohort(config: str, dataset: str, manifest: str, outdir: str,
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
 
+    # Stale-shard guard: summary shards persist across runs, so a
+    # RESUME could otherwise let rank 0 merge a previous run's shards
+    # while other ranks are still recomputing (observed: a recomputed
+    # library read mid-run broke the cohort_fusions byte-identity
+    # contract).  Each rank drops its own stale shard immediately;
+    # when the launcher provides DEFUSE_COHORT_RUN_ID (identical for
+    # every rank — scheduler job id, timestamp, anything shared), the
+    # shard embeds it and rank 0 accepts only matching shards, which
+    # closes the race completely.  Without a run id the unlink keeps
+    # the window to the few ms between launch and this line.
+    run_id = os.environ.get("DEFUSE_COHORT_RUN_ID", "")
+    (out / f"cohort_summary.rank{rank}.tsv").unlink(missing_ok=True)
+
     mine = [(i, lb) for i, lb in enumerate(libs) if i % nprocs == rank]
     rows = []
     pending: list[tuple[subprocess.Popen, Library, float]] = []
@@ -147,26 +160,44 @@ def run_cohort(config: str, dataset: str, manifest: str, outdir: str,
     shard = out / f"cohort_summary.rank{rank}.tsv"
     tmp = shard.with_suffix(".tmp")
     with open(tmp, "w") as fh:
+        fh.write(f"#run_id={run_id}\n")
         for r in sorted(rows):
             fh.write("\t".join(map(str, r)) + "\n")
     tmp.rename(shard)  # atomic: the merger never sees a partial shard
 
     if rank != 0:
         return {}
-    return merge_cohort(outdir, nprocs, libs, timeout_s=merge_timeout_s)
+    return merge_cohort(outdir, nprocs, libs, timeout_s=merge_timeout_s,
+                        run_id=run_id)
 
 
 def merge_cohort(outdir: str, nprocs: int, libs: list[Library],
-                 timeout_s: float = 24 * 3600.0) -> dict:
-    """Rank 0: wait for every rank's summary shard, then write the
-    cohort summary, the pooled fusion table, and the recurrence table."""
+                 timeout_s: float = 24 * 3600.0,
+                 run_id: str = "") -> dict:
+    """Rank 0: wait for every rank's summary shard — from THIS run when
+    a run id is in force (stale shards from a previous run are not
+    accepted) — then write the cohort summary, the pooled fusion
+    table, and the recurrence table."""
     out = pathlib.Path(outdir)
     deadline = time.time() + timeout_s
     shards = [out / f"cohort_summary.rank{r}.tsv" for r in range(nprocs)]
-    while not all(s.exists() for s in shards):
+
+    def fresh(s: pathlib.Path) -> bool:
+        if not s.exists():
+            return False
+        if not run_id:
+            return True
+        try:
+            with open(s) as fh:
+                return fh.readline().strip() == f"#run_id={run_id}"
+        except OSError:
+            return False
+
+    while not all(fresh(s) for s in shards):
         if time.time() > deadline:
-            missing = [str(s) for s in shards if not s.exists()]
-            raise TimeoutError(f"cohort merge: missing {missing}")
+            missing = [str(s) for s in shards if not fresh(s)]
+            raise TimeoutError(
+                f"cohort merge: missing/stale {missing}")
         time.sleep(2.0)
 
     summary = out / "cohort_summary.tsv"
@@ -174,7 +205,8 @@ def merge_cohort(outdir: str, nprocs: int, libs: list[Library],
         fh.write("library\tstatus\tn_fusions\telapsed_s\tresults\n")
         lines = []
         for s in shards:
-            lines += s.read_text().splitlines()
+            lines += [ln for ln in s.read_text().splitlines()
+                      if not ln.startswith("#")]
         order = {lb.name: i for i, lb in enumerate(libs)}
         lines.sort(key=lambda ln: order.get(ln.split("\t", 1)[0], 1 << 30))
         fh.write("\n".join(lines) + ("\n" if lines else ""))

@@ -104,10 +104,12 @@ def build(tmp):
 def launch_ranks(config, dataset, manifest, out, n_ranks=N_RANKS):
     procs = []
     t0 = time.time()
+    run_id = str(time.time_ns())  # shared across ranks: stale-shard guard
     for r in range(n_ranks):
         env = dict(ENV)
         env.update({"DEFUSE_COHORT_RANK": str(r),
-                    "DEFUSE_COHORT_NPROCS": str(n_ranks)})
+                    "DEFUSE_COHORT_NPROCS": str(n_ranks),
+                    "DEFUSE_COHORT_RUN_ID": run_id})
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "defuse_tpu", "cohort",
              "-c", str(config), "-d", str(dataset), "-m", str(manifest),

@@ -33,26 +33,33 @@ ERROR_RATE = 0.005
 
 def generate(rng, n_background, chrom_mb=CHROM_MB, n_genes=N_GENES,
              n_fusions=N_FUSIONS, frags_per_fusion=FRAGS_PER_FUSION,
-             error_rate=ERROR_RATE):
+             error_rate=ERROR_RATE, fusion_pairs=None, genome=None,
+             genes=None):
+    """fusion_pairs: optional list of (gene_index_a, gene_index_b) to
+    pin WHICH genes fuse (cohort recurrence engineering); genome/genes
+    may be passed in so several libraries share one reference."""
     from defuse_tpu.core.types import revcomp
     from synthdata import Gene, random_seq
 
     chrom_len = int(chrom_mb * 1_000_000)
-    genome = {"1": random_seq(rng, chrom_len),
-              "2": random_seq(rng, chrom_len)}
-    genes = []
-    pos = {"1": 60_000, "2": 60_000}
-    for gi in range(n_genes):
-        chrom = "1" if gi % 2 == 0 else "2"
-        strand = rng.randint(0, 1)
-        exons = []
-        p = pos[chrom]
-        for _ in range(rng.randint(4, 7)):
-            length = rng.randint(350, 900)
-            exons.append((p, p + length - 1))
-            p += length + rng.randint(900, 5000)
-        pos[chrom] = p + rng.randint(20_000, 80_000)
-        genes.append(Gene(f"G{gi}", f"T{gi}", chrom, strand, exons))
+    if genome is None:
+        genome = {"1": random_seq(rng, chrom_len),
+                  "2": random_seq(rng, chrom_len)}
+    if genes is None:
+        genes = []
+        pos = {"1": 60_000, "2": 60_000}
+        for gi in range(n_genes):
+            chrom = "1" if gi % 2 == 0 else "2"
+            strand = rng.randint(0, 1)
+            exons = []
+            p = pos[chrom]
+            for _ in range(rng.randint(4, 7)):
+                length = rng.randint(350, 900)
+                exons.append((p, p + length - 1))
+                p += length + rng.randint(900, 5000)
+            pos[chrom] = p + rng.randint(20_000, 80_000)
+            genes.append(Gene(f"G{gi}", f"T{gi}", chrom, strand, exons))
+    n_genes = len(genes)
 
     # per-base sequencing errors (binomial via two bernoulli draws)
     p1 = 1.0 - (1.0 - error_rate) ** 50
@@ -69,9 +76,13 @@ def generate(rng, n_background, chrom_mb=CHROM_MB, n_genes=N_GENES,
 
     reads1, reads2 = [], []
     truth = set()
-    for fi in range(n_fusions):
-        ga = genes[rng.randrange(n_genes)]
-        gb = genes[rng.randrange(n_genes)]
+    if fusion_pairs is not None:
+        pair_iter = [(genes[a], genes[b]) for a, b in fusion_pairs]
+    else:
+        pair_iter = [(genes[rng.randrange(n_genes)],
+                      genes[rng.randrange(n_genes)])
+                     for _ in range(n_fusions)]
+    for ga, gb in pair_iter:
         if ga is gb or frozenset((ga.name, gb.name)) in truth:
             continue
         ca, cb = ga.cdna(genome), gb.cdna(genome)

@@ -103,6 +103,39 @@ def test_cohort_end_to_end(tmp_path):
     assert (out / "cohort_fusions.tsv").read_bytes() == fus_bytes
 
 
+def test_merge_rejects_stale_shards(tmp_path):
+    """Stale-shard guard: when a run id is in force, rank 0's merge must
+    not accept a shard written by a previous run (observed failure: a
+    resumed cohort merged run-1 shards while run-2 ranks were still
+    recomputing, breaking cohort_fusions byte-identity)."""
+    import pytest
+
+    from defuse_tpu.pipeline.cohort import Library, merge_cohort
+
+    out = tmp_path
+    libs = [Library("libA", "", ""), Library("libB", "", "")]
+    # rank 0 shard from THIS run, rank 1 shard from a PREVIOUS run
+    (out / "cohort_summary.rank0.tsv").write_text(
+        "#run_id=run2\nlibA\tok\t0\t1.0\t-\n")
+    (out / "cohort_summary.rank1.tsv").write_text(
+        "#run_id=run1\nlibB\tok\t0\t1.0\t-\n")
+    with pytest.raises(TimeoutError, match="stale"):
+        merge_cohort(str(out), 2, libs, timeout_s=0.1, run_id="run2")
+
+    # once rank 1's fresh shard lands, the merge proceeds and the
+    # header comment lines never leak into the merged summary
+    (out / "cohort_summary.rank1.tsv").write_text(
+        "#run_id=run2\nlibB\tok\t0\t1.0\t-\n")
+    paths = merge_cohort(str(out), 2, libs, timeout_s=5.0, run_id="run2")
+    lines = open(paths["summary"]).read().splitlines()
+    assert lines[1:] == ["libA\tok\t0\t1.0\t-", "libB\tok\t0\t1.0\t-"]
+    assert not any(ln.startswith("#") for ln in lines)
+
+    # no run id (single-process legacy path): any existing shard is fresh
+    paths = merge_cohort(str(out), 2, libs, timeout_s=5.0)
+    assert open(paths["summary"]).read().count("\t") >= 8
+
+
 def test_cohort_two_rank_fanout(tmp_path):
     """Static round-robin ownership across 2 ranks: each rank runs only
     its libraries; rank 0 waits for rank 1's shard and merges."""
