@@ -35,7 +35,17 @@ def index_tbl_by_ref(tbl_path):
     fragment order, each contributing its end-1 then end-2 row, with
     strands from the table's packed end-1 strand bit (proper pairs are
     always opposite-strand).  Pinned against the SAM indexer by
-    tests/test_pair_tbl_lazy.py."""
+    tests/test_pair_tbl_lazy.py.
+
+    A LIST of per-rank part tables indexes each part in rank order —
+    identical to indexing the concatenated table, since parts carry
+    globalized fragment ids and concatenate in rank order."""
+    if isinstance(tbl_path, (list, tuple)):
+        by_ref: dict[str, list] = {}
+        for part in tbl_path:
+            for ref, rows in index_tbl_by_ref(part).items():
+                by_ref.setdefault(ref, []).extend(rows)
+        return by_ref
     from ..parallel.shard import pair_table_has_strand, \
         read_pair_table, unpack_seq_strand
     if not pair_table_has_strand(tbl_path):

@@ -462,6 +462,34 @@ def reads_index(fastq1: str, fastq2: str, fqi_path: str | None = None):
     return handle or None
 
 
+def reads_free(handle):
+    """Free a read-store handle that will not be consumed by a
+    RealignDriver (e.g. a partial group build)."""
+    lib = load_library()
+    if lib is not None and handle:
+        lib.dt_reads_free(ctypes.c_void_p(handle))
+
+
+def reads_group(handles, bases):
+    """Group read store over per-rank part stores (distributed tail):
+    candidate lookups dispatch to the part owning each global
+    fragment-id range (``bases`` ascending, one per handle) with
+    localized ids — the realign driver then preads only its candidates
+    from the shard stores the per-rank frontends already indexed,
+    replacing the whole-library .fqi build.  Takes ownership of the
+    part handles on success.  Returns a handle or None."""
+    lib = load_library()
+    if lib is None or not handles or any(h is None for h in handles):
+        return None
+    arr = (ctypes.c_void_p * len(handles))(*handles)
+    b = np.ascontiguousarray(bases, dtype=np.int64)
+    fn = lib.dt_reads_group
+    fn.restype = ctypes.c_void_p
+    g = fn(arr, b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+           ctypes.c_int(len(handles)))
+    return g or None
+
+
 class RealignDriver:
     """Two-phase native realign driver.
 
@@ -975,7 +1003,7 @@ def calccov_native(sam_path, ref_names, marker_refs, marker_positions,
 
 def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
                 trim_length, anchor, span_path, pos_path, min_path,
-                n_threads=0, merge_seed=None):
+                n_threads=0, merge_seed=None, bin_path=None):
     """dt_calccov over the binary pair table (threaded; byte-identical
     sample files to the SAM scan).  Returns sample count or None.
 
@@ -988,7 +1016,11 @@ def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
     Passing ``span_path=pos_path=min_path=None`` skips sample-file
     formatting and writing entirely (lazy-samples mode: only the fused
     merge is produced; the text artifacts are materialized on demand by
-    re-running with paths — the scan is deterministic)."""
+    re-running with paths — the scan is deterministic).
+
+    ``bin_path`` writes a COVBN001 binary sample part (raw marker ids +
+    %.6g-quantized values in emission order) — the distributed tail's
+    parse-free input to ``cov_merge_bin``; composes with lazy mode."""
     lib = load_library()
     if lib is None:
         return None
@@ -1022,7 +1054,9 @@ def calccov_tbl(tbl_path, ref_names, marker_refs, marker_positions, *,
             merged.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
             if want_merge else None,
             mcounts.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
-            if want_merge else None)
+            if want_merge else None,
+            ctypes.c_char_p(str(bin_path).encode())
+            if bin_path else None)
     if rc < 0:
         return None
     if not want_merge:
@@ -1040,6 +1074,56 @@ def pairtbl_cache_clear() -> None:
     lib = load_library()
     if lib is not None:
         lib.dt_pairtbl_cache_clear()
+
+
+def cov_merge_bin(paths, seed=11):
+    """Covariance merge over per-rank COVBN001 binary sample parts IN
+    RANK ORDER (dt_cov_merge_bin): bit-identical to the single-process
+    fused merge because the concatenated sample sequence equals one
+    scan of the concatenated pair table.  Returns {kind: (mean, cov) |
+    None} (None = the reference's not-enough-samples abort for that
+    kind) or None when native is unavailable / IO fails."""
+    lib = load_library()
+    if lib is None:
+        return None
+    joined = ";".join(str(p) for p in paths)
+    out = np.zeros(6, dtype=np.float64)
+    counts = np.zeros(3, dtype=np.int64)
+    fn = lib.dt_cov_merge_bin
+    fn.restype = ctypes.c_long
+    rc = fn(ctypes.c_char_p(joined.encode()), ctypes.c_long(seed),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+    if rc < 0:
+        return None
+    return {kind: (float(out[2 * k]), float(out[2 * k + 1]))
+            if counts[k] > 0 else None
+            for k, kind in enumerate(("span", "pos", "min"))}
+
+
+def cov_merge_files(paths, seed=11):
+    """Covariance merge over per-rank sample-part files IN RANK ORDER
+    (dt_cov_merge_multi): the concatenated sample sequence equals a
+    single scan of the concatenated pair table, so the drand48 stream
+    and accumulation order — hence the merged (mean, cov) bits — match
+    the single-process fused path exactly.  Returns (mean, cov), None
+    when native is unavailable/IO fails, or raises ValueError on the
+    count<=100 contract."""
+    lib = load_library()
+    if lib is None:
+        return None
+    joined = ";".join(str(p) for p in paths)
+    out = np.zeros(2, dtype=np.float64)
+    fn = lib.dt_cov_merge_multi
+    fn.restype = ctypes.c_long
+    rc = fn(ctypes.c_char_p(joined.encode()), ctypes.c_long(seed),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc == -2:
+        raise ValueError("not enough concordant read samples; set "
+                         "multi_exon_transcripts_stats = yes")
+    if rc < 0:
+        return None
+    return float(out[0]), float(out[1])
 
 
 def cov_merge_file(path, seed=11):
@@ -1088,9 +1172,12 @@ def localalign_batch(refs, seqs, match, mismatch, gap, n_threads=0):
     return scores[:len(refs)]
 
 
-def read_stats_tbl(tbl_path):
-    """dt_read_stats over the binary pair table (bit-equal float sums
-    to the SAM scan).  Returns a ReadStats or None."""
+def read_stats_tbl_sums(tbl_path):
+    """Raw fragment-length sums for one pair table: (n, sum, sumsq,
+    readlengths) — every value an exact integer carried in doubles
+    (isize and isize² totals stay far below 2^53), so summing parts in
+    rank order is bit-identical to one scan of the concatenated table.
+    Returns None when the native library is unavailable."""
     lib = load_library()
     if lib is None:
         return None
@@ -1104,16 +1191,28 @@ def read_stats_tbl(tbl_path):
             ctypes.c_int(256))
     if rc < 0 or rc > 256:
         return None
-    from ..stats.readstats import ReadStats
-    n = int(scalars[0])
-    rl = sorted(lengths[:int(rc)].tolist())
-    if n > 0:
-        mean = scalars[1] / n
-        var = scalars[2] / n - mean ** 2
-        return ReadStats(n, mean, var ** 0.5, rl[0] if rl else 0,
-                         rl[-1] if rl else 0, tuple(rl))
-    return ReadStats(0, 0.0, 0.0, rl[0] if rl else 0,
-                     rl[-1] if rl else 0, tuple(rl))
+    return (float(scalars[0]), float(scalars[1]), float(scalars[2]),
+            sorted(lengths[:int(rc)].tolist()))
+
+
+def read_stats_tbl(tbl_path):
+    """dt_read_stats over the binary pair table — or a LIST of part
+    tables, whose exact integer sums are added in list order (bit-equal
+    to scanning the concatenated table).  Returns a ReadStats or None."""
+    paths = ([tbl_path] if isinstance(tbl_path, (str, bytes))
+             or hasattr(tbl_path, "__fspath__") else list(tbl_path))
+    n = s = ss = 0.0
+    lengths: set = set()
+    for p in paths:
+        part = read_stats_tbl_sums(p)
+        if part is None:
+            return None
+        n += part[0]
+        s += part[1]
+        ss += part[2]
+        lengths.update(part[3])
+    from ..stats.readstats import stats_from_sums
+    return stats_from_sums(n, s, ss, sorted(lengths))
 
 
 def globalize_ids(src, dst, offset, qname_style):

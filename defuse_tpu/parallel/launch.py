@@ -77,6 +77,14 @@ class DistContext:
     def __init__(self, pid: int, n_proc: int):
         self.pid = int(pid)
         self.n_proc = int(n_proc)
+        # per-barrier progress flags: the abort path must drain exactly
+        # the barriers the workers are still waiting on — re-entering a
+        # barrier both sides already passed would mismatch the gloo
+        # name sequence and hang every rank (ADVICE r4 medium)
+        self.cov_inputs_done = False
+        self.cov_parts_done = False
+        self.cluster_inputs_done = False
+        self.cluster_parts_done = False
         # set once rank 0 has drained both clustering barriers; the
         # run_pipeline abort guard uses it to decide whether workers
         # still need a rendezvous on failure (ADVICE r4 medium)
@@ -88,22 +96,41 @@ class DistContext:
 
 
 def abort_cluster_partition(ctx: DistContext, outdir, error) -> None:
-    """Rank-0 failure path BEFORE the clustering rendezvous: publish an
-    abort partmeta and drain both barriers so ranks>0 blocked in
-    ``cluster_partition_worker`` wake up, see the abort, and exit
-    loudly instead of hanging in gloo forever (ADVICE r4 medium).
-    Called from the ``run_pipeline`` exception wrapper."""
+    """Rank-0 failure path: publish abort metas and drain exactly the
+    rendezvous barriers ranks>0 have not yet passed, so workers blocked
+    in ``tail_partition_worker``/``cluster_partition_worker`` wake up,
+    see the abort, and exit loudly instead of hanging in gloo forever
+    (ADVICE r4 medium).  Consults the per-barrier progress flags — a
+    failure BETWEEN the two barriers of a rendezvous must drain only
+    the second one.  Called from the ``run_pipeline`` exception
+    wrapper."""
     import json
-    if outdir is not None:
+
+    def _publish(name):
+        if outdir is None:
+            return
         try:
             out = pathlib.Path(outdir)
             out.mkdir(parents=True, exist_ok=True)
-            (out / "clusters.partmeta.json").write_text(json.dumps(
+            (out / name).write_text(json.dumps(
                 {"mode": "abort", "error": str(error)[:500]}))
         except OSError:
             pass  # workers fall back to the missing-file abort path
-    ctx.barrier("cluster_inputs")
-    ctx.barrier("cluster_parts")
+
+    if not ctx.cov_parts_done:
+        if not ctx.cov_inputs_done:
+            _publish("cov.partmeta.json")
+            ctx.barrier("cov_inputs")
+            ctx.cov_inputs_done = True
+        ctx.barrier("cov_parts")
+        ctx.cov_parts_done = True
+    if not ctx.cluster_parts_done:
+        if not ctx.cluster_inputs_done:
+            _publish("clusters.partmeta.json")
+            ctx.barrier("cluster_inputs")
+            ctx.cluster_inputs_done = True
+        ctx.barrier("cluster_parts")
+        ctx.cluster_parts_done = True
     ctx.cluster_rendezvous_done = True
 
 
@@ -153,6 +180,60 @@ def cluster_partition_worker(ctx: DistContext, outdir) -> None:
             f"rank 0 did not run distributed clustering (mode={mode}): "
             f"{meta.get('error', 'rank 0 routed clustering locally — '
                         'em_mode/native availability disagree across ranks')}")
+
+
+def tail_partition_worker(ctx: DistContext, outdir,
+                          pair_table=None) -> None:
+    """Ranks>0 side of the full distributed pipeline tail: covariance
+    sampling over this rank's own pair-table part, then the clustering
+    partition (``cluster_partition_worker``).
+
+    The covariance rendezvous mirrors the clustering one: rank 0
+    publishes ``cov.partmeta.json`` (mode ``part``/``skip``/``abort``
+    plus the exact sampling parameters) before the ``cov_inputs``
+    barrier; in ``part`` mode this rank scans its OWN part table into a
+    binary COVBN001 sample part (``cov.part<pid>.covbin``), which rank
+    0 merges in rank order — bit-identical to the single-process fused
+    merge because the concatenated sample sequence equals one scan of
+    the concatenated table.  Both barriers are always drained so no
+    rank can strand another; a scan failure surfaces after the
+    clustering rendezvous (rank 0 fails loudly on the missing part)."""
+    import json
+
+    from ..cluster import native
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    ctx.barrier("cov_inputs")
+    try:
+        meta = json.loads((out / "cov.partmeta.json").read_text())
+    except (OSError, ValueError) as e:
+        meta = {"mode": "abort", "error": f"cov partmeta unreadable: {e}"}
+    cov_error = None
+    if meta.get("mode") == "part" and pair_table:
+        try:
+            from ..core.exons import ExonRegions
+            from ..stats.calccov import sample_positions
+            er = ExonRegions.from_file(meta["cdna_regions"])
+            ref_index, positions = sample_positions(
+                er, float.fromhex(meta["density"]), bool(meta["multi"]))
+            names = [""] * len(ref_index)
+            for tid, idx in ref_index.items():
+                names[idx] = tid
+            rc = native.calccov_tbl(
+                pair_table, names, [r for r, _p in positions],
+                [p for _r, p in positions],
+                trim_length=int(meta["trim"]), anchor=int(meta["anchor"]),
+                span_path=None, pos_path=None, min_path=None,
+                bin_path=out / f"cov.part{ctx.pid}.covbin")
+            if rc is None:
+                raise RuntimeError("native calccov unavailable on "
+                                   f"rank {ctx.pid}")
+        except Exception as e:
+            cov_error = e
+    ctx.barrier("cov_parts")
+    cluster_partition_worker(ctx, outdir)
+    if cov_error is not None:
+        raise cov_error
 
 
 def global_mesh(data_axis: str = "data", inst_axis: str = "inst",
@@ -264,3 +345,46 @@ def allgather_read_stats(local):
         stats.append(ReadStats(int(s[0]), float(s[1]), float(s[2]),
                                int(s[3]), int(s[4]), tuple(lengths)))
     return merge_read_stats(stats)
+
+
+def allgather_read_stats_sums(n, s, ss, readlengths):
+    """Exact cross-process read-stats merge from RAW SUMS (each rank's
+    ``native.read_stats_tbl_sums`` over its own pair-table part).
+
+    Fragment-length totals are exact integers carried in doubles (they
+    stay far below 2^53), so adding the per-rank sums in rank order and
+    applying the shared final formula (``stats_from_sums``) is
+    BIT-IDENTICAL to a single scan of the concatenated table — unlike
+    ``allgather_read_stats``, whose mean/stddev reconstruction can
+    differ in the last ulp.  The distributed pipeline passes the result
+    straight into ``run_pipeline(read_stats=...)``."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from ..stats.readstats import stats_from_sums
+
+    scalars = np.array([float(n), float(s), float(ss)],
+                       dtype=np.float64)
+    mask = np.zeros(MAX_READLEN_GATHER // 64, dtype=np.uint64)
+    big = sorted(ln for ln in readlengths
+                 if not 0 <= ln < MAX_READLEN_GATHER)
+    if big:
+        raise ValueError(f"read lengths beyond the gather bitmask: "
+                         f"{big[:5]}")
+    for ln in readlengths:
+        mask[ln // 64] |= np.uint64(1) << np.uint64(ln % 64)
+    g_scalars = np.asarray(multihost_utils.process_allgather(scalars))
+    g_mask = np.asarray(multihost_utils.process_allgather(mask))
+    if jax.process_count() == 1:
+        g_scalars = g_scalars.reshape(1, -1)
+        g_mask = g_mask.reshape(1, -1)
+    tn = ts = tss = 0.0
+    for p in range(g_scalars.shape[0]):
+        tn += float(g_scalars[p][0])
+        ts += float(g_scalars[p][1])
+        tss += float(g_scalars[p][2])
+    m = np.bitwise_or.reduce(g_mask, axis=0)
+    lengths = [ln for ln in range(MAX_READLEN_GATHER)
+               if m[ln // 64] >> np.uint64(ln % 64) & np.uint64(1)]
+    return stats_from_sums(tn, ts, tss, lengths)

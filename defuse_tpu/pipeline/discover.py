@@ -29,7 +29,8 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
                      min_cluster_size, min_read_length, max_read_length,
                      outdir, use_device=True, em_mode="auto",
                      gene_models=None, mt_chromosome="MT",
-                     dna_concordant_length=2000, dist=None):
+                     dna_concordant_length=2000, dist=None,
+                     reads_sources=None):
     import os as _os_t
 
     out = pathlib.Path(outdir)
@@ -49,7 +50,21 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     clusters_path = out / "clusters"
     from ..cluster import native
     reads_handle = None
-    if native.available():
+    if native.available() and reads_sources:
+        # distributed tail: the per-rank frontends already indexed
+        # their own shards — group those stores by global fragment-id
+        # base instead of building a whole-library index (a full
+        # two-file scan, ~12s at 50M pairs)
+        parts = [native.reads_index(f1, f2) for f1, f2, _b in
+                 reads_sources]
+        if all(p is not None for p in parts):
+            reads_handle = native.reads_group(
+                parts, [b for _f1, _f2, b in reads_sources])
+        if reads_handle is None:
+            for p in parts:
+                if p is not None:
+                    native.reads_free(p)
+    if native.available() and reads_handle is None:
         # prefer the deferred .fqi-indexed store (the driver preads only
         # its candidate records); fall back to the eager full parse in
         # native threads, overlapping the clustering stage
@@ -96,11 +111,13 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
             "min_cluster_size": int(params.min_cluster_size),
             "spanning": str(spanning)}))
         dist.barrier("cluster_inputs")
+        dist.cluster_inputs_done = True
         if native_cluster:
             native.clustermatepairs_part(
                 spanning, out / "clusters.part0",
                 out / "clusters.part0.counts", params, 0, dist.n_proc)
         dist.barrier("cluster_parts")
+        dist.cluster_parts_done = True
         dist.cluster_rendezvous_done = True
         if native_cluster:
             from ..parallel.shard import merge_cluster_parts

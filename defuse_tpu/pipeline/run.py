@@ -77,7 +77,8 @@ def run_pipeline(**kwargs):
         return result
     except BaseException as e:
         if (dist is not None and getattr(dist, "n_proc", 1) > 1
-                and not getattr(dist, "cluster_rendezvous_done", False)):
+                and not (getattr(dist, "cluster_rendezvous_done", False)
+                         and getattr(dist, "cov_parts_done", True))):
             try:
                 from ..parallel.launch import abort_cluster_partition
                 abort_cluster_partition(dist, kwargs.get("output_dir"), e)
@@ -92,13 +93,14 @@ def run_pipeline(**kwargs):
 def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
                  spanning: str, improper: str, fastq1: str, fastq2: str,
                  concordant_sam: str | None = None,
-                 pair_table: str | None = None,
+                 pair_table=None,
                  reference_fasta: str | None = None,
                  cdna_regions: str | None = None,
                  gene_models_gtf: str | None = None,
                  genome_fasta: str | None = None,
                  repeats_regions: str | None = None,
                  expression: dict | None = None,
+                 read_stats=None, reads_sources=None,
                  use_device: bool = True, target_indices=None,
                  dist=None):
     """Run the post-alignment pipeline end to end.
@@ -110,12 +112,37 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
     binary twin of the concordant SAM (``cdna.pair.tbl``): when present
     the read-stats and calccov stages scan it instead of re-parsing the
     SAM text (outputs identical, pinned by tests).
+
+    Distributed tail (multi-host): ``pair_table`` may be a LIST of
+    per-rank part tables in rank order — the read-stats and calccov
+    stages then never build (or scan) the multi-GB concatenated table:
+    stats sums add exactly across parts, and each rank samples its own
+    part with rank 0 merging the covariance parts in rank order
+    (bit-identical to the single-table scan in both cases, pinned by
+    tests/test_distributed_launch.py).  ``read_stats`` optionally
+    passes the frontend's exact-sums allgather result so the stage
+    skips its own scan (``allgather_read_stats_sums``).
+    ``reads_sources`` — (fastq1, fastq2, frag_base) triples naming each
+    rank's already-indexed shard store — lets the realign driver pread
+    candidates through a grouped store instead of building a
+    whole-library read index.
     """
     out = pathlib.Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     runner = Runner(str(out / "log"), "defuse-tpu")
-    if pair_table and not pathlib.Path(pair_table).exists():
+    pair_tables = None
+    if isinstance(pair_table, (list, tuple)):
+        pair_tables = [str(p) for p in pair_table]
+        missing = [p for p in pair_tables
+                   if not pathlib.Path(p).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"pair-table parts missing: {missing}")
+    elif pair_table and not pathlib.Path(pair_table).exists():
         pair_table = None
+    # stage-input declarations (mtime skip) for whichever table form
+    _pt_inputs = pair_tables if pair_tables \
+        else ([pair_table] if pair_table else [])
 
     if use_device:
         # launch the device probe now so it overlaps the host-side
@@ -135,6 +162,10 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
             return concordant_sam
         if not pair_table:
             raise ValueError("no concordant pair SAM or pair table")
+        if pair_tables:
+            raise ValueError(
+                "per-rank pair-table parts have no merged SAM; "
+                "materialize one per part with pair_sam_from_tbl")
         from ..align.frontend import pair_sam_from_tbl
         prefix = str(fastq1)
         for suf in (".1.fastq", ".1.fq"):
@@ -149,7 +180,12 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
     stats_path = out / "concordant.read.stats"
 
     def stage_read_stats(tmp_outputs):
-        if concordant_sam or pair_table:
+        if read_stats is not None:
+            # frontend's exact-sums allgather (bit-identical to the
+            # whole-table scan: integer sums added in rank order plus
+            # the same final formula — stats_from_sums)
+            stats = read_stats
+        elif concordant_sam or pair_table:
             from ..cluster import native
             stats = None
             if native.available():
@@ -170,7 +206,7 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
 
     runner.run("read stats", stage_read_stats,
                inputs=([concordant_sam] if concordant_sam else [])
-               + ([pair_table] if pair_table else []),
+               + _pt_inputs,
                outputs=[stats_path])
     stats = _read_stats_file(stats_path)
 
@@ -208,13 +244,55 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
     # weight since pvalues consumes cov.merged.tsv) are materialized on
     # demand via `export cov-samples` (the scan is deterministic)
     _lazy_cov = _native.available() and bool(pair_table)
+    cov_dist = dist is not None and dist.n_proc > 1
+
+    def _cov_publish(mode, extra=None):
+        """Rank-0 side of the covariance rendezvous: publish the mode
+        (+ exact sampling parameters in ``part`` mode) for
+        ``tail_partition_worker``, then drain the inputs barrier."""
+        import json as _json
+        d = {"mode": mode}
+        if extra:
+            d.update(extra)
+        (out / "cov.partmeta.json").write_text(_json.dumps(d))
+        dist.barrier("cov_inputs")
+        dist.cov_inputs_done = True
+
+    def _cov_drain():
+        dist.barrier("cov_parts")
+        dist.cov_parts_done = True
+
     if (concordant_sam or pair_table) and cdna_regions:
+        trim = config.get_int("discord_read_trim")
+        anchor = config.get_int("split_min_anchor")
+        density = config.get_float("covariance_sampling_density")
+        multi = config.get_bool("multi_exon_transcripts_stats")
+        cov_inputs = ([concordant_sam] if concordant_sam else []) \
+            + [cdna_regions] + _pt_inputs
+        cov_outputs = [cov_merged_path] if _lazy_cov else \
+            [cov_paths["span"], cov_paths["pos"], cov_paths["min"],
+             cov_merged_path]
+        cov_part_mode = False
+        if cov_dist:
+            # the rendezvous must run exactly once per rank whatever
+            # the stage decides, so the mode is published from the same
+            # up-to-date check the runner will apply
+            will_run = not Runner._uptodate(cov_inputs, cov_outputs)
+            cov_part_mode = bool(will_run and _native.available()
+                                 and pair_tables
+                                 and len(pair_tables) == dist.n_proc)
+            if cov_part_mode:
+                _cov_publish("part", {
+                    "cdna_regions": str(cdna_regions),
+                    "trim": int(trim), "anchor": int(anchor),
+                    "density": float(density).hex(),
+                    "multi": bool(multi)})
+            else:
+                _cov_publish("skip")
+                _cov_drain()
+
         def stage_calccov(tmp_outputs):
             er = ExonRegions.from_file(cdna_regions)
-            trim = config.get_int("discord_read_trim")
-            anchor = config.get_int("split_min_anchor")
-            density = config.get_float("covariance_sampling_density")
-            multi = config.get_bool("multi_exon_transcripts_stats")
             # native sampling pass (byte-identical; the glibc marker
             # stream stays in Python, the hot SAM scan runs in C++)
             from ..cluster import native
@@ -247,11 +325,45 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
                 names = [""] * len(ref_index)
                 for tid, idx in ref_index.items():
                     names[idx] = tid
+                mref = [r for r, _p in positions]
+                mpos = [p for _r, p in positions]
+                if pair_tables:
+                    # per-part sampling: rank r's part scanned by rank
+                    # r (part mode) or all parts sequentially here
+                    # (single-process list form); the parts merge in
+                    # rank order — bit-identical to one scan of the
+                    # concatenated table (same sample sequence, same
+                    # drand48 stream)
+                    my = [0] if cov_part_mode else \
+                        range(len(pair_tables))
+                    ok = True
+                    for r in my:
+                        rc = native.calccov_tbl(
+                            pair_tables[r], names, mref, mpos,
+                            trim_length=trim, anchor=anchor,
+                            span_path=None, pos_path=None,
+                            min_path=None,
+                            bin_path=out / f"cov.part{r}.covbin")
+                        ok = ok and rc is not None
+                    if cov_part_mode:
+                        _cov_drain()  # workers' parts are now on disk
+                    if not ok:
+                        raise RuntimeError(
+                            "native covariance part scan failed")
+                    parts = [out / f"cov.part{r}.covbin"
+                             for r in range(len(pair_tables))]
+                    merged = native.cov_merge_bin(parts)
+                    if merged is None:
+                        raise RuntimeError(
+                            "covariance part merge failed (parts: "
+                            f"{[str(p) for p in parts]})")
+                    _write_cov_merged(merged_dst, merged)
+                    for p in parts:
+                        p.unlink(missing_ok=True)
+                    return
                 if pair_table:
                     rc = native.calccov_tbl(
-                        pair_table, names,
-                        [r for r, _p in positions],
-                        [p for _r, p in positions],
+                        pair_table, names, mref, mpos,
                         trim_length=trim, anchor=anchor,
                         span_path=None if _lazy_cov else tmp_outputs[0],
                         pos_path=None if _lazy_cov else tmp_outputs[1],
@@ -297,13 +409,19 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
                     _os.replace(t, d)
             _merge_files(sample_dsts)
 
-        runner.run("covariance samples", stage_calccov,
-                   inputs=([concordant_sam] if concordant_sam else [])
-                   + [cdna_regions]
-                   + ([pair_table] if pair_table else []),
-                   outputs=[cov_merged_path] if _lazy_cov else
-                           [cov_paths["span"], cov_paths["pos"],
-                            cov_paths["min"], cov_merged_path])
+        try:
+            runner.run("covariance samples", stage_calccov,
+                       inputs=cov_inputs, outputs=cov_outputs)
+        finally:
+            if cov_part_mode and not dist.cov_parts_done:
+                # the stage raced to up-to-date (or failed before its
+                # own drain): release the workers regardless
+                _cov_drain()
+    elif cov_dist:
+        # no covariance stage in this configuration — the workers
+        # still rendezvous, so publish a skip and drain both barriers
+        _cov_publish("skip")
+        _cov_drain()
     # read-stats and calccov shared one native table load; release the
     # multi-GB cache now that the scans are done
     if _native.available():
@@ -327,7 +445,7 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
         gene_models=gm,
         mt_chromosome=config.get_value("mt_chromosome"),
         dna_concordant_length=config.get_int("dna_concordant_length"),
-        dist=dist)
+        dist=dist, reads_sources=reads_sources)
 
     _mark("discover")
     # --- p-values -------------------------------------------------------
@@ -501,7 +619,8 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
                                           interrupted_index,
                                           splicing_index)
             from ..parallel.shard import pair_table_has_strand
-            if pair_table and pair_table_has_strand(pair_table):
+            if pair_table and pair_table_has_strand(
+                    pair_tables[0] if pair_tables else pair_table):
                 by_ref = index_tbl_by_ref(pair_table)
             else:
                 # v1 table (no strand bit) or no table: the SAM is the

@@ -76,6 +76,23 @@ def read_stats_from_sam(lines) -> ReadStats:
                      tuple(rl))
 
 
+def stats_from_sums(n, s, ss, readlengths) -> ReadStats:
+    """Final-formula step shared by the native whole-table scan and the
+    exact distributed merge (sum of per-rank integer sums): using ONE
+    formula in both places makes merged-from-parts stats bit-identical
+    to a single scan — the fragment-length sums are exact integers in
+    doubles, so only the final divisions could ever differ."""
+    n = int(n)
+    rl = sorted(readlengths)
+    if n > 0:
+        mean = s / n
+        var = ss / n - mean ** 2
+        return ReadStats(n, mean, var ** 0.5, rl[0] if rl else 0,
+                         rl[-1] if rl else 0, tuple(rl))
+    return ReadStats(0, 0.0, 0.0, rl[0] if rl else 0,
+                     rl[-1] if rl else 0, tuple(rl))
+
+
 def merge_read_stats(stats: list[ReadStats]) -> ReadStats:
     """Associative merge (``merge_read_stats.pl``): recover sums and
     sums-of-squares, add, re-derive."""

@@ -2550,9 +2550,15 @@ struct ReadStoreHandle {
   bool ok1 = false, ok2 = false;
   bool indexed = false;
   std::string fq_path[2], fqi_path;
+  // group mode (distributed tail): per-rank part stores with ascending
+  // global fragment-id bases; candidate lookups dispatch to the owning
+  // part with localized ids — no whole-library index is ever built
+  std::vector<ReadStoreHandle*> parts;  // owned
+  std::vector<int64_t> bases;
   ~ReadStoreHandle() {
     if (th1.joinable()) th1.join();
     if (th2.joinable()) th2.join();
+    for (ReadStoreHandle* p : parts) delete p;
   }
 };
 
@@ -2691,6 +2697,55 @@ bool SelectiveLoadReads(ReadStoreHandle& rh,
   return rh.ok1;
 }
 
+// Group dispatch: split the candidate list per part store (localized
+// fragment ids), selective-load each part through its own .fqi, then
+// lift the sequences into the group maps keyed by GLOBAL id.  The
+// distributed tail's replacement for building a whole-library index —
+// each rank's frontend already indexed its own shard.
+bool SelectiveLoadGroup(ReadStoreHandle& rh,
+                        const std::vector<int32_t>& cand) {
+  int np = (int)rh.parts.size();
+  std::vector<std::vector<int32_t>> sub((size_t)np);
+  for (size_t c = 0; c + 3 < cand.size(); c += 4) {
+    int64_t frag = (int64_t)(uint32_t)cand[c + 1];
+    int p = (int)(std::upper_bound(rh.bases.begin(), rh.bases.end(),
+                                   frag) -
+                  rh.bases.begin()) -
+            1;
+    if (p < 0 || p >= np) continue;
+    sub[p].push_back(0);  // cluster id (unused by the loader)
+    sub[p].push_back((int32_t)(frag - rh.bases[p]));
+    sub[p].push_back(cand[c + 2]);
+    sub[p].push_back(0);  // revcomp flag (unused by the loader)
+  }
+  bool ok = true;
+  for (int p = 0; p < np && ok; p++) {
+    ReadStoreHandle& part = *rh.parts[p];
+    if (sub[p].empty()) continue;
+    if (part.indexed) {
+      ok = SelectiveLoadReads(part, sub[p]);
+    } else {
+      if (part.th1.joinable()) part.th1.join();
+      if (part.th2.joinable()) part.th2.join();
+      ok = part.ok1 && part.ok2;
+    }
+    if (!ok) break;
+    for (int end = 0; end < 2; end++) {
+      auto& src = end == 0 ? part.reads1 : part.reads2;
+      auto& dst = end == 0 ? rh.reads1 : rh.reads2;
+      for (auto& kv : src) {
+        uint32_t gid =
+            (uint32_t)((kv.first & 0x7FFFFFFFu) + (uint32_t)rh.bases[p]) |
+            (kv.first & 0x80000000u);
+        dst[gid] = std::move(kv.second);
+      }
+      src.clear();
+    }
+  }
+  rh.ok1 = rh.ok2 = ok;
+  return ok;
+}
+
 std::string RevComp(const std::string& s) {
   // tools/Common.cpp:32-54 semantics: case preserved, non-ACGT kept
   std::string out(s.rbegin(), s.rend());
@@ -2741,6 +2796,31 @@ void* dt_reads_index(const char* fastq1, const char* fastq2,
   return h;
 }
 
+// Group store over per-rank part stores (distributed tail): candidate
+// (fragment, end) lookups dispatch to the part owning the global id
+// range starting at bases[i] (ascending).  Takes ownership of the part
+// handles; free by passing the group wherever a store handle is freed.
+void* dt_reads_group(void** handles, const int64_t* bases, int n) {
+  if (n <= 0) return nullptr;
+  auto* g = new ReadStoreHandle();
+  for (int i = 0; i < n; i++) {
+    if (!handles[i]) {
+      g->parts.clear();  // never free caller handles on failure
+      delete g;
+      return nullptr;
+    }
+    g->parts.push_back((ReadStoreHandle*)handles[i]);
+    g->bases.push_back(bases[i]);
+  }
+  return g;
+}
+
+// Free a read-store handle that will NOT be consumed by dt_driver_new
+// (e.g. a partial group build).
+void dt_reads_free(void* handle) {
+  delete (ReadStoreHandle*)handle;
+}
+
 void* dt_driver_new(const char* sam_path, void* reads_handle,
                     const uint32_t* region_ids,
                     const int32_t* region_ref,
@@ -2773,7 +2853,13 @@ void* dt_driver_new(const char* sam_path, void* reads_handle,
     return nullptr;
   }
   mark("collect");
-  if (rh->indexed) {
+  if (!rh->parts.empty()) {
+    if (!SelectiveLoadGroup(*rh, d->cand)) {
+      delete rh;
+      delete d;
+      return nullptr;
+    }
+  } else if (rh->indexed) {
     if (!SelectiveLoadReads(*rh, d->cand)) {
       delete rh;
       delete d;
@@ -5301,6 +5387,87 @@ long dt_cov_merge(const char* path, long seed, double* out) {
   return CovMergeArrays(ids, vals, seed, out);
 }
 
+// Binary multi-part covariance merge for the distributed pipeline
+// tail: each rank emits a COVBN001 part for its own pair-table part
+// (dt_calccov_tbl bin_path), and rank 0 merges the parts IN RANK
+// ORDER — the concatenated sample sequence is identical to a single
+// scan of the concatenated table, so the drand48 stream and
+// accumulation order (hence the merged mean/cov bits) match the
+// single-process fused path exactly.  `paths` is ';'-joined; out is 6
+// doubles (mean, cov per kind), counts 3 longs (-2: insufficient).
+long dt_cov_merge_bin(const char* paths, long seed, double* out,
+                      long* counts) {
+  std::vector<int64_t> ids[3];
+  std::vector<double> vals[3];
+  std::string all(paths ? paths : "");
+  size_t start = 0;
+  while (start <= all.size()) {
+    size_t end = all.find(';', start);
+    if (end == std::string::npos) end = all.size();
+    std::string path = all.substr(start, end - start);
+    start = end + 1;
+    if (path.empty()) continue;
+    FILE* f = fopen(path.c_str(), "r");
+    if (!f) return -1;
+    int64_t magic = 0, nk[3] = {0, 0, 0};
+    bool ok = fread(&magic, 8, 1, f) == 1 &&
+              magic == 0x434f56424e303031LL && fread(nk, 8, 3, f) == 3;
+    for (int k = 0; ok && k < 3; k++) {
+      if (nk[k] < 0) {
+        ok = false;
+        break;
+      }
+      size_t base_i = ids[k].size(), base_v = vals[k].size();
+      ids[k].resize(base_i + (size_t)nk[k]);
+      vals[k].resize(base_v + (size_t)nk[k]);
+      ok = fread(ids[k].data() + base_i, 8, (size_t)nk[k], f) ==
+               (size_t)nk[k] &&
+           fread(vals[k].data() + base_v, 8, (size_t)nk[k], f) ==
+               (size_t)nk[k];
+    }
+    fclose(f);
+    if (!ok) return -1;
+  }
+  std::vector<std::thread> ms;
+  for (int k = 0; k < 3; k++)
+    ms.emplace_back([&, k]() {
+      counts[k] = CovMergeArrays(ids[k], vals[k], seed, out + 2 * k);
+    });
+  for (auto& th : ms) th.join();
+  long total = 0;
+  for (int k = 0; k < 3; k++) total += ids[k].size();
+  return total;
+}
+
+// Text multi-file variant (same rank-order contract as
+// dt_cov_merge_bin, for externally-materialized sample files).
+long dt_cov_merge_multi(const char* paths, long seed, double* out) {
+  std::vector<int64_t> ids;
+  std::vector<double> vals;
+  std::string all(paths ? paths : "");
+  size_t start = 0;
+  while (start <= all.size()) {
+    size_t end = all.find(';', start);
+    if (end == std::string::npos) end = all.size();
+    std::string path = all.substr(start, end - start);
+    start = end + 1;
+    if (path.empty()) continue;
+    GzIn in;
+    if (!in.open(path.c_str())) return -1;
+    std::string line;
+    while (in.getline(line)) {
+      if (line.empty()) continue;
+      char* endp = nullptr;
+      long id = strtol(line.c_str(), &endp, 10);
+      if (!endp || *endp != '\t' || id < 0) return -1;
+      double v = strtod(endp + 1, nullptr);
+      ids.push_back(id);
+      vals.push_back(v);
+    }
+  }
+  return CovMergeArrays(ids, vals, seed, out);
+}
+
 // Batch SimpleAligner scores (tools/SimpleAligner.cpp:23-63 contract,
 // integer-exact): row 0 zero, gap-accumulating borders, max interior
 // cell.  One DP per (reference window, sequence) row, threaded over
@@ -5420,7 +5587,7 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
                     const char* span_path, const char* pos_path,
                     const char* min_path, int n_threads,
                     long merge_seed, double* merged_out,
-                    long* merged_counts) {
+                    long* merged_counts, const char* bin_path) {
   using namespace alignjob;
   constexpr int64_t kBin = 10000;  // calccov.py BIN_SPACING
   auto tblp = GetPairTblCached(tbl_path);
@@ -5469,6 +5636,11 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
   std::vector<long> totals(nt, 0);
   const bool want_merge = merged_out != nullptr &&
                           merged_counts != nullptr;
+  // binary sample part (distributed tail): raw (id, %.6g-quantized
+  // value) arrays in emission order — parse-free input to
+  // dt_cov_merge_bin, which concatenates rank parts in rank order
+  const bool want_bin = bin_path && bin_path[0];
+  const bool want_arrays = want_merge || want_bin;
   // NULL/empty sample paths skip text formatting and writing entirely
   // (lazy-samples mode: only the fused merge result is produced; the
   // text artifacts are materialized on demand by re-running with paths)
@@ -5551,7 +5723,7 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
               append_int(span_bufs[t], frag_len);
               span_bufs[t] += '\n';
             }
-            if (want_merge) {
+            if (want_arrays) {
               span_ids[t].push_back(m);
               // "%ld" text round-trips integers exactly
               span_vals[t].push_back((double)frag_len);
@@ -5590,7 +5762,7 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
                 min_bufs[t] += f2.first;
                 min_bufs[t] += '\n';
               }
-              if (want_merge) {
+              if (want_arrays) {
                 pos_ids[t].push_back(m);
                 pos_vals[t].push_back(f1.second);
                 min_ids[t].push_back(m);
@@ -5634,10 +5806,41 @@ long dt_calccov_tbl(const char* tbl_path, const char* names,
     fclose(f);
   }
   mark("write");
+  if (want_bin) {
+    // COVBN001: int64 magic, int64 n[3], then per kind ids[] + vals[]
+    // (thread arrays concatenated in thread order = file byte order)
+    std::vector<std::vector<int64_t>>* idsets[3] = {&span_ids, &pos_ids,
+                                                    &min_ids};
+    std::vector<std::vector<double>>* valsets[3] = {&span_vals,
+                                                    &pos_vals,
+                                                    &min_vals};
+    FILE* f = fopen(bin_path, "w");
+    if (!f) return -1;
+    int64_t magic = 0x434f56424e303031LL;
+    int64_t nk[3];
+    for (int k = 0; k < 3; k++) {
+      nk[k] = 0;
+      for (int t = 0; t < nt; t++) nk[k] += (int64_t)(*idsets[k])[t].size();
+    }
+    bool ok = fwrite(&magic, 8, 1, f) == 1 && fwrite(nk, 8, 3, f) == 3;
+    for (int k = 0; ok && k < 3; k++) {
+      for (int t = 0; ok && t < nt; t++)
+        if (!(*idsets[k])[t].empty())
+          ok = fwrite((*idsets[k])[t].data(), 8, (*idsets[k])[t].size(),
+                      f) == (*idsets[k])[t].size();
+      for (int t = 0; ok && t < nt; t++)
+        if (!(*valsets[k])[t].empty())
+          ok = fwrite((*valsets[k])[t].data(), 8,
+                      (*valsets[k])[t].size(),
+                      f) == (*valsets[k])[t].size();
+    }
+    if (fclose(f) != 0 || !ok) return -1;
+    mark("bin write");
+  }
   if (want_merge) {
     // fused covariance merge over the in-memory samples: per-thread
     // arrays concatenated in thread order ARE the file byte order, and
-    // values carry the %.6g-quantized doubles, so the result is
+    // values carry the %.6g-quantized doubles, so the results are
     // bit-identical to dt_cov_merge over the emitted files
     std::vector<std::vector<int64_t>>* idsets[3] = {&span_ids, &pos_ids,
                                                     &min_ids};

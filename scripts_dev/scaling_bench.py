@@ -132,14 +132,9 @@ def main(n_background=10_000_000, workdir=None):
     if reuse:
         dm = json.loads((tmp / "dataset_meta.json").read_text())
         if dm["n_background"] != n_background \
-                or dm.get("version") != DATASET_VERSION:
+                or dm.get("version") != DATASET_VERSION \
+                or "n_pairs" not in dm or "gene_names" not in dm:
             reuse = False
-    genome, genes, reads1, reads2, truth, _nf = generate(rng, n_background)
-    n_pairs = len(reads1)
-    print(f"generated {n_pairs} pairs in {time.time() - t0:.0f}s",
-          flush=True)
-
-    ds = SynthDataset(genome, genes, ("", 0, "", 0), "", [], [], [])
     gtf = tmp / "genes.gtf"
     genome_fa = tmp / "genome.fa"
     repeats = tmp / "repeats.regions"
@@ -147,7 +142,21 @@ def main(n_background=10_000_000, workdir=None):
     ref_fa = tmp / "reference.fa"
     regions = tmp / "cdna.regions"
     fq1, fq2 = tmp / "reads.1.fastq", tmp / "reads.2.fastq"
-    if not reuse:
+    if reuse:
+        # dataset files are already on disk; everything the runs need
+        # from the generator is recorded in the meta sidecar (the 50M
+        # generate() alone costs ~10 CPU-minutes)
+        n_pairs = dm["n_pairs"]
+        gene_names = dm["gene_names"]
+    else:
+        genome, genes, reads1, reads2, truth, _nf = generate(
+            rng, n_background)
+        n_pairs = len(reads1)
+        gene_names = [g.name for g in genes]
+        print(f"generated {n_pairs} pairs in {time.time() - t0:.0f}s",
+              flush=True)
+
+        ds = SynthDataset(genome, genes, ("", 0, "", 0), "", [], [], [])
         # shard dirs are derived from the fastqs — never serve stale ones
         import shutil as _sh0
         for d in tmp.glob("shards*"):
@@ -171,8 +180,9 @@ def main(n_background=10_000_000, workdir=None):
         write_fastqs(reads1, reads2, fq1, fq2)
         (tmp / "dataset_meta.json").write_text(json.dumps(
             {"n_background": n_background,
-             "version": DATASET_VERSION}))
-    del reads1, reads2
+             "version": DATASET_VERSION,
+             "n_pairs": n_pairs, "gene_names": gene_names}))
+        del reads1, reads2
     for fa in (cdna_fa, genome_fa):
         SeedIndex.load_or_build(str(fa))  # one-time create-ref build
     print(f"dataset files in {time.time() - t0:.0f}s "
@@ -203,7 +213,7 @@ def main(n_background=10_000_000, workdir=None):
             "shard_prefixes": prefixes,
             "fastq1": str(fq1), "fastq2": str(fq2), "gtf": str(gtf),
             "genome_fa": str(genome_fa), "repeats": str(repeats),
-            "expression": {g.name: "10" for g in genes},
+            "expression": {n: "10" for n in gene_names},
         }
 
     ncpu = os.cpu_count() or 4

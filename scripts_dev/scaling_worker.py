@@ -30,7 +30,7 @@ def main():
     from defuse_tpu.align.frontend import align_reads
     from defuse_tpu.cluster import native
     from defuse_tpu.config import Config
-    from defuse_tpu.parallel.launch import (allgather_read_stats,
+    from defuse_tpu.parallel.launch import (allgather_read_stats_sums,
                                             init_distributed)
 
     t_start = time.time()
@@ -47,8 +47,8 @@ def main():
                          use_device=False)
     t_align = time.time() - t0
 
-    stats = native.read_stats_tbl(inputs["pair_table"])
-    merged_stats = allgather_read_stats(stats)
+    sums = native.read_stats_tbl_sums(inputs["pair_table"])
+    merged_stats = allgather_read_stats_sums(*sums)
     (outdir / "stats.merged").write_text(merged_stats.format())
     t_stats = time.time() - t0 - t_align
     multihost_utils.sync_global_devices("frontend_done")
@@ -56,30 +56,41 @@ def main():
 
     outs = {}
     from defuse_tpu.parallel.launch import (DistContext,
-                                            cluster_partition_worker)
+                                            tail_partition_worker)
     ctx = DistContext(pid, n_proc) \
         if n_proc > 1 and native.available() else None
     if pid == 0:
         from defuse_tpu.pipeline.run import run_pipeline
         if n_proc > 1:
+            # spanning/improper concatenate (small); the multi-GB pair
+            # table is NEVER merged — run_pipeline takes the per-rank
+            # parts and the stages that used to scan the concatenation
+            # (read stats, covariance sampling) run part-wise with
+            # bit-identical merged results
             from defuse_tpu.parallel.launch import merge_artifacts
-            from defuse_tpu.parallel.shard import merge_pair_tables
             dirs = [work / f"proc{p}" / "aligned" for p in range(n_proc)]
             merged_dir = work / "merged"
             arts = merge_artifacts(dirs, merged_dir)
-            merge_pair_tables([d / "cdna.pair.tbl" for d in dirs],
-                              [0] * n_proc, merged_dir / "cdna.pair.tbl")
+            per_shard = int(meta["per_shard"])
             pipe_inputs = dict(
                 spanning=arts["spanning.compact"],
                 improper=arts["improper.sam"],
                 fastq1=meta["fastq1"], fastq2=meta["fastq2"],
                 concordant_sam=None,
-                pair_table=str(merged_dir / "cdna.pair.tbl"))
+                pair_table=[str(d / "cdna.pair.tbl") for d in dirs],
+                reads_sources=[
+                    (str(work / f"proc{p}" / "reads" / "reads.1.fastq"),
+                     str(work / f"proc{p}" / "reads" / "reads.2.fastq"),
+                     p * per_shard) for p in range(n_proc)])
         else:
             pipe_inputs = dict(
                 spanning=inputs["spanning"], improper=inputs["improper"],
                 fastq1=meta["fastq1"], fastq2=meta["fastq2"],
-                concordant_sam=None, pair_table=inputs["pair_table"])
+                concordant_sam=None, pair_table=inputs["pair_table"],
+                reads_sources=[
+                    (str(work / "proc0" / "reads" / "reads.1.fastq"),
+                     str(work / "proc0" / "reads" / "reads.2.fastq"),
+                     0)])
         t_merge = time.time() - t0
         outs = run_pipeline(
             config=config, output_dir=str(work / "out"),
@@ -87,15 +98,18 @@ def main():
             gene_models_gtf=meta["gtf"], genome_fasta=meta["genome_fa"],
             repeats_regions=meta["repeats"],
             expression=meta["expression"], use_device=False,
+            read_stats=merged_stats,
             dist=ctx, **pipe_inputs)
         (work / "outs.json").write_text(json.dumps(
             {k: str(v) for k, v in outs.items() if v}))
         (work / "timing.merge.json").write_text(json.dumps(
             {"merge_done_s": round(t_merge, 2)}))
     elif ctx is not None:
-        # distributed pipeline tail: this rank clusters its bin-pair
-        # partition while rank 0 runs the sequential glue
-        cluster_partition_worker(ctx, work / "out")
+        # distributed pipeline tail: this rank samples covariance over
+        # its own pair-table part and clusters its bin-pair partition
+        # while rank 0 runs the sequential glue
+        tail_partition_worker(ctx, work / "out",
+                              pair_table=inputs["pair_table"])
     multihost_utils.sync_global_devices("pipeline_done")
 
     (work / f"timing.{pid}.json").write_text(json.dumps({

@@ -27,8 +27,8 @@ def main():
 
     from defuse_tpu.config import Config
     from defuse_tpu.parallel.launch import (DistContext,
-                                            cluster_partition_worker,
-                                            init_distributed)
+                                            init_distributed,
+                                            tail_partition_worker)
 
     pid, n_proc = init_distributed()
     ctx = DistContext(pid, n_proc)
@@ -53,7 +53,7 @@ def main():
         sys.exit(4)  # pipeline unexpectedly succeeded
     else:
         try:
-            cluster_partition_worker(ctx, work / "out")
+            tail_partition_worker(ctx, work / "out")
         except RuntimeError as e:
             print(f"WORKER_ABORTED {e}", flush=True)
             sys.exit(5)

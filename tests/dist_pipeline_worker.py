@@ -71,8 +71,17 @@ def main():
                     outdir=str(shard_dir),
                     frag_base=pid * int(meta["per_shard"]))
 
-    # cross-process read-stats merge over the live runtime
-    merged_stats = allgather_read_stats(res["stats"])
+    # cross-process read-stats merge over the live runtime: exact raw
+    # sums when native can scan the part table (bit-identical to a
+    # whole-table scan), reconstruction merge otherwise
+    from defuse_tpu.cluster import native as _nat
+    sums = _nat.read_stats_tbl_sums(shard_dir / "cdna.pair.tbl") \
+        if _nat.available() else None
+    if sums is not None:
+        from defuse_tpu.parallel.launch import allgather_read_stats_sums
+        merged_stats = allgather_read_stats_sums(*sums)
+    else:
+        merged_stats = allgather_read_stats(res["stats"])
     (shard_dir / "stats.merged").write_text(merged_stats.format())
 
     # every shard's artifacts must be on disk before process 0 merges
@@ -84,26 +93,26 @@ def main():
     # protocol (partition, barriers, sidecar merge) under real gloo
     from defuse_tpu.cluster import native as _native
     from defuse_tpu.parallel.launch import (DistContext,
-                                            cluster_partition_worker)
+                                            tail_partition_worker)
     ctx = DistContext(pid, n_proc) \
         if n_proc > 1 and _native.available() else None
     if pid != 0 and ctx is not None:
-        cluster_partition_worker(ctx, work / "out_dist")
+        tail_partition_worker(ctx, work / "out_dist",
+                              pair_table=shard_dir / "cdna.pair.tbl")
 
     if pid == 0:
         from defuse_tpu.parallel.launch import merge_artifacts
-        from defuse_tpu.parallel.shard import merge_pair_tables
         from defuse_tpu.pipeline.run import run_pipeline
 
         shard_dirs = [work / f"shard{p}" for p in range(n_proc)]
         merged_dir = work / "merged"
         merged = merge_artifacts(shard_dirs, merged_dir)
         # frag_base already globalized the ids at emission time, so
-        # the table merge is pure concatenation (offsets 0)
-        merge_pair_tables(
-            [d / "cdna.pair.tbl" for d in shard_dirs],
-            [0] * n_proc, merged_dir / "cdna.pair.tbl")
-
+        # the per-rank tables ARE the concatenated table's parts: pass
+        # them as-is (the multi-GB concatenation is never built) and
+        # let the read-stats/calccov stages merge part-wise —
+        # bit-identity vs the single-process whole run is this test's
+        # core assertion
         config = Config.defaults(
             reference_fasta=meta["reference"],
             cdna_regions=meta["exons"],
@@ -115,7 +124,9 @@ def main():
             improper=merged["improper.sam"],
             fastq1=meta["fastq1"], fastq2=meta["fastq2"],
             concordant_sam=None,
-            pair_table=str(merged_dir / "cdna.pair.tbl"),
+            read_stats=merged_stats,
+            pair_table=[str(d / "cdna.pair.tbl")
+                        for d in shard_dirs],
             gene_models_gtf=meta["gtf"],
             genome_fasta=meta["genome_fasta"],
             repeats_regions=meta["repeats"],

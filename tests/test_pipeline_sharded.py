@@ -135,10 +135,22 @@ def test_sharded_pipeline_byte_identity(tmp_path, n_shards):
         span_count_threshold=3,
     )
     expression = {g.name: "50" for g in ds.genes}
+    # per-part tables with globalized ids: the distributed tail's list
+    # form (read-stats sums and covariance parts merge in rank order
+    # instead of scanning a concatenation)
+    rebased_parts = []
+    for part, off in zip(tbl_parts, tbl_offsets):
+        dst = merged_dir / f"rebased.{off}.tbl"
+        merge_pair_tables([part], [off], dst)
+        rebased_parts.append(str(dst))
+    parts_inputs = {k: str(v) for k, v in merged.items()}
+    parts_inputs["pair_table"] = rebased_parts
+    parts_inputs["concordant_sam"] = None  # force the table-parts path
     outs = {}
     for name, inputs in (("whole", whole),
                          ("sharded", {k: str(v) for k, v in
-                                      merged.items()})):
+                                      merged.items()}),
+                         ("parts", parts_inputs)):
         outs[name] = run_pipeline(
             config=config, output_dir=str(tmp_path / f"out_{name}"),
             library_name="shard-identity",
@@ -154,7 +166,9 @@ def test_sharded_pipeline_byte_identity(tmp_path, n_shards):
     for artifact in ("results", "classified", "filtered"):
         a = pathlib.Path(outs["whole"][artifact]).read_bytes()
         b = pathlib.Path(outs["sharded"][artifact]).read_bytes()
+        c = pathlib.Path(outs["parts"][artifact]).read_bytes()
         assert a == b, f"{artifact} differs between 1- and {n_shards}-shard"
+        assert a == c, f"{artifact} differs for the part-table list form"
     # the run found real fusions (non-trivial identity)
     assert len(pathlib.Path(
         outs["whole"]["results"]).read_text().splitlines()) > 1

@@ -126,6 +126,70 @@ def test_driver_indexed_store_matches_eager(setup, tmp_path):
     eager.close()
 
 
+def test_driver_group_store_matches_eager(setup, tmp_path):
+    """The grouped read store (per-rank shard stores dispatched by
+    global fragment-id base — the distributed tail's replacement for a
+    whole-library index) must reproduce the eager full-parse driver
+    byte-for-byte.  Mirrors the production shape: each shard ingested
+    independently (local ordinals), bases at the shard boundaries."""
+    from defuse_tpu.cluster import native
+    tmp, paths, tasks, realigner = setup
+
+    def records(path):
+        recs = []
+        with open(path) as fh:
+            while True:
+                h = fh.readline()
+                if not h:
+                    break
+                recs.append(h + fh.readline() + fh.readline()
+                            + fh.readline())
+        return recs
+
+    r1, r2 = records(str(paths["fastq1"])), records(str(paths["fastq2"]))
+    assert len(r1) == len(r2) and len(r1) >= 4
+    k = len(r1) // 2
+    parts = []
+    for p, sl in enumerate((slice(0, k), slice(k, None))):
+        d = tmp_path / f"shard{p}"
+        d.mkdir()
+        (d / "in.1.fastq").write_text("".join(r1[sl]))
+        (d / "in.2.fastq").write_text("".join(r2[sl]))
+        # shard ingest renumbers to local ordinals, exactly like the
+        # per-rank frontend
+        assert native.ingest_fastq(str(d / "in.1.fastq"),
+                                   str(d / "in.2.fastq"),
+                                   str(d / "reads")) is not None
+        h = native.reads_index(str(d / "reads" / "reads.1.fastq"),
+                               str(d / "reads" / "reads.2.fastq"))
+        assert h is not None
+        parts.append(h)
+    group = native.reads_group(parts, [0, k])
+    assert group is not None
+
+    cluster_ids = sorted(tasks)
+    flank1s = [tasks[c].split_align_seq[0] for c in cluster_ids]
+    flank2s = [tasks[c].split_align_seq[1] for c in cluster_ids]
+    grouped = native.RealignDriver(
+        str(paths["improper"]), group, realigner.binned, cluster_ids,
+        flank1s, flank2s)
+    eager = _make_driver(native, paths, tasks, realigner)
+    assert grouped.n_candidates == eager.n_candidates
+
+    rg, lg, fg = grouped.read_matrix(64)
+    re_, le, fe = eager.read_matrix(64)
+    assert (lg == le).all() and (fg == fe).all()
+    assert (rg == re_).all()
+
+    out_g = tmp_path / "rows.grouped"
+    out_e = tmp_path / "rows.eager"
+    grouped.emit(out_g)
+    eager.emit(out_e)
+    assert out_g.read_bytes() == out_e.read_bytes()
+    grouped.close()
+    eager.close()
+
+
 def test_driver_survivors_mask(setup, tmp_path):
     from defuse_tpu.cluster import native
     tmp, paths, tasks, realigner = setup

@@ -56,4 +56,10 @@ def test_peak_probe_runs_in_interpret_mode():
                        iters_small=2, iters_big=6)
     assert set(p) >= {"roll", "alu", "alu_us_per_vreg_op",
                       "roll_us_per_vreg_op", "vreg_ops_per_us"}
-    assert p["alu_us_per_vreg_op"] > 0
+    # at 2-vs-6 interpreter iterations the marginal is pure jitter
+    # under suite load (a negative difference of two ~ms walls is
+    # legitimate); the assertion is that the probe EXECUTED and
+    # produced finite numbers, not that the toy marginal is physical
+    import math
+    assert math.isfinite(p["alu_us_per_vreg_op"])
+    assert math.isfinite(p["roll_us_per_vreg_op"])
