@@ -295,6 +295,27 @@ def merge_stats_files(paths, out_path):
 MAX_READLEN_GATHER = 512  # readlength bitmask width for the gather
 
 
+def _allgather_bits(arr):
+    """``process_allgather`` that survives ``jax_enable_x64=False``:
+    without x64, jax silently truncates float64 -> float32 and
+    uint64 -> uint32 on the way into the gather (measured: a 50M-pair
+    run's exact fragment-length sums came back with float32 precision
+    and an empty readlength mask, zeroing every downstream flank).
+    64-bit payloads are therefore gathered as uint32 BIT VIEWS (32-bit
+    dtypes are never truncated) and re-viewed after.  Returns shape
+    (n_proc, len(arr)) in the original dtype."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    a = np.ascontiguousarray(arr)
+    view = a.view(np.uint32)
+    g = np.asarray(multihost_utils.process_allgather(view))
+    if jax.process_count() == 1:
+        g = g.reshape(1, -1)
+    return np.ascontiguousarray(g).view(a.dtype)
+
+
 def allgather_read_stats(local):
     """Cross-process read-stats merge over the live distributed runtime.
 
@@ -307,9 +328,7 @@ def allgather_read_stats(local):
     ``MAX_READLEN_GATHER`` degrade to the (min, max) pair, mirroring
     the file-based merge's fallback.
     """
-    import jax
     import numpy as np
-    from jax.experimental import multihost_utils
 
     from ..stats.readstats import ReadStats, merge_read_stats
 
@@ -325,14 +344,9 @@ def allgather_read_stats(local):
             mask[ln // 64] |= np.uint64(1) << np.uint64(ln % 64)
         elif ln:
             overflow = True
-    g_scalars = np.asarray(multihost_utils.process_allgather(scalars))
-    g_mask = np.asarray(multihost_utils.process_allgather(mask))
-    g_over = np.asarray(multihost_utils.process_allgather(
-        np.array([1.0 if overflow else 0.0])))
-    if jax.process_count() == 1:
-        g_scalars = g_scalars.reshape(1, -1)
-        g_mask = g_mask.reshape(1, -1)
-        g_over = g_over.reshape(1, -1)
+    g_scalars = _allgather_bits(scalars)
+    g_mask = _allgather_bits(mask)
+    g_over = _allgather_bits(np.array([1.0 if overflow else 0.0]))
     stats = []
     for p in range(g_scalars.shape[0]):
         s = g_scalars[p]
@@ -358,9 +372,7 @@ def allgather_read_stats_sums(n, s, ss, readlengths):
     ``allgather_read_stats``, whose mean/stddev reconstruction can
     differ in the last ulp.  The distributed pipeline passes the result
     straight into ``run_pipeline(read_stats=...)``."""
-    import jax
     import numpy as np
-    from jax.experimental import multihost_utils
 
     from ..stats.readstats import stats_from_sums
 
@@ -374,11 +386,8 @@ def allgather_read_stats_sums(n, s, ss, readlengths):
                          f"{big[:5]}")
     for ln in readlengths:
         mask[ln // 64] |= np.uint64(1) << np.uint64(ln % 64)
-    g_scalars = np.asarray(multihost_utils.process_allgather(scalars))
-    g_mask = np.asarray(multihost_utils.process_allgather(mask))
-    if jax.process_count() == 1:
-        g_scalars = g_scalars.reshape(1, -1)
-        g_mask = g_mask.reshape(1, -1)
+    g_scalars = _allgather_bits(scalars)
+    g_mask = _allgather_bits(mask)
     tn = ts = tss = 0.0
     for p in range(g_scalars.shape[0]):
         tn += float(g_scalars[p][0])

@@ -145,6 +145,10 @@ def test_two_process_pipeline_parity(tmp_path):
     procs = []
     for pid in range(2):
         env = dict(os.environ)
+        # production workers do NOT enable x64 — the gathers must be
+        # bit-exact without it (conftest exports it for the suite,
+        # which is exactly how the f64->f32 truncation bug escaped)
+        env.pop("JAX_ENABLE_X64", None)
         env.update({
             "JAX_COORDINATOR": f"localhost:{port}",
             "JAX_NUM_PROCESSES": "2",
