@@ -1101,6 +1101,34 @@ def cov_merge_bin(paths, seed=11):
             for k, kind in enumerate(("span", "pos", "min"))}
 
 
+COV_KINDS = ("span", "pos", "min")
+
+
+def cov_merge_bin_kind(paths, kind, seed=11):
+    """Merge ONE kind (0=span 1=pos 2=min) over COVBN001 parts in rank
+    order — bit-identical to that entry of :func:`cov_merge_bin`, but
+    reading a third of the bytes (the distributed tail fans the three
+    independent kind merges across ranks).  Returns (mean, cov), None
+    on native/IO failure, or raises ValueError on the count<=100
+    contract."""
+    lib = load_library()
+    if lib is None:
+        return None
+    joined = ";".join(str(p) for p in paths)
+    out = np.zeros(2, dtype=np.float64)
+    fn = lib.dt_cov_merge_bin_kind
+    fn.restype = ctypes.c_long
+    rc = fn(ctypes.c_char_p(joined.encode()), ctypes.c_int(kind),
+            ctypes.c_long(seed),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc == -2:
+        raise ValueError("not enough concordant read samples; set "
+                         "multi_exon_transcripts_stats = yes")
+    if rc < 0:
+        return None
+    return float(out[0]), float(out[1])
+
+
 def cov_merge_files(paths, seed=11):
     """Covariance merge over per-rank sample-part files IN RANK ORDER
     (dt_cov_merge_multi): the concatenated sample sequence equals a

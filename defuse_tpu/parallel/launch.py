@@ -231,6 +231,27 @@ def tail_partition_worker(ctx: DistContext, outdir,
         except Exception as e:
             cov_error = e
     ctx.barrier("cov_parts")
+    if meta.get("mode") == "part" and pair_table and cov_error is None \
+            and 1 <= ctx.pid <= 2:
+        # delegated kind merge (kind == this rank): every rank's part
+        # is on disk after the barrier; deliver the merged (mean, cov)
+        # by atomic rename — rank 0 polls and falls back to merging
+        # this kind itself if nothing arrives
+        try:
+            parts = [out / f"cov.part{r}.covbin"
+                     for r in range(ctx.n_proc)]
+            try:
+                mc = native.cov_merge_bin_kind(parts, ctx.pid)
+            except ValueError:
+                mc = "insufficient"
+            if mc is not None:
+                tmp = out / f"cov.kind{ctx.pid}.merged.tsv.tmp"
+                tmp.write_text(
+                    "insufficient\n" if mc == "insufficient"
+                    else f"{mc[0].hex()}\t{mc[1].hex()}\n")
+                tmp.rename(out / f"cov.kind{ctx.pid}.merged.tsv")
+        except Exception:
+            pass  # rank 0 merges this kind itself on poll timeout
     cluster_partition_worker(ctx, outdir)
     if cov_error is not None:
         raise cov_error

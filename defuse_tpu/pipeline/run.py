@@ -282,6 +282,12 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
                                  and pair_tables
                                  and len(pair_tables) == dist.n_proc)
             if cov_part_mode:
+                # stale kind deliveries from a previous run must never
+                # satisfy this run's poll (publish precedes all worker
+                # activity, so no worker is writing yet)
+                for k in (1, 2):
+                    (out / f"cov.kind{k}.merged.tsv").unlink(
+                        missing_ok=True)
                 _cov_publish("part", {
                     "cdna_regions": str(cdna_regions),
                     "trim": int(trim), "anchor": int(anchor),
@@ -352,14 +358,78 @@ def _run_pipeline(*, config: Config, output_dir: str, library_name: str,
                             "native covariance part scan failed")
                     parts = [out / f"cov.part{r}.covbin"
                              for r in range(len(pair_tables))]
-                    merged = native.cov_merge_bin(parts)
-                    if merged is None:
-                        raise RuntimeError(
-                            "covariance part merge failed (parts: "
-                            f"{[str(p) for p in parts]})")
+                    if cov_part_mode and dist.n_proc > 1:
+                        # the three kind merges are independent: kinds
+                        # 1/2 are delegated to ranks 1/2 (file handoff
+                        # after the cov_parts barrier — no extra
+                        # collectives), rank 0 merges the rest and
+                        # falls back to any kind a worker failed to
+                        # deliver.  Each entry is bit-identical to the
+                        # full merge's.
+                        def _kind_local(k):
+                            # (mean, cov) | None=insufficient; raises
+                            # on IO failure (None return from native)
+                            try:
+                                mc = native.cov_merge_bin_kind(parts, k)
+                            except ValueError:
+                                return None  # count<=100 contract
+                            if mc is None:
+                                raise RuntimeError(
+                                    f"covariance kind-{k} merge failed")
+                            return mc
+
+                        delegated = [k for k in (1, 2)
+                                     if k < dist.n_proc]
+                        own = [k for k in range(3)
+                               if k not in delegated]
+                        merged = {}
+                        if len(own) > 1:
+                            # ctypes releases the GIL: own kinds merge
+                            # concurrently on whatever cores this rank
+                            # has (matters at n_proc=2, where kinds 0
+                            # and 2 both stay on rank 0)
+                            import concurrent.futures as _cf
+                            with _cf.ThreadPoolExecutor(len(own)) as px:
+                                for k, mc in zip(own, px.map(
+                                        _kind_local, own)):
+                                    merged[native.COV_KINDS[k]] = mc
+                        else:
+                            for k in own:
+                                merged[native.COV_KINDS[k]] = \
+                                    _kind_local(k)
+                        import time as _t
+                        deadline = _t.time() + 120.0
+                        for k in delegated:
+                            kf = out / f"cov.kind{k}.merged.tsv"
+                            mc = False  # sentinel: not delivered
+                            while _t.time() < deadline:
+                                try:
+                                    txt = kf.read_text().strip()
+                                except OSError:
+                                    _t.sleep(0.05)
+                                    continue
+                                if txt == "insufficient":
+                                    mc = None
+                                else:
+                                    f = txt.split("\t")
+                                    mc = (float.fromhex(f[0]),
+                                          float.fromhex(f[1]))
+                                break
+                            if mc is False:
+                                mc = _kind_local(k)  # worker fallback
+                            merged[native.COV_KINDS[k]] = mc
+                    else:
+                        merged = native.cov_merge_bin(parts)
+                        if merged is None:
+                            raise RuntimeError(
+                                "covariance part merge failed (parts: "
+                                f"{[str(p) for p in parts]})")
                     _write_cov_merged(merged_dst, merged)
                     for p in parts:
                         p.unlink(missing_ok=True)
+                    for k in (1, 2):
+                        (out / f"cov.kind{k}.merged.tsv").unlink(
+                            missing_ok=True)
                     return
                 if pair_table:
                     rc = native.calccov_tbl(

@@ -5334,15 +5334,35 @@ inline long CovMergeArrays(const std::vector<int64_t>& ids,
   int64_t max_id = -1;
   for (int64_t id : ids)
     if (id > max_id) max_id = id;
-  // counting-sort by marker id, stable (file order within a marker)
-  std::vector<int64_t> counts(max_id + 2, 0);
-  for (int64_t id : ids) counts[id + 1]++;
-  for (int64_t m = 1; m <= max_id + 1; m++) counts[m] += counts[m - 1];
-  std::vector<double> grouped(vals.size());
+  // Two-pass radix grouping, stable by construction: pass 1 is a
+  // stable counting sort on the id HIGH bits (≤256 buckets — the
+  // destination cursor jumps across at most 256 streams, each written
+  // sequentially), pass 2 counting-sorts each bucket locally (bucket
+  // payload and its counts slice stay cache-resident).  The previous
+  // single-pass counting sort scattered randomly across the whole
+  // grouped array — ~350MB of cache-miss writes at the 50M-pair
+  // benchmark's 44M samples, the dominant serial cost of the
+  // distributed tail's rank-0 merge.  Ordering is IDENTICAL: stable
+  // by id overall, so within-marker file order, the ascending-marker
+  // drand48 stream, and the accumulation sequence are all unchanged
+  // (bit-exact result).
+  const int64_t n_ids = max_id + 1;
+  const size_t n = ids.size();
+  int shift = 0;
+  while ((n_ids >> shift) > 256) shift++;
+  const int n_buckets = n_ids > 0 ? (int)(((n_ids - 1) >> shift) + 1) : 0;
+  std::vector<int64_t> bcount((size_t)n_buckets + 1, 0);
+  for (int64_t id : ids) bcount[(size_t)(id >> shift) + 1]++;
+  for (int b = 1; b <= n_buckets; b++) bcount[b] += bcount[b - 1];
+  std::vector<int64_t> ids2(n);
+  std::vector<double> vals2(n);
   {
-    std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
-    for (size_t i = 0; i < ids.size(); i++)
-      grouped[cursor[ids[i]]++] = vals[i];
+    std::vector<int64_t> cur(bcount.begin(), bcount.end() - 1);
+    for (size_t i = 0; i < n; i++) {
+      int64_t at = cur[ids[i] >> shift]++;
+      ids2[at] = ids[i];
+      vals2[at] = vals[i];
+    }
   }
   uint64_t x = (((uint64_t)seed & 0xFFFFFFFFull) << 16) | 0x330E;
   const uint64_t A = 0x5DEECE66Dull, C = 0xB;
@@ -5352,16 +5372,35 @@ inline long CovMergeArrays(const std::vector<int64_t>& ids,
     return (double)x / (double)((uint64_t)1 << 48);
   };
   double s1 = 0.0, s2 = 0.0, cross = 0.0, count = 0.0;
-  for (int64_t m = 0; m <= max_id; m++) {
-    int64_t base = counts[m];
-    int64_t n = counts[m + 1] - base;
-    if (n < 2) continue;
-    double a = grouped[base + (int64_t)(drand() * (double)n)];
-    double b = grouped[base + (int64_t)(drand() * (double)n)];
-    s1 += a;
-    s2 += b;
-    cross += a * b;
-    count += 1;
+  const int64_t span = (int64_t)1 << shift;
+  std::vector<int64_t> counts((size_t)span + 1);
+  std::vector<double> grouped;
+  for (int b = 0; b < n_buckets; b++) {
+    int64_t lo = bcount[b], hi = bcount[b + 1];
+    if (lo == hi) continue;
+    const int64_t id0 = (int64_t)b << shift;
+    const int64_t width =
+        std::min<int64_t>(span, n_ids - id0);
+    std::fill(counts.begin(), counts.begin() + width + 1, 0);
+    for (int64_t i = lo; i < hi; i++) counts[ids2[i] - id0 + 1]++;
+    for (int64_t m = 1; m <= width; m++) counts[m] += counts[m - 1];
+    grouped.resize((size_t)(hi - lo));
+    {
+      std::vector<int64_t> cur(counts.begin(), counts.begin() + width);
+      for (int64_t i = lo; i < hi; i++)
+        grouped[(size_t)cur[ids2[i] - id0]++] = vals2[i];
+    }
+    for (int64_t m = 0; m < width; m++) {
+      int64_t base = counts[m];
+      int64_t cnt = counts[m + 1] - base;
+      if (cnt < 2) continue;
+      double a = grouped[base + (int64_t)(drand() * (double)cnt)];
+      double bb = grouped[base + (int64_t)(drand() * (double)cnt)];
+      s1 += a;
+      s2 += bb;
+      cross += a * bb;
+      count += 1;
+    }
   }
   if (count <= 100) return -2;
   out[0] = (s1 + s2) / (2.0 * count);
@@ -5437,6 +5476,50 @@ long dt_cov_merge_bin(const char* paths, long seed, double* out,
   long total = 0;
   for (int k = 0; k < 3; k++) total += ids[k].size();
   return total;
+}
+
+// Single-kind variant of dt_cov_merge_bin (kind 0=span 1=pos 2=min):
+// seeks past the other kinds' sections, so merging one kind reads a
+// third of the bytes.  The distributed tail fans the three independent
+// kind merges across ranks; each result is bit-identical to the
+// corresponding entry of the full merge.
+long dt_cov_merge_bin_kind(const char* paths, int kind, long seed,
+                           double* out) {
+  if (kind < 0 || kind > 2) return -1;
+  std::vector<int64_t> ids;
+  std::vector<double> vals;
+  std::string all(paths ? paths : "");
+  size_t start = 0;
+  while (start <= all.size()) {
+    size_t end = all.find(';', start);
+    if (end == std::string::npos) end = all.size();
+    std::string path = all.substr(start, end - start);
+    start = end + 1;
+    if (path.empty()) continue;
+    FILE* f = fopen(path.c_str(), "r");
+    if (!f) return -1;
+    int64_t magic = 0, nk[3] = {0, 0, 0};
+    bool ok = fread(&magic, 8, 1, f) == 1 &&
+              magic == 0x434f56424e303031LL && fread(nk, 8, 3, f) == 3 &&
+              nk[0] >= 0 && nk[1] >= 0 && nk[2] >= 0;
+    if (ok) {
+      int64_t skip = 0;
+      for (int k = 0; k < kind; k++) skip += 16 * nk[k];
+      ok = fseek(f, (long)skip, SEEK_CUR) == 0;
+    }
+    if (ok) {
+      size_t base = ids.size();
+      ids.resize(base + (size_t)nk[kind]);
+      vals.resize(base + (size_t)nk[kind]);
+      ok = fread(ids.data() + base, 8, (size_t)nk[kind], f) ==
+               (size_t)nk[kind] &&
+           fread(vals.data() + base, 8, (size_t)nk[kind], f) ==
+               (size_t)nk[kind];
+    }
+    fclose(f);
+    if (!ok) return -1;
+  }
+  return CovMergeArrays(ids, vals, seed, out);
 }
 
 // Text multi-file variant (same rank-order contract as

