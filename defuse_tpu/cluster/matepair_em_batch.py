@@ -78,6 +78,20 @@ def prepare_batch(instances, params: EMParams, k_max: int = K_MAX,
     if not rows:
         return None
 
+    # Seeds via the threaded native KKZ + AS136 batch when built: the
+    # per-row Python kmns was ~7s of host time on the bench workload
+    # (3806 rows) — 3x the entire device EM it was preparing.  Identical
+    # math (shared kmns twin, same fallback set), so R0 is unchanged.
+    seed_ic1 = seed_uniform = seed_offs = None
+    if len(rows) > 64:
+        from . import native as _native
+        if _native.available():
+            try:
+                seed_ic1, seed_uniform, seed_offs = _native.em_seed_batch(
+                    instances, rows)
+            except Exception:
+                seed_ic1 = None  # Python _seed fallback below
+
     max_n = pad_n or max(len(r[2]) for r in rows)
     B = len(rows)
     X = np.zeros((B, max_n))
@@ -110,7 +124,14 @@ def prepare_batch(instances, params: EMParams, k_max: int = K_MAX,
         ys = np.asarray(y)[yo]
         XRE[b, :n] = np.r_[xs[:-1] != xs[1:], True]
         YRE[b, :n] = np.r_[ys[:-1] != ys[1:], True]
-        R0[b, :k, :n] = _seed(np.asarray(x), np.asarray(y), k)
+        if seed_ic1 is not None:
+            if seed_uniform[b]:
+                R0[b, :k, :n] = 1.0 / k
+            else:
+                ic1 = seed_ic1[seed_offs[b]:seed_offs[b] + n]
+                R0[b, ic1, np.arange(n)] = 1.0
+        else:
+            R0[b, :k, :n] = _seed(np.asarray(x), np.asarray(y), k)
 
     return EMBatch(X, Y, U, N, K, R0, XOI, YOI, XRE, YRE, INST)
 
@@ -891,7 +912,7 @@ def select_memberships(batch: EMBatch, params: EMParams, a, b, ll, ok,
     minp = em_host.min_probability
     log_minp = np.log(minp)
     result: dict[int, list[list[int]]] = {}
-    n_resolved = 0
+    pending: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
     for inst, bi in sorted(best.items()):
         rows = inst_rows[inst]
         n = int(batch.n[bi])
@@ -907,9 +928,7 @@ def select_memberships(batch: EMBatch, params: EMParams, a, b, ll, ok,
                 if np.isfinite(bics[1]) and bics[1] - bics[0] < BIC_MARGIN:
                     ambiguous = True
         if ambiguous:
-            result[inst] = [list(m) for m in
-                            em_host.do_clustering(xs, ys, us)]
-            n_resolved += 1
+            pending.append((inst, xs, ys, us))
             continue
         if not np.isfinite(bic[bi]):
             result[inst] = []
@@ -926,13 +945,34 @@ def select_memberships(batch: EMBatch, params: EMParams, a, b, ll, ok,
             if len(members) >= params.min_cluster_size:
                 clusters.append(members.tolist())
         if ambiguous:
-            result[inst] = [list(m) for m in
-                            em_host.do_clustering(xs, ys, us)]
-            n_resolved += 1
+            pending.append((inst, xs, ys, us))
         else:
             result[inst] = clusters
+    if pending:
+        result.update(_resolve_exact(pending, params, em_host))
     LAST_SELECT_STATS.clear()
     LAST_SELECT_STATS.update(
-        n_instances=len(best), n_host_resolved=n_resolved,
+        n_instances=len(best), n_host_resolved=len(pending),
         exact_resolve=exact_resolve)
     return result
+
+
+def _resolve_exact(pending, params, em_host):
+    """Exact f64 host re-solve of the drift-ambiguous instances, batched
+    through the threaded native C++ solver when built (bit-identical to
+    the Python oracle — the em_mode native/oracle parity contract),
+    oracle fallback otherwise.  Deferring + batching matters: at ~10%
+    ambiguity on the bench workload the per-instance Python re-solves
+    were ~19s of the hybrid's 22s warm wall, dwarfing the 2.6s of
+    device EM they certified."""
+    from . import native
+    if native.available():
+        try:
+            mems = native.em_cluster_batch(
+                [(xs, ys, us) for _i, xs, ys, us in pending], params)
+            return {inst: [list(m) for m in mm]
+                    for (inst, *_), mm in zip(pending, mems)}
+        except Exception:
+            pass  # fall back to the oracle below
+    return {inst: [list(m) for m in em_host.do_clustering(xs, ys, us)]
+            for inst, xs, ys, us in pending}

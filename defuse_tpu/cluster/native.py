@@ -69,6 +69,7 @@ def _configure(lib):
         ctypes.c_int, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int)]
     lib.dt_em_cluster_batch.restype = None
+    lib.dt_em_seed_batch.restype = None
     lib.dt_setcover.restype = None
     lib.dt_clustermatepairs.restype = ctypes.c_int
     lib.dt_clustermatepairs.argtypes = [
@@ -223,6 +224,48 @@ def em_cluster_batch(instances, params, n_threads: int = 0):
             pos += size
         out.append(clusters)
     return out
+
+
+def em_seed_batch(instances, rows, n_threads: int = 0):
+    """Threaded KKZ + AS136 one-hot seed assignments for the device
+    EM's host preparation (``matepair_em_batch.prepare_batch``).
+
+    ``instances`` is the [(x, y, u)] list; ``rows`` the expanded
+    (inst_id, k, ...) row list prepare_batch built from it.  Returns
+    (ic1, uniform, row_offsets): row r's n point-cluster assignments
+    live at ``ic1[row_offsets[r]:row_offsets[r+1]]`` unless
+    ``uniform[r]`` is set (k==1, k==n, degenerate geometry, or kmns
+    ifault 1/3 — the Python ``_seed`` fallback set, identical math via
+    the shared kmns twin)."""
+    lib = load_library()
+    if n_threads <= 0:
+        n_threads = _default_threads()
+    n_inst = len(instances)
+    offsets = np.zeros(n_inst + 1, dtype=np.int64)
+    for i, (x, _y, _u) in enumerate(instances):
+        offsets[i + 1] = offsets[i] + len(x)
+    total = int(offsets[-1])
+    X = np.zeros(total)
+    Y = np.zeros(total)
+    for i, (x, y, _u) in enumerate(instances):
+        X[offsets[i]:offsets[i + 1]] = x
+        Y[offsets[i]:offsets[i + 1]] = y
+    n_rows = len(rows)
+    row_inst = np.fromiter((r[0] for r in rows), np.int32, n_rows)
+    row_k = np.fromiter((r[1] for r in rows), np.int32, n_rows)
+    lens = offsets[row_inst + 1] - offsets[row_inst]
+    row_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=row_offsets[1:])
+    ic1 = np.zeros(max(1, int(row_offsets[-1])), dtype=np.int32)
+    uniform = np.zeros(n_rows, dtype=np.uint8)
+    lib.dt_em_seed_batch(
+        _dptr(X), _dptr(Y),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _iptr(row_inst), _iptr(row_k),
+        row_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_long(n_rows), ctypes.c_int(n_threads), _iptr(ic1),
+        uniform.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return ic1, uniform, row_offsets
 
 
 def clustermatepairs(in_path: str, out_path: str, params,

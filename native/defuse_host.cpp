@@ -1176,6 +1176,106 @@ void dt_em_cluster_batch(const double* x, const double* y, const double* u,
   for (auto& th : threads) th.join();
 }
 
+// KKZ center selection over raw (x, y) arrays — the same algorithm as
+// MatePairEMHost::SelectKKZ / the Python _select_kkz
+// (defuse_tpu/cluster/matepair_em_batch.py): first-max ties, squared
+// euclidean farthest-point, failure (false) when the farthest distance
+// degenerates to zero.
+static bool SeedKKZ(const double* x, const double* y, int n, int k,
+                    std::vector<double>& ax, std::vector<double>& ay) {
+  ax.clear();
+  ay.clear();
+  double l2max = x[0] * y[0];
+  int imax = 0;
+  for (int i = 1; i < n; i++) {
+    double l2 = x[i] * y[i];
+    if (l2 > l2max) {
+      imax = i;
+      l2max = l2;
+    }
+  }
+  ax.push_back(x[imax]);
+  ay.push_back(y[imax]);
+  std::vector<double> dist(n);
+  for (int i = 0; i < n; i++) {
+    double dx = x[i] - ax[0], dy = y[i] - ay[0];
+    dist[i] = dx * dx + dy * dy;
+  }
+  while ((int)ax.size() < k) {
+    int ifar = 0;
+    double far = dist[0];
+    for (int i = 1; i < n; i++)
+      if (dist[i] > far) {
+        far = dist[i];
+        ifar = i;
+      }
+    if (far == 0.0) return false;
+    ax.push_back(x[ifar]);
+    ay.push_back(y[ifar]);
+    for (int i = 0; i < n; i++) {
+      double dx = x[i] - ax.back(), dy = y[i] - ay.back();
+      dist[i] = std::min(dist[i], dx * dx + dy * dy);
+    }
+  }
+  return true;
+}
+
+// Batched EM seeding for the device driver's host preparation
+// (defuse_tpu/cluster/matepair_em_batch.py::prepare_batch): per
+// (instance, K) row, the KKZ + AS136 k-means one-hot assignment the
+// Python _seed computes — identical math (same kmns twin, 1000-iter
+// cap), threaded across rows.  X/Y are flat per-instance coordinates
+// with inst_offsets (n_instances+1 entries); row r reads instance
+// row_inst[r] at K = row_k[r] and writes its n assignments (values in
+// [0, K)) at out_ic1[row_offsets[r]..], valid only when
+// out_uniform[r] == 0.  out_uniform[r] == 1 marks the uniform-1/K
+// seed rows: K == 1, K == n, degenerate KKZ geometry, or kmns ifault
+// in {1, 3} — exactly the Python fallback set.
+extern "C" void dt_em_seed_batch(const double* X, const double* Y,
+                                 const int64_t* inst_offsets,
+                                 const int* row_inst, const int* row_k,
+                                 const int64_t* row_offsets, long n_rows,
+                                 int n_threads, int* out_ic1,
+                                 unsigned char* out_uniform) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  auto work = [&](int t) {
+    std::vector<double> ax, ay, a_mat, c_mat;
+    std::vector<int> ic1;
+    for (long r = t; r < n_rows; r += n_threads) {
+      int inst = row_inst[r];
+      int64_t lo = inst_offsets[inst];
+      int n = (int)(inst_offsets[inst + 1] - lo);
+      int k = row_k[r];
+      if (k == 1 || k == n || !SeedKKZ(X + lo, Y + lo, n, k, ax, ay)) {
+        out_uniform[r] = 1;
+        continue;
+      }
+      // kmns over (y, x) column-major layout, as the EM seeding does
+      a_mat.resize((size_t)n * 2);
+      for (int i = 0; i < n; i++) {
+        a_mat[i] = Y[lo + i];
+        a_mat[i + n] = X[lo + i];
+      }
+      c_mat.resize((size_t)k * 2);
+      for (int j = 0; j < k; j++) {
+        c_mat[j] = ay[j];
+        c_mat[j + k] = ax[j];
+      }
+      int ifault = kmns(a_mat.data(), n, 2, c_mat, k, ic1, kKMeansIter);
+      if (ifault == 1 || ifault == 3) {
+        out_uniform[r] = 1;
+        continue;
+      }
+      out_uniform[r] = 0;
+      int* dst = out_ic1 + row_offsets[r];
+      for (int i = 0; i < n; i++) dst[i] = ic1[i];
+    }
+  };
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+}
+
 // Greedy set cover (canonical lowest-id tie-break).  clusters given as
 // flat member array + offsets; out_keep is a 0/1 mask per member slot.
 static void SetCoverCore(const int* members, const int64_t* offsets,

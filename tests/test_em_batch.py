@@ -135,3 +135,56 @@ def test_fixture_instances_agree(ref_binaries, tmp_path):
         if [sorted(c) for c in exp] != [sorted(c) for c in got.get(i, [])]:
             mismatches += 1
     assert mismatches == 0, f"{mismatches}/{len(expected)} instances differ"
+
+
+def test_native_seed_batch_matches_python():
+    """prepare_batch's threaded native KKZ+AS136 seeding (the ~7s host
+    hotspot on the bench workload) must produce R0 BIT-IDENTICAL to the
+    per-row Python _seed — including the uniform fallbacks (k==1, k==n,
+    degenerate geometry)."""
+    import unittest.mock as um
+
+    from defuse_tpu.cluster import matepair_em_batch as mb
+    from defuse_tpu.cluster import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    instances = [_instance(rng, rng.integers(1, 4), 24)
+                 for _ in range(20)]
+    # degenerate geometry: one distinct point repeated (KKZ fails)
+    instances.append((np.full(8, 5.0), np.full(8, 7.0),
+                      np.full(8, 100.0)))
+    with um.patch.object(mb, "_seed",
+                         side_effect=AssertionError("python _seed ran")):
+        b_native = mb.prepare_batch(instances, PARAMS)
+    with um.patch.object(native, "available", lambda: False):
+        b_py = mb.prepare_batch(instances, PARAMS)
+    assert len(b_native.n) > 64  # native path engaged (size gate)
+    assert np.array_equal(b_native.r0, b_py.r0)
+
+
+def test_exact_resolve_native_and_oracle_identical():
+    """select_memberships' drift-ambiguous re-solves batch through the
+    native C++ solver when built (the per-instance Python re-solves were
+    ~19s of the 22s warm hybrid wall); the answer must be identical to
+    the Python-oracle resolve path."""
+    import unittest.mock as um
+
+    from defuse_tpu.cluster import matepair_em_batch as mb
+    from defuse_tpu.cluster import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(33)
+    instances = [_instance(rng, rng.integers(1, 4), 24)
+                 for _ in range(10)]
+    batch = prepare_batch(instances, PARAMS)
+    via_native = run_batch(batch, PARAMS, dtype=np.float32)
+    assert mb.LAST_SELECT_STATS["exact_resolve"]
+    with um.patch.object(native, "available", lambda: False):
+        via_oracle = run_batch(batch, PARAMS, dtype=np.float32)
+    assert via_native.keys() == via_oracle.keys()
+    for inst in via_native:
+        assert [sorted(c) for c in via_native[inst]] == \
+            [sorted(c) for c in via_oracle[inst]], inst
