@@ -70,6 +70,7 @@ def _configure(lib):
         ctypes.POINTER(ctypes.c_int)]
     lib.dt_em_cluster_batch.restype = None
     lib.dt_em_seed_batch.restype = None
+    lib.dt_align_regions.restype = ctypes.c_long
     lib.dt_setcover.restype = None
     lib.dt_clustermatepairs.restype = ctypes.c_int
     lib.dt_clustermatepairs.argtypes = [

@@ -25,21 +25,23 @@ class FastaStore:
 
     @classmethod
     def from_file(cls, path: str) -> "FastaStore":
-        seqs: dict[str, str] = {}
-        name = None
-        chunks: list[str] = []
+        # bulk-string parse: one read, header scan by "\n>", newline
+        # strip via str.replace (C speed) — the per-line Python loop was
+        # the single largest Python cost of a discover pass (~80ms on
+        # the bench genome, 76k line-method calls)
         with open(path) as fh:
-            for line in fh:
-                line = line.rstrip("\n")
-                if line.startswith(">"):
-                    if name is not None:
-                        seqs[name] = "".join(chunks)
-                    name = line[1:].split()[0]
-                    chunks = []
-                else:
-                    chunks.append(line)
-        if name is not None:
-            seqs[name] = "".join(chunks)
+            data = fh.read()
+        seqs: dict[str, str] = {}
+        pos = data.find(">")
+        while pos != -1:
+            nl = data.find("\n", pos)
+            if nl == -1:
+                break
+            name = data[pos + 1:nl].split()[0]
+            nxt = data.find("\n>", nl)
+            end = len(data) if nxt == -1 else nxt + 1
+            seqs[name] = data[nl + 1:end].replace("\n", "")
+            pos = -1 if nxt == -1 else nxt + 1
         return cls(seqs)
 
     def __contains__(self, name: str) -> bool:

@@ -21,7 +21,7 @@ from ..cluster.setcover import run_setcover_file
 from ..core.exons import ExonRegions
 from ..io.fasta import FastaStore
 from ..io.sam import iter_compact, iter_sam, load_alignments
-from .regions import align_regions_lines
+from .regions import align_regions_file
 
 
 def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
@@ -168,9 +168,7 @@ def discover_fusions(spanning, improper, fastq1, fastq2, reference, exons,
     _mark("post_setcover_filters")
     # --- align regions --------------------------------------------------
     regions_path = out / "clusters.sc.regions"
-    regions_path.write_text(
-        "\n".join(align_regions_lines(sc_path.read_text().splitlines()))
-        + "\n")
+    align_regions_file(sc_path, regions_path)
 
     _mark("regions")
     # --- split alignment ------------------------------------------------

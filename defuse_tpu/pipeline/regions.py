@@ -36,3 +36,30 @@ def align_regions_lines(cluster_rows) -> list[str]:
         lines.append(f"{cid}\t{cend}\t{ref}\t"
                      f"{'-' if strand else '+'}\t{start}\t{end}")
     return lines
+
+
+def align_regions_file(sc_path, out_path) -> None:
+    """File->file variant of :func:`align_regions_lines`, routed through
+    the native ``dt_align_regions`` when built (byte-identical output,
+    pinned by test) — the Python line loop was ~30ms on the bench
+    workload and scales with cluster count at depth."""
+    import ctypes
+    import pathlib
+
+    from ..cluster import native
+
+    if native.available():
+        lib = native.load_library()
+        rc = lib.dt_align_regions(str(sc_path).encode(),
+                                  str(out_path).encode())
+        if rc > 0:
+            return
+        if rc == 0:
+            # the python path writes a single newline for empty input
+            # ("\n".join([]) + "\n"); keep the bytes identical
+            pathlib.Path(out_path).write_text("\n")
+            return
+        # rc < 0: parse/IO error — fall through to the python path
+    text = pathlib.Path(sc_path).read_text()
+    pathlib.Path(out_path).write_text(
+        "\n".join(align_regions_lines(text.splitlines())) + "\n")

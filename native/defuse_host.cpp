@@ -1418,6 +1418,98 @@ static void SetCoverCore(const int* members, const int64_t* offsets,
   }
 }
 
+// Align-region aggregation (scripts/get_align_regions.pl /
+// defuse_tpu/pipeline/regions.py::align_regions_lines): per
+// (cluster, end), first row's ref+strand, min start, max end, emitted
+// in canonical ascending (cluster, end) order.  Byte-identical to the
+// Python implementation (pinned by test).  Returns the number of
+// emitted region rows, -1 on IO/parse error.
+long dt_align_regions(const char* in_path, const char* out_path) {
+  std::string data;
+  {
+    std::ifstream in(in_path, std::ios::binary);
+    if (!in.good()) return -1;
+    std::ostringstream ss;
+    ss << in.rdbuf();
+    data = ss.str();
+  }
+  struct Region {
+    std::string ref;
+    char strand;
+    int64_t start, end;
+  };
+  std::unordered_map<uint64_t, Region> agg;
+  std::vector<uint64_t> order;  // first-seen keys; sorted before emit
+  size_t pos = 0;
+  while (pos < data.size()) {
+    size_t eol = data.find('\n', pos);
+    size_t end = (eol == std::string::npos) ? data.size() : eol;
+    if (end > pos) {
+      const char* s = data.data() + pos;
+      char* endp;
+      long cid = strtol(s, &endp, 10);
+      if (endp == s || *endp != '\t') return -1;
+      long cend = strtol(endp + 1, &endp, 10);
+      if (*endp != '\t') return -1;
+      // skip fields 2..3 (fragment id, read end)
+      const char* p = endp + 1;
+      const char* lim = data.data() + end;
+      for (int skip = 0; skip < 2; skip++) {
+        p = (const char*)memchr(p, '\t', lim - p);
+        if (!p) return -1;
+        p++;
+      }
+      const char* ref_s = p;
+      p = (const char*)memchr(p, '\t', lim - p);
+      if (!p) return -1;
+      std::string ref(ref_s, p - ref_s);
+      p++;
+      char strand = (*p == '+') ? '+' : '-';  // python: non-'+' -> '-'
+      p = (const char*)memchr(p, '\t', lim - p);
+      if (!p) return -1;
+      long start = strtol(p + 1, &endp, 10);
+      if (*endp != '\t') return -1;
+      long stop = strtol(endp + 1, &endp, 10);
+      uint64_t key = ((uint64_t)(uint32_t)cid << 32) | (uint32_t)cend;
+      auto it = agg.find(key);
+      if (it == agg.end()) {
+        agg.emplace(key, Region{std::move(ref), strand, start, stop});
+        order.push_back(key);
+      } else {
+        if (start < it->second.start) it->second.start = start;
+        if (stop > it->second.end) it->second.end = stop;
+      }
+    }
+    if (eol == std::string::npos) break;
+    pos = eol + 1;
+  }
+  std::sort(order.begin(), order.end());
+  std::string out;
+  out.reserve(order.size() * 48);
+  char buf[64];
+  for (uint64_t key : order) {
+    const Region& r = agg[key];
+    snprintf(buf, sizeof buf, "%u\t%u\t", (uint32_t)(key >> 32),
+             (uint32_t)key);
+    out += buf;
+    out += r.ref;
+    out += '\t';
+    out += r.strand;
+    snprintf(buf, sizeof buf, "\t%lld\t%lld\n", (long long)r.start,
+             (long long)r.end);
+    out += buf;
+  }
+  std::string tmp = std::string(out_path) + ".tmp";
+  {
+    std::ofstream of(tmp, std::ios::binary | std::ios::trunc);
+    if (!of.good()) return -1;
+    of.write(out.data(), (std::streamsize)out.size());
+    if (!of.good()) return -1;
+  }
+  if (rename(tmp.c_str(), out_path) != 0) return -1;
+  return (long)order.size();
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------
